@@ -1,0 +1,112 @@
+import numpy as np
+import pytest
+
+from transformers4rec_tpu.data import (
+    ParquetDataLoader,
+    SyntheticDataLoader,
+    dataloader_registry,
+    dense_to_ragged,
+    pad_inputs,
+    pad_ragged,
+    synthetic_data,
+)
+
+
+def test_synthetic_dense_shapes(ecommerce_schema):
+    data = synthetic_data(ecommerce_schema, num_rows=64, max_session_length=20)
+    assert data["item_id"].shape == (64, 20)
+    assert data["category"].shape == (64, 20)
+    assert data["item_recency"].dtype == np.float32
+    # 0 reserved for padding; ids in range
+    assert data["item_id"].max() < 1001
+    assert (data["item_id"][:, 0] > 0).all()  # first position always valid (min len 2)
+
+
+def test_synthetic_sessions_aligned(ecommerce_schema):
+    """All list features share the same per-row length pattern."""
+    data = synthetic_data(ecommerce_schema, num_rows=32, max_session_length=20)
+    item_mask = data["item_id"] > 0
+    cat_mask = data["category"] > 0
+    assert (item_mask == cat_mask).all()
+
+
+def test_synthetic_ragged(ecommerce_schema):
+    data = synthetic_data(ecommerce_schema, num_rows=32, max_session_length=20, ragged=True)
+    off = data["item_id__offsets"]
+    assert off.shape == (33,)
+    assert len(data["item_id__values"]) == off[-1]
+    lengths = off[1:] - off[:-1]
+    assert lengths.min() >= 2 and lengths.max() <= 20
+
+
+def test_pad_ragged_roundtrip():
+    values = np.arange(1, 11)
+    offsets = np.array([0, 3, 3, 10])
+    dense = pad_ragged(values, offsets, max_len=5)
+    assert dense.shape == (3, 5)
+    assert dense[0].tolist() == [1, 2, 3, 0, 0]
+    assert dense[1].tolist() == [0] * 5
+    assert dense[2].tolist() == [4, 5, 6, 7, 8]  # truncated to 5
+    v2, o2 = dense_to_ragged(dense, np.array([3, 0, 5]))
+    assert o2.tolist() == [0, 3, 3, 8]
+    assert v2.tolist() == [1, 2, 3, 4, 5, 6, 7, 8]
+
+
+def test_pad_inputs_static(ecommerce_schema):
+    ragged = synthetic_data(ecommerce_schema, num_rows=16, ragged=True)
+    dense = pad_inputs(ragged, max_sequence_length=20)
+    for name in ("item_id", "category", "item_recency", "weekday_sin"):
+        assert dense[name].shape == (16, 20)
+
+
+def test_synthetic_loader(ecommerce_schema):
+    loader = SyntheticDataLoader.from_schema(
+        ecommerce_schema, batch_size=16, num_rows=100, max_sequence_length=20
+    )
+    batches = list(loader)
+    assert len(batches) == len(loader) == 6  # 100//16
+    for b in batches:
+        assert b["item_id"].shape == (16, 20)
+
+
+def test_loader_host_sharding(ecommerce_schema):
+    l0 = SyntheticDataLoader.from_schema(
+        ecommerce_schema, batch_size=8, num_rows=64, shuffle=False, global_rank=0, global_size=2
+    )
+    l1 = SyntheticDataLoader.from_schema(
+        ecommerce_schema, batch_size=8, num_rows=64, shuffle=False, global_rank=1, global_size=2
+    )
+    b0 = next(iter(l0))
+    b1 = next(iter(l1))
+    assert l0.num_rows == l1.num_rows == 32
+    assert not np.array_equal(b0["item_id"], b1["item_id"])
+
+
+def test_parquet_loader_roundtrip(ecommerce_schema, tmp_path):
+    import pandas as pd
+
+    data = synthetic_data(ecommerce_schema, num_rows=50, max_session_length=20, ragged=True)
+    df = pd.DataFrame(
+        {
+            name: np.split(
+                data[f"{name}__values"], data[f"{name}__offsets"][1:-1]
+            )
+            for name in ("item_id", "category", "item_recency", "weekday_sin")
+        }
+    )
+    path = tmp_path / "data.parquet"
+    df.to_parquet(path)
+    loader = ParquetDataLoader.from_schema(
+        ecommerce_schema, str(path), batch_size=10, max_sequence_length=20, shuffle=False
+    )
+    batch = next(iter(loader))
+    assert batch["item_id"].shape == (10, 20)
+    assert batch["item_id"].dtype == np.int64
+
+
+def test_registry_dispatch():
+    assert dataloader_registry.parse("synthetic") is SyntheticDataLoader
+    assert dataloader_registry.parse("parquet") is ParquetDataLoader
+    assert dataloader_registry.parse("merlin") is ParquetDataLoader
+    with pytest.raises(KeyError):
+        dataloader_registry.parse("nope")

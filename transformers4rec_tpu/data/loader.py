@@ -1,0 +1,237 @@
+"""Host-side session dataloaders: Parquet → fixed-shape numpy batches.
+
+TPU-native replacement for the reference's dataloader stack
+(/root/reference/transformers4rec/torch/utils/data_utils.py:38-494):
+- registry + ``from_schema`` dispatch (data_utils.py:38-61);
+- the Merlin/cuDF GPU loader's roles — schema-driven column routing, ragged
+  padding (``loader.map(pad_fn)`` data_utils.py:361-366), and DDP partition
+  sharding (data_utils.py:349-360) — are done on host with pyarrow + numpy:
+  on TPU the chips have no general-purpose cores, so input processing lives on
+  the host CPU and the device only ever sees fixed-shape, ready-to-shard arrays.
+
+Every batch has IDENTICAL shapes (drop_last semantics with wrap-around fill) so
+the jitted train step compiles exactly once. Per-host sharding for multi-host
+training is row-striped by ``global_rank``/``global_size``.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Union
+
+import numpy as np
+
+from ..schema import Schema, Tags
+from ..utils.registry import Registry
+from .padding import pad_ragged
+from .synthetic import synthetic_data
+
+NDArrayDict = Dict[str, np.ndarray]
+
+dataloader_registry: Registry = Registry("dataloader")
+
+
+class T4RecDataLoader:
+    """Abstract loader: iterable of fixed-shape numpy batch dicts."""
+
+    @classmethod
+    def from_schema(cls, schema: Schema, paths_or_dataset, batch_size: int, **kwargs):
+        raise NotImplementedError
+
+    @classmethod
+    def parse(cls, name: str):
+        return dataloader_registry.parse(name)
+
+    def __iter__(self) -> Iterator[NDArrayDict]:
+        raise NotImplementedError
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+
+def _resolve_paths(paths_or_dataset) -> List[str]:
+    from .dataset import ParquetDataset
+
+    if isinstance(paths_or_dataset, ParquetDataset):
+        return [paths_or_dataset.path]
+    if isinstance(paths_or_dataset, (str, pathlib.Path)):
+        p = pathlib.Path(paths_or_dataset)
+        if p.is_dir():
+            return sorted(str(f) for f in p.glob("*.parquet"))
+        return [str(p)]
+    return [str(p) for p in paths_or_dataset]
+
+
+def _table_to_columns(table, schema: Schema, max_sequence_length: int) -> NDArrayDict:
+    """Arrow table → dict of dense numpy arrays, padding list columns."""
+    out: NDArrayDict = {}
+    names = set(table.column_names)
+    for col in schema:
+        if col.name not in names:
+            continue
+        arr = table.column(col.name)
+        import pyarrow as pa
+
+        chunked = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        if pa.types.is_list(chunked.type) or pa.types.is_large_list(chunked.type):
+            flat = chunked.flatten().to_numpy(zero_copy_only=False)
+            offsets = chunked.offsets.to_numpy(zero_copy_only=False)
+            out[col.name] = pad_ragged(np.asarray(flat), np.asarray(offsets), max_sequence_length)
+        else:
+            out[col.name] = chunked.to_numpy(zero_copy_only=False)
+    return out
+
+
+@dataloader_registry.register("parquet")
+@dataloader_registry.register("merlin")  # accept the reference's engine name too
+class ParquetDataLoader(T4RecDataLoader):
+    """Reads parquet session files into memory, yields shuffled fixed-shape batches.
+
+    ``global_rank``/``global_size`` stripe rows across hosts (the reference shards
+    parquet partitions instead — data_utils.py:349-360; row striping balances
+    better for small files). ``prefetch`` overlaps batch assembly with device
+    compute via a background thread.
+    """
+
+    def __init__(
+        self,
+        data: NDArrayDict,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        global_rank: int = 0,
+        global_size: int = 1,
+        prefetch: int = 2,
+    ):
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self._epoch = 0
+        # per-host row striping
+        n = len(next(iter(data.values())))
+        idx = np.arange(global_rank, n, global_size)
+        self.data = {k: v[idx] for k, v in data.items()}
+        self.num_rows = len(idx)
+        self.prefetch = prefetch
+
+    @classmethod
+    def from_schema(
+        cls,
+        schema: Schema,
+        paths_or_dataset,
+        batch_size: int,
+        max_sequence_length: Optional[int] = None,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        global_rank: int = 0,
+        global_size: int = 1,
+        **kwargs,
+    ) -> "ParquetDataLoader":
+        import pyarrow.parquet as pq
+
+        max_len = max_sequence_length or schema.sequence_length(default=20)
+        paths = _resolve_paths(paths_or_dataset)
+        parts = []
+        for path in paths:
+            table = pq.read_table(path)
+            parts.append(_table_to_columns(table, schema, max_len))
+        if not parts:
+            raise ValueError(f"No parquet files found in {paths_or_dataset!r}")
+        data = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+        return cls(
+            data,
+            batch_size=batch_size,
+            shuffle=shuffle,
+            drop_last=drop_last,
+            seed=seed,
+            global_rank=global_rank,
+            global_size=global_size,
+        )
+
+    def __len__(self) -> int:
+        if self.drop_last:
+            return max(1, self.num_rows // self.batch_size) if self.num_rows >= self.batch_size else 1
+        return -(-self.num_rows // self.batch_size)
+
+    def _epoch_order(self) -> np.ndarray:
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            order = rng.permutation(self.num_rows)
+        else:
+            order = np.arange(self.num_rows)
+        # wrap-around fill so every batch is full-size (static shapes for jit)
+        total = len(self) * self.batch_size
+        if total > self.num_rows:
+            order = np.concatenate([order, order[: total - self.num_rows]])
+        else:
+            order = order[:total]
+        return order
+
+    def _iter_batches(self) -> Iterator[NDArrayDict]:
+        order = self._epoch_order()
+        self._epoch += 1
+        for start in range(0, len(order), self.batch_size):
+            sel = order[start : start + self.batch_size]
+            yield {k: v[sel] for k, v in self.data.items()}
+
+    def __iter__(self) -> Iterator[NDArrayDict]:
+        if self.prefetch <= 0:
+            yield from self._iter_batches()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        _END = object()
+
+        def producer():
+            for b in self._iter_batches():
+                q.put(b)
+            q.put(_END)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+
+
+@dataloader_registry.register("synthetic")
+class SyntheticDataLoader(ParquetDataLoader):
+    """Loader over schema-synthesized data — the test/CI engine (no files needed)."""
+
+    @classmethod
+    def from_schema(
+        cls,
+        schema: Schema,
+        paths_or_dataset=None,
+        batch_size: int = 16,
+        max_sequence_length: Optional[int] = None,
+        num_rows: int = 256,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+        global_rank: int = 0,
+        global_size: int = 1,
+        **kwargs,
+    ) -> "SyntheticDataLoader":
+        data = synthetic_data(
+            schema,
+            num_rows=num_rows,
+            max_session_length=max_sequence_length or schema.sequence_length(default=20),
+            ragged=False,
+            seed=seed,
+        )
+        return cls(
+            data,
+            batch_size=batch_size,
+            shuffle=shuffle,
+            drop_last=drop_last,
+            seed=seed,
+            global_rank=global_rank,
+            global_size=global_size,
+        )
