@@ -4,10 +4,15 @@ are exercised without TPU hardware (mirrors how the driver dry-runs
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# NOTE: the axon TPU plugin ignores the JAX_PLATFORMS env var; only the config
+# API reliably forces CPU. Must run before any backend initialization.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,172 @@
+"""Masking-scheme invariants, mirroring the reference's test strategy
+(/root/reference/tests/unit/torch/test_masking.py:28-231): eval masks only the
+last item, >=1 masked item per session at train, shapes/dtypes, PLM perm-mask
+properties, RTD replacement."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transformers4rec_tpu.masking import (
+    CausalLanguageModeling,
+    MaskedLanguageModeling,
+    PermutationLanguageModeling,
+    ReplacementLanguageModeling,
+    masking_registry,
+)
+
+B, S, H = 8, 12, 16
+
+
+def _item_ids(seed=0, min_len=2):
+    rng = np.random.default_rng(seed)
+    lengths = rng.integers(min_len, S + 1, B)
+    ids = rng.integers(1, 100, (B, S))
+    mask = np.arange(S)[None, :] < lengths[:, None]
+    return jnp.asarray(np.where(mask, ids, 0)), lengths
+
+
+def _run(scheme, training, testing, seed=0, **kw):
+    mod = masking_registry.parse(scheme)(hidden_size=H, **kw)
+    ids, lengths = _item_ids(seed)
+    emb = jnp.ones((B, S, H))
+    variables = mod.init(
+        {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1)},
+        emb, ids, training=training, testing=testing,
+    )
+    out, info = mod.apply(
+        variables, emb, ids, training=training, testing=testing,
+        rngs={"masking": jax.random.PRNGKey(2)},
+    )
+    return out, info, ids, lengths
+
+
+def test_registry_names():
+    for name in ("clm", "causal", "mlm", "masked", "plm", "permutation", "rtd", "replacement"):
+        assert name in masking_registry
+
+
+# ---------------------------------------------------------------- CLM
+
+def test_clm_train_shift():
+    out, info, ids, lengths = _run("clm", training=True, testing=False)
+    # targets are shift-by-one
+    np.testing.assert_array_equal(np.asarray(info.targets[:, :-1]), np.asarray(ids[:, 1:]))
+    # one target per non-last non-pad position
+    assert (np.asarray(info.mask).sum(1) == lengths - 1).all()
+    assert out.shape == (B, S, H)
+
+
+def test_clm_eval_last_item_only():
+    _, info, ids, lengths = _run("clm", training=False, testing=True)
+    m = np.asarray(info.mask)
+    assert (m.sum(1) == 1).all()
+    # the single target is the true last item
+    rows = np.arange(B)
+    np.testing.assert_array_equal(
+        np.asarray(info.targets)[rows, lengths - 2],
+        np.asarray(ids)[rows, lengths - 1],
+    )
+
+
+def test_clm_train_on_last_option():
+    _, info, ids, lengths = _run("clm", training=True, testing=False,
+                                 train_on_last_item_seq_only=True)
+    assert (np.asarray(info.mask).sum(1) == 1).all()
+    # input schema is the full non-pad mask in this mode
+    assert (np.asarray(info.input_schema).sum(1) == lengths).all()
+
+
+# ---------------------------------------------------------------- MLM
+
+def test_mlm_train_at_least_one_masked_and_unmasked():
+    _, info, ids, lengths = _run("mlm", training=True, testing=False, mlm_probability=0.3)
+    m = np.asarray(info.mask).sum(1)
+    assert (m >= 1).all()
+    assert (m < lengths).all()  # at least one unmasked
+    # targets only at non-pad positions and equal the true ids there
+    tgt = np.asarray(info.targets)
+    msk = np.asarray(info.mask)
+    np.testing.assert_array_equal(tgt[msk], np.asarray(ids)[msk])
+
+
+def test_mlm_train_extreme_probability():
+    # p=1 would mask everything: invariant must still hold
+    _, info, ids, lengths = _run("mlm", training=True, testing=False, mlm_probability=1.0)
+    m = np.asarray(info.mask).sum(1)
+    assert (m >= 1).all() and (m < lengths).all()
+    _, info2, _, lengths2 = _run("mlm", training=True, testing=False, mlm_probability=0.0)
+    assert (np.asarray(info2.mask).sum(1) == 1).all()  # forced one
+
+
+def test_mlm_eval_last_item():
+    _, info, ids, lengths = _run("mlm", training=False, testing=True)
+    m = np.asarray(info.mask)
+    assert (m.sum(1) == 1).all()
+    rows = np.arange(B)
+    np.testing.assert_array_equal(
+        np.asarray(info.targets)[rows, lengths - 1], np.asarray(ids)[rows, lengths - 1]
+    )
+
+
+def test_mlm_inference_extends_sequence():
+    out, info, ids, lengths = _run("mlm", training=False, testing=False)
+    # inference appends one [MASK] position (reference masking.py:406-418)
+    assert out.shape == (B, S + 1, H)
+    assert info.targets.shape == (B, S + 1)
+    m = np.asarray(info.mask)
+    assert (m.sum(1) == 1).all()
+    assert (m.argmax(1) == lengths).all()  # mask at first padded slot
+
+
+# ---------------------------------------------------------------- PLM
+
+def test_plm_train_spans_and_perm_mask():
+    _, info, ids, lengths = _run("plm", training=True, testing=False)
+    m = np.asarray(info.mask).sum(1)
+    assert (m >= 1).all()
+    assert (m < lengths).all()
+    pm = np.asarray(info.perm_mask)
+    assert pm.shape == (B, S, S)
+    mask = np.asarray(info.mask)
+    # non-masked positions are visible to everyone (column j all-zero when j unmasked)
+    for b in range(B):
+        unmasked_cols = ~mask[b]
+        assert pm[b][:, unmasked_cols].sum() == 0
+        # a masked position can never attend itself
+        masked_idx = np.where(mask[b])[0]
+        assert (pm[b][masked_idx, masked_idx] == 1).all()
+
+
+def test_plm_eval_causal():
+    _, info, ids, lengths = _run("plm", training=False, testing=True)
+    pm = np.asarray(info.perm_mask)
+    assert (np.asarray(info.mask).sum(1) == 1).all()
+    # strictly-upper-triangular causal structure present
+    for b in range(B):
+        assert (np.triu(np.ones((S, S)), k=1) <= pm[b]).all()
+        # nobody attends the last non-pad position
+        assert (pm[b][:, lengths[b] - 1] == 1).all()
+
+
+# ---------------------------------------------------------------- RTD
+
+def test_rtd_fake_tokens():
+    mod = ReplacementLanguageModeling(hidden_size=H)
+    ids, lengths = _item_ids()
+    # fake generator logits strongly peaked on item "50"
+    logits = jnp.full((B, S, 100), -10.0).at[:, :, 50].set(10.0)
+    targets = jnp.where(ids > 0, ids, 0)  # pretend all non-pad positions masked
+    corrupted, disc_labels, _ = mod.get_fake_tokens(
+        jax.random.PRNGKey(0), ids, targets, logits
+    )
+    c = np.asarray(corrupted)
+    d = np.asarray(disc_labels)
+    non_pad = np.asarray(ids) > 0
+    # replaced positions get 50 (except where true item was already 50)
+    assert ((c == 50) | ~non_pad | (np.asarray(ids) == c)).all()
+    # discriminator labels: True only where replacement differs from original
+    assert (d == ((c != np.asarray(ids)) & non_pad)).all()
+    # pad positions untouched
+    assert (c[~non_pad] == 0).all()

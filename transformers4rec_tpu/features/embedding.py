@@ -1,0 +1,321 @@
+"""Embedding feature input blocks: table configs, lookups, soft embeddings,
+pretrained embeddings.
+
+Parity targets (/root/reference/transformers4rec/torch/features/embedding.py):
+- ``TableConfig``/``FeatureConfig`` (:416-514)
+- ``EmbeddingFeatures`` (:51-257) incl. mean "EmbeddingBag" combiner for 2-D
+  non-sequential inputs (:96-101, :260-273)
+- ``SoftEmbeddingFeatures``/``SoftEmbedding`` (:280-413, :517-556)
+- ``PretrainedEmbeddingFeatures`` (:599-737)
+
+TPU-first notes: lookups are plain gathers that XLA fuses; padding id 0 is
+masked explicitly (instead of torch's padding_idx zero-row convention) so the
+pad row needs no special gradient handling. Tables are created with a
+``'model'``-shardable leading axis — the parallel layer shards large vocab
+tables over the mesh (see transformers4rec_tpu/parallel/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..schema import Schema, Tags, get_embedding_size_from_cardinality
+from ..tabular.base import TabularBlock, TabularData
+
+
+@dataclasses.dataclass(frozen=True)
+class TableConfig:
+    vocabulary_size: int
+    dim: int
+    initializer: Optional[Callable] = None  # flax initializer (key, shape, dtype)
+    combiner: str = "mean"
+    name: str = ""
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureConfig:
+    table: TableConfig
+    max_sequence_length: int = 0
+    name: str = ""
+
+
+def _default_initializer(std: float = 0.05) -> Callable:
+    return nn.initializers.normal(stddev=std)
+
+
+def _infer_dims(
+    schema: Schema,
+    embedding_dims: Optional[Dict[str, int]],
+    embedding_dim_default: int,
+    infer_embedding_sizes: bool,
+    infer_embedding_sizes_multiplier: float,
+) -> Dict[str, int]:
+    """Per-feature dims: explicit dict > cardinality heuristic > default
+    (reference embedding.py:173-183)."""
+    cardinalities = schema.categorical_cardinalities()
+    dims: Dict[str, int] = {}
+    for name, card in cardinalities.items():
+        if embedding_dims and name in embedding_dims:
+            dims[name] = embedding_dims[name]
+        elif infer_embedding_sizes:
+            dims[name] = get_embedding_size_from_cardinality(
+                card, infer_embedding_sizes_multiplier
+            )
+        else:
+            dims[name] = embedding_dim_default
+    return dims
+
+
+def build_feature_configs(
+    schema: Schema,
+    embedding_dims: Optional[Dict[str, int]] = None,
+    embedding_dim_default: int = 64,
+    infer_embedding_sizes: bool = False,
+    infer_embedding_sizes_multiplier: float = 2.0,
+    embeddings_initializers: Optional[Dict[str, Callable]] = None,
+    combiner: str = "mean",
+    max_sequence_length: int = 0,
+) -> Dict[str, FeatureConfig]:
+    dims = _infer_dims(
+        schema,
+        embedding_dims,
+        embedding_dim_default,
+        infer_embedding_sizes,
+        infer_embedding_sizes_multiplier,
+    )
+    cardinalities = schema.categorical_cardinalities()
+    configs: Dict[str, FeatureConfig] = {}
+    for name, card in cardinalities.items():
+        init = (embeddings_initializers or {}).get(name) or _default_initializer()
+        configs[name] = FeatureConfig(
+            table=TableConfig(
+                vocabulary_size=card, dim=dims[name], initializer=init,
+                combiner=combiner, name=name,
+            ),
+            max_sequence_length=max_sequence_length,
+            name=name,
+        )
+    return configs
+
+
+class EmbeddingFeatures(TabularBlock):
+    """Categorical lookups producing one (B, dim) array per feature.
+
+    2-D (B, S) inputs are mean-combined over non-pad positions (the reference's
+    EmbeddingBag path, embedding.py:96-101). For 3-D sequence outputs use
+    ``SequenceEmbeddingFeatures``.
+    """
+
+    feature_configs: Dict[str, FeatureConfig] = dataclasses.field(default_factory=dict)
+    item_id: Optional[str] = None
+    mask_padding: bool = True
+    table_dtype: Any = jnp.float32
+
+    @classmethod
+    def from_schema(
+        cls,
+        schema: Schema,
+        embedding_dims: Optional[Dict[str, int]] = None,
+        embedding_dim_default: int = 64,
+        infer_embedding_sizes: bool = False,
+        infer_embedding_sizes_multiplier: float = 2.0,
+        embeddings_initializers: Optional[Dict[str, Callable]] = None,
+        combiner: str = "mean",
+        tags=(Tags.CATEGORICAL,),
+        max_sequence_length: int = 0,
+        **kwargs,
+    ):
+        selected = schema.select_by_tag(list(tags))
+        configs = build_feature_configs(
+            selected,
+            embedding_dims=embedding_dims,
+            embedding_dim_default=embedding_dim_default,
+            infer_embedding_sizes=infer_embedding_sizes,
+            infer_embedding_sizes_multiplier=infer_embedding_sizes_multiplier,
+            embeddings_initializers=embeddings_initializers,
+            combiner=combiner,
+            max_sequence_length=max_sequence_length,
+        )
+        try:
+            item_id = selected.item_id_column_name
+        except ValueError:
+            item_id = None
+        return cls(feature_configs=configs, item_id=item_id, schema=selected, **kwargs)
+
+    def table_param(self, name: str) -> jnp.ndarray:
+        cfg = self.feature_configs[name].table
+        init = cfg.initializer or _default_initializer()
+        return self.param(f"{cfg.name or name}_table", init,
+                          (cfg.vocabulary_size, cfg.dim), self.table_dtype)
+
+    def item_embedding_table(self) -> jnp.ndarray:
+        """The item-id table — called by NextItemPredictionTask for weight tying."""
+        if self.item_id is None:
+            raise ValueError("No item_id feature in this embedding module")
+        return self.table_param(self.item_id)
+
+    def lookup(self, name: str, ids: jnp.ndarray) -> jnp.ndarray:
+        table = self.table_param(name)
+        emb = table[ids]
+        if self.mask_padding:
+            emb = emb * (ids != 0)[..., None].astype(emb.dtype)
+        return emb
+
+    def compute_feature(self, name: str, ids: jnp.ndarray) -> jnp.ndarray:
+        emb = self.lookup(name, ids)
+        if ids.ndim == 2:  # (B, S) → combine to (B, dim)
+            cfg = self.feature_configs[name].table
+            valid = (ids != 0).sum(axis=-1, keepdims=True).astype(emb.dtype)
+            if cfg.combiner == "sum":
+                return emb.sum(axis=1)
+            return emb.sum(axis=1) / jnp.maximum(valid, 1.0)
+        return emb
+
+    def compute(self, inputs: TabularData, training: bool = False) -> TabularData:
+        out: TabularData = {}
+        for name in self.feature_configs:
+            if name in inputs:
+                out[name] = self.compute_feature(name, inputs[name].astype(jnp.int32))
+        return out
+
+    def feature_sizes(self) -> Dict[str, int]:
+        return {name: cfg.table.dim for name, cfg in self.feature_configs.items()}
+
+
+class SequenceEmbeddingFeatures(EmbeddingFeatures):
+    """3-D sequence lookups: (B, S) ids → (B, S, dim); pad positions zeroed
+    (reference features/sequence.py:43-90, padding_idx=0)."""
+
+    padding_idx: int = 0
+
+    def compute_feature(self, name: str, ids: jnp.ndarray) -> jnp.ndarray:
+        return self.lookup(name, ids)
+
+
+class SoftEmbedding(nn.Module):
+    """Soft one-hot encoding for a continuous scalar: project to
+    ``num_embeddings`` logits, softmax, weighted average of embedding rows
+    (reference embedding.py:517-556)."""
+
+    num_embeddings: int
+    embedding_dim: int
+    emb_initializer: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        table = self.param(
+            "embedding_table",
+            self.emb_initializer or _default_initializer(),
+            (self.num_embeddings, self.embedding_dim),
+        )
+        if x.ndim >= 1 and x.shape[-1] != 1:
+            x = x[..., None]
+        logits = nn.Dense(self.num_embeddings, name="projection")(x.astype(jnp.float32))
+        weights = jax.nn.softmax(logits, axis=-1)
+        return weights @ table
+
+
+class SoftEmbeddingFeatures(TabularBlock):
+    """Per-feature SoftEmbedding for continuous columns
+    (reference embedding.py:280-413)."""
+
+    soft_embedding_cardinalities: Dict[str, int] = dataclasses.field(default_factory=dict)
+    soft_embedding_dims: Dict[str, int] = dataclasses.field(default_factory=dict)
+
+    @classmethod
+    def from_schema(
+        cls,
+        schema: Schema,
+        soft_embedding_cardinality_default: int = 10,
+        soft_embedding_cardinalities: Optional[Dict[str, int]] = None,
+        soft_embedding_dim_default: int = 8,
+        soft_embedding_dims: Optional[Dict[str, int]] = None,
+        tags=(Tags.CONTINUOUS,),
+        **kwargs,
+    ):
+        selected = schema.select_by_tag(list(tags))
+        cards = {
+            name: (soft_embedding_cardinalities or {}).get(name, soft_embedding_cardinality_default)
+            for name in selected.column_names
+        }
+        dims = {
+            name: (soft_embedding_dims or {}).get(name, soft_embedding_dim_default)
+            for name in selected.column_names
+        }
+        return cls(
+            soft_embedding_cardinalities=cards,
+            soft_embedding_dims=dims,
+            schema=selected,
+            **kwargs,
+        )
+
+    @nn.compact
+    def __call__(self, inputs: TabularData, training: bool = False, **kwargs):
+        out: TabularData = {}
+        for name, card in self.soft_embedding_cardinalities.items():
+            if name in inputs:
+                out[name] = SoftEmbedding(
+                    num_embeddings=card,
+                    embedding_dim=self.soft_embedding_dims[name],
+                    name=f"soft_{name}",
+                )(inputs[name])
+        agg = kwargs.get("aggregation") or self.aggregation
+        if agg is not None:
+            from ..tabular.base import parse_aggregation
+
+            return parse_aggregation(agg, self.schema)(out)
+        return out
+
+    def feature_sizes(self) -> Dict[str, int]:
+        return dict(self.soft_embedding_dims)
+
+
+class PretrainedEmbeddingFeatures(TabularBlock):
+    """Fixed (optionally frozen) pretrained embedding matrices with optional
+    projection and sequence combiner (reference embedding.py:599-737)."""
+
+    pretrained_embeddings: Dict[str, jnp.ndarray] = dataclasses.field(default_factory=dict)
+    trainable: bool = False
+    projection_dim: Optional[int] = None
+    sequence_combiner: Optional[str] = None  # None | 'mean' | 'sum'
+
+    @nn.compact
+    def __call__(self, inputs: TabularData, training: bool = False, **kwargs):
+        out: TabularData = {}
+        for name, matrix in self.pretrained_embeddings.items():
+            if name not in inputs:
+                continue
+            table = self.param(
+                f"{name}_pretrained",
+                lambda key, shape, m=matrix: jnp.asarray(m, jnp.float32),
+                matrix.shape,
+            )
+            if not self.trainable:
+                table = jax.lax.stop_gradient(table)
+            ids = inputs[name].astype(jnp.int32)
+            emb = table[ids] * (ids != 0)[..., None].astype(jnp.float32)
+            if self.projection_dim:
+                emb = nn.Dense(self.projection_dim, name=f"{name}_proj")(emb)
+            if self.sequence_combiner and emb.ndim == 3:
+                valid = (ids != 0).sum(axis=-1, keepdims=True).astype(emb.dtype)
+                emb = emb.sum(axis=1)
+                if self.sequence_combiner == "mean":
+                    emb = emb / jnp.maximum(valid, 1.0)
+            out[name] = emb
+        agg = kwargs.get("aggregation") or self.aggregation
+        if agg is not None:
+            from ..tabular.base import parse_aggregation
+
+            return parse_aggregation(agg, self.schema)(out)
+        return out
+
+    def feature_sizes(self) -> Dict[str, int]:
+        return {
+            name: (self.projection_dim or m.shape[-1])
+            for name, m in self.pretrained_embeddings.items()
+        }

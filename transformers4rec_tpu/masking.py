@@ -1,0 +1,340 @@
+"""Masking / label-generation schemes: CLM, MLM, PLM, RTD.
+
+Parity target: /root/reference/transformers4rec/torch/masking.py (870 LoC) —
+the reference's four training schemes with the same invariants:
+- CLM (:245-337): shift-by-one labels; optional train/eval on last item only.
+- MLM (:340-498): Bernoulli masking with ≥1-masked and ≥1-unmasked per session;
+  inference extends the sequence by one [MASK] position.
+- PLM (:501-750): span-based mask sampling, random factorization order →
+  ``perm_mask``; eval = last-item + causal perm mask.
+- RTD (:753-870): Gumbel sampling from generator logits → corrupted inputs +
+  discriminator labels.
+
+TPU-first redesign (SURVEY.md §7.1/§7.4):
+- Masking is **pure label generation**: ``(rng, item_ids, embeds, flags) →
+  (masked_embeds, MaskingInfo)`` — no module state. The reference stores
+  ``mask_schema``/``masked_targets`` on the module (masking.py:128-152); here
+  everything is threaded explicitly through a `flax.struct` pytree.
+- PLM's per-row Python ``while`` span sampler (masking.py:599-627) is replaced
+  by a fixed-trip ``lax.scan`` over span segments (static shapes, no host loop);
+  the random factorization order uses the argsort-of-uniform trick.
+- All shapes are static per (training, testing) mode, so each mode jits once.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .utils.registry import Registry
+
+masking_registry: Registry = Registry("masking")
+
+
+@struct.dataclass
+class MaskingInfo:
+    """Everything downstream consumers need, threaded as values (no module state).
+
+    targets: (B, S) int — label item ids (padding_idx where no target).
+    mask:    (B, S) bool — True at positions that carry a target (loss positions).
+    input_schema: (B, S) bool — the schema used for input masking (may differ
+        from ``mask`` in CLM's last-item modes).
+    perm_mask: (B, S, S) float, optional — PLM: 1 where query i must NOT attend key j.
+    target_mapping: identity in every reference path, so represented implicitly.
+    """
+
+    targets: jnp.ndarray
+    mask: jnp.ndarray
+    input_schema: jnp.ndarray
+    perm_mask: Optional[jnp.ndarray] = None
+
+
+def _predict_all(item_ids: jnp.ndarray, padding_idx: int):
+    """Shift-by-one next-item labels (reference MaskSequence.predict_all :182-213)."""
+    labels = jnp.concatenate(
+        [item_ids[:, 1:], jnp.zeros((item_ids.shape[0], 1), item_ids.dtype)], axis=1
+    )
+    if padding_idx != 0:
+        labels = labels.at[:, -1].set(padding_idx)
+    mask = labels != padding_idx
+    return labels, mask
+
+
+def _label_at_last(item_ids: jnp.ndarray, non_pad: jnp.ndarray, padding_idx: int):
+    """Labels only at the last non-padded position."""
+    last = jnp.maximum(non_pad.sum(axis=1) - 1, 0)
+    onehot = jax.nn.one_hot(last, item_ids.shape[1], dtype=bool)
+    labels = jnp.where(onehot, item_ids, jnp.full_like(item_ids, padding_idx))
+    return labels, labels != padding_idx
+
+
+def _sample_index_from_mask(rng, mask: jnp.ndarray) -> jnp.ndarray:
+    """Uniformly sample one True index per row of a boolean (B, S) mask
+    (the reference's ``torch.multinomial(mask.float(), 1)``)."""
+    logits = jnp.where(mask, 0.0, -jnp.inf)
+    return jax.random.categorical(rng, logits, axis=-1)
+
+
+def _ensure_min_masking(rng, labels, mask_labels, item_ids, non_pad, padding_idx):
+    """Guarantee ≥1 masked and ≥1 unmasked item per session (reference MLM :426-459)."""
+    r1, r2 = jax.random.split(rng)
+    # ≥1 masked: force one random non-pad position into the labels
+    force_idx = _sample_index_from_mask(r1, non_pad)
+    force = jax.nn.one_hot(force_idx, item_ids.shape[1], dtype=bool)
+    needs_force = ~mask_labels.any(axis=1, keepdims=True)
+    labels = jnp.where(needs_force & force, item_ids, labels)
+    mask_labels = labels != padding_idx
+    # ≥1 unmasked: if every non-pad position is a label, unmask one random label
+    all_masked = (mask_labels.sum(axis=1) == non_pad.sum(axis=1))[:, None]
+    unmask_idx = _sample_index_from_mask(r2, mask_labels | ~mask_labels.any(axis=1, keepdims=True))
+    unmask = jax.nn.one_hot(unmask_idx, item_ids.shape[1], dtype=bool)
+    labels = jnp.where(all_masked & unmask, jnp.full_like(labels, padding_idx), labels)
+    mask_labels = labels != padding_idx
+    return labels, mask_labels
+
+
+class MaskSequence(nn.Module):
+    """Base: holds the trainable [MASK] embedding; subclasses implement
+    ``compute_masked_targets`` and ``apply_mask_to_inputs``.
+
+    ``__call__(embeds, item_ids, training, testing)`` → (masked_embeds, MaskingInfo).
+    RNG comes from linen rng stream ``'masking'``.
+    """
+
+    hidden_size: int = 0
+    padding_idx: int = 0
+    eval_on_last_item_seq_only: bool = True
+
+    def mask_embedding(self) -> jnp.ndarray:
+        return self.param(
+            "masked_item_embedding",
+            nn.initializers.normal(stddev=0.001),
+            (self.hidden_size,),
+        )
+
+    def compute_masked_targets(self, rng, item_ids, training=False, testing=False) -> MaskingInfo:
+        raise NotImplementedError
+
+    def apply_mask_to_inputs(self, inputs, info: MaskingInfo, training=False, testing=False):
+        """Default: replace masked positions with the trainable embedding."""
+        if not training and not testing:
+            return inputs
+        mask_emb = self.mask_embedding().astype(inputs.dtype)
+        return jnp.where(info.input_schema[..., None], mask_emb, inputs)
+
+    @nn.compact
+    def __call__(self, inputs, item_ids, training: bool = False, testing: bool = False):
+        if item_ids.ndim != 2:
+            raise ValueError("`item_ids` must have 2 dimensions (batch, seq)")
+        needs_rng = training
+        rng = self.make_rng("masking") if needs_rng else jax.random.PRNGKey(0)
+        info = self.compute_masked_targets(rng, item_ids, training=training, testing=testing)
+        masked = self.apply_mask_to_inputs(inputs, info, training=training, testing=testing)
+        return masked, info
+
+    def transformer_arguments(self, info: MaskingInfo, training, testing) -> Dict[str, Any]:
+        """Extra kwargs injected into the transformer body (reference :231-242)."""
+        return {}
+
+
+@masking_registry.register("clm", "causal")
+class CausalLanguageModeling(MaskSequence):
+    """Next-item (causal) labels (reference :245-337)."""
+
+    train_on_last_item_seq_only: bool = False
+
+    def compute_masked_targets(self, rng, item_ids, training=False, testing=False) -> MaskingInfo:
+        non_pad = item_ids != self.padding_idx
+        if not training and not testing:
+            # inference: identity targets, mask = non-pad
+            return MaskingInfo(targets=item_ids, mask=non_pad, input_schema=non_pad)
+        labels, mask = _predict_all(item_ids, self.padding_idx)
+        if (self.eval_on_last_item_seq_only and not training) or (
+            self.train_on_last_item_seq_only and training
+        ):
+            # keep only the label at the last target position; input schema
+            # reverts to the full non-pad mask (reference :286-298)
+            last = jnp.maximum(mask.sum(axis=1) - 1, 0)
+            keep = jax.nn.one_hot(last, labels.shape[1], dtype=bool)
+            labels = jnp.where(keep, labels, jnp.full_like(labels, self.padding_idx))
+            return MaskingInfo(targets=labels, mask=labels != self.padding_idx,
+                               input_schema=non_pad)
+        return MaskingInfo(targets=labels, mask=mask, input_schema=mask)
+
+    def apply_mask_to_inputs(self, inputs, info: MaskingInfo, training=False, testing=False):
+        mask_emb = self.mask_embedding().astype(inputs.dtype)
+        if not training and not testing:
+            # replace PADDED positions with the trainable embedding (reference :305-315)
+            return jnp.where(info.input_schema[..., None], inputs, mask_emb)
+        # drop the last position's embedding (it has no next-item target), then
+        # replace non-target positions with the trainable embedding (reference :318-337)
+        trimmed = jnp.concatenate(
+            [inputs[:, :-1], jnp.zeros_like(inputs[:, -1:])], axis=1
+        )
+        return jnp.where(info.input_schema[..., None], trimmed, mask_emb)
+
+
+@masking_registry.register("mlm", "masked")
+class MaskedLanguageModeling(MaskSequence):
+    """BERT-style random masking (reference :340-498)."""
+
+    mlm_probability: float = 0.15
+
+    def compute_masked_targets(self, rng, item_ids, training=False, testing=False) -> MaskingInfo:
+        non_pad = item_ids != self.padding_idx
+        B, S = item_ids.shape
+        if not training and not testing:
+            # inference: extend by one [MASK] position at index len (reference :406-418)
+            last_len = non_pad.sum(axis=1)  # first padded position
+            labels = jnp.full((B, S + 1), self.padding_idx, item_ids.dtype)
+            rows = jnp.arange(B)
+            last_items = item_ids[rows, jnp.maximum(last_len - 1, 0)]
+            labels = labels.at[rows, last_len].set(last_items)
+            mask = labels != self.padding_idx
+            return MaskingInfo(targets=labels, mask=mask, input_schema=mask)
+        if training:
+            r1, r2 = jax.random.split(rng)
+            bern = jax.random.bernoulli(r1, self.mlm_probability, item_ids.shape)
+            mask_labels = bern & non_pad
+            labels = jnp.where(mask_labels, item_ids, jnp.full_like(item_ids, self.padding_idx))
+            labels, mask_labels = _ensure_min_masking(
+                r2, labels, mask_labels, item_ids, non_pad, self.padding_idx
+            )
+            return MaskingInfo(targets=labels, mask=mask_labels, input_schema=mask_labels)
+        # testing
+        if self.eval_on_last_item_seq_only:
+            labels, mask = _label_at_last(item_ids, non_pad, self.padding_idx)
+        else:
+            labels, mask = _predict_all(item_ids, self.padding_idx)
+        return MaskingInfo(targets=labels, mask=mask, input_schema=mask)
+
+    def apply_mask_to_inputs(self, inputs, info: MaskingInfo, training=False, testing=False):
+        mask_emb = self.mask_embedding().astype(inputs.dtype)
+        if not training and not testing:
+            # extend inputs with one extra position (duplicate of the last), then
+            # substitute the [MASK] embedding at the target position (reference :480-497)
+            inputs = jnp.concatenate([inputs, inputs[:, -1:, :]], axis=1)
+        return jnp.where(info.input_schema[..., None], mask_emb, inputs)
+
+
+@masking_registry.register("plm", "permutation")
+class PermutationLanguageModeling(MaskSequence):
+    """XLNet-style permutation LM (reference :501-750).
+
+    ``perm_mask[b, i, j] = 1`` → position i cannot attend position j. The
+    reference's ``target_mapping`` is the identity in every code path, so the
+    query stream predicts per-position and no gather is needed.
+    """
+
+    plm_probability: float = 1 / 6
+    max_span_length: int = 5
+    permute_all: bool = False
+
+    def _sample_spans(self, rng, non_pad):
+        """Vectorized analog of the reference's per-row span ``while`` loop
+        (:599-627): fixed-trip scan over span segments."""
+        B, S = non_pad.shape
+        max_len = non_pad.sum(axis=1)  # (B,)
+        min_context = max(int(1 / self.plm_probability), 1)
+        num_segments = -(-S // min_context) + 1  # static upper bound on loop trips
+
+        def body(carry, seg_rng):
+            cur_len, mask = carry
+            r_span, r_start = jax.random.split(seg_rng)
+            span = jax.random.randint(r_span, (B,), 1, self.max_span_length + 1)
+            context = (span / self.plm_probability).astype(jnp.int32)
+            start_off = jax.random.randint(r_start, (B,), 0, jnp.maximum(context - span + 1, 1))
+            start = cur_len + start_off
+            pos = jnp.arange(S)[None, :]
+            in_span = (pos >= start[:, None]) & (pos < (start + span)[:, None])
+            valid = (start < max_len)[:, None] & (cur_len < max_len)[:, None]
+            mask = mask | (in_span & valid)
+            return (cur_len + context, mask), None
+
+        seg_rngs = jax.random.split(rng, num_segments)
+        (_, mask), _ = jax.lax.scan(
+            body, (jnp.zeros(B, jnp.int32), jnp.zeros((B, S), bool)), seg_rngs
+        )
+        return mask & non_pad
+
+    def compute_masked_targets(self, rng, item_ids, training=False, testing=False) -> MaskingInfo:
+        non_pad = item_ids != self.padding_idx
+        B, S = item_ids.shape
+        if training:
+            r_span, r_min, r_perm = jax.random.split(rng, 3)
+            if self.permute_all:
+                mask_labels = non_pad
+            else:
+                mask_labels = self._sample_spans(r_span, non_pad)
+            labels = jnp.where(mask_labels, item_ids, jnp.full_like(item_ids, self.padding_idx))
+            labels, mask_labels = _ensure_min_masking(
+                r_min, labels, mask_labels, item_ids, non_pad, self.padding_idx
+            )
+            # random factorization order: argsort of uniforms = random permutation
+            perm_index = jnp.argsort(jax.random.uniform(r_perm, (B, S)), axis=-1)
+            # non-masked positions get index -1: visible to all, see no masked ones
+            perm_index = jnp.where(mask_labels, perm_index, -1)
+            # i cannot attend j iff perm_index[i] <= perm_index[j] and j is masked
+            perm_mask = (
+                (perm_index[:, :, None] <= perm_index[:, None, :]) & mask_labels[:, None, :]
+            ).astype(jnp.float32)
+            return MaskingInfo(targets=labels, mask=mask_labels,
+                               input_schema=mask_labels, perm_mask=perm_mask)
+        # eval / inference
+        causal = jnp.triu(jnp.ones((S, S), jnp.float32), k=1)[None]
+        if self.eval_on_last_item_seq_only:
+            labels, mask = _label_at_last(item_ids, non_pad, self.padding_idx)
+            # nobody sees the last non-padded position (reference :684-704)
+            hide_last = mask[:, None, :].astype(jnp.float32)
+            perm_mask = jnp.clip(causal + hide_last, 0, 1)
+        else:
+            labels, mask = _predict_all(item_ids, self.padding_idx)
+            perm_mask = jnp.broadcast_to(causal, (B, S, S))
+        return MaskingInfo(targets=labels, mask=mask, input_schema=mask, perm_mask=perm_mask)
+
+    def apply_mask_to_inputs(self, inputs, info: MaskingInfo, training=False, testing=False):
+        # PLM hides targets via the two-stream attention's perm_mask, NOT by
+        # replacing input embeddings (reference base apply_mask :154-180 is
+        # overridden only for CLM/MLM; PLM uses the default which replaces
+        # masked positions with the trainable embedding at train/test).
+        if not training and not testing:
+            return inputs
+        mask_emb = self.mask_embedding().astype(inputs.dtype)
+        return jnp.where(info.input_schema[..., None], mask_emb, inputs)
+
+    def transformer_arguments(self, info: MaskingInfo, training, testing) -> Dict[str, Any]:
+        return {"perm_mask": info.perm_mask}
+
+
+@masking_registry.register("rtd", "replacement")
+class ReplacementLanguageModeling(MaskedLanguageModeling):
+    """ELECTRA replacement-token detection (reference :753-870): MLM masking for
+    the generator + helpers to build corrupted inputs / discriminator labels."""
+
+    sample_from_batch: bool = False
+
+    def sample_from_softmax(self, rng, logits: jnp.ndarray) -> jnp.ndarray:
+        """Gumbel-noise argmax sampling (reference :850-870)."""
+        uniform = jax.random.uniform(rng, logits.shape, dtype=logits.dtype)
+        gumbel = -jnp.log(-jnp.log(uniform + 1e-9) + 1e-9)
+        return jnp.argmax(logits + gumbel, axis=-1)
+
+    def get_fake_tokens(self, rng, item_ids, targets, logits):
+        """Build corrupted inputs + discriminator labels (reference :787-848).
+
+        jit-friendly full-shape redesign: the generator's ``logits`` are given at
+        every position ``(B, S, V)``; sampling happens everywhere but replaces
+        only masked positions, which matches the reference's masked_select/scatter.
+
+        Returns (corrupted_inputs (B,S), discriminator_labels (B,S) bool, samples).
+        """
+        mask = targets != self.padding_idx
+        samples = self.sample_from_softmax(rng, logits)  # (B, S)
+        corrupted = jnp.where(mask, samples.astype(item_ids.dtype), item_ids)
+        # positions where the sampled item equals the true one stay "real"
+        disc_labels = (corrupted != item_ids) & mask
+        return corrupted, disc_labels, samples
