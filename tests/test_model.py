@@ -1,0 +1,275 @@
+"""Model-layer tests: tasks, head, metrics, losses, end-to-end fit.
+
+Mirrors the reference's model tests
+(/root/reference/tests/unit/torch/model/test_model.py:33-444,
+ tests/unit/torch/test_ranking_metrics.py) on synthetic batches.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import transformers4rec_tpu as tr
+from transformers4rec_tpu.model import (
+    LogUniformSampler,
+    NDCGAt,
+    RecallAt,
+    MeanReciprocalRankAt,
+    compute_batch_metrics,
+    cross_entropy_with_logits,
+    finalize_metrics,
+    init_metric_state,
+    label_ranks,
+    update_metric_state,
+)
+
+RNGS = {
+    "params": jax.random.PRNGKey(0),
+    "masking": jax.random.PRNGKey(1),
+    "dropout": jax.random.PRNGKey(2),
+    "sampling": jax.random.PRNGKey(3),
+}
+APPLY_RNGS = {k: v for k, v in RNGS.items() if k != "params"}
+
+
+@pytest.fixture(scope="module")
+def jbatch(request):
+    from transformers4rec_tpu.data.synthetic import synthetic_data, synthetic_ecommerce_data_schema
+
+    schema = synthetic_ecommerce_data_schema(
+        num_items=1000, num_categories=50, max_session_length=20
+    )
+    data = synthetic_data(schema, num_rows=16, max_session_length=20, seed=3)
+    return schema, {k: jnp.asarray(v) for k, v in data.items()}
+
+
+def _build(schema, masking="mlm", arch="xlnet", **task_kwargs):
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=48, masking=masking, aggregation="concat"
+    )
+    cfg = tr.transformer_registry.parse(arch).build(
+        d_model=48, n_head=4, n_layer=2, total_seq_length=20
+    )
+    task_kwargs.setdefault("weight_tying", True)
+    return cfg.to_model(im, tr.NextItemPredictionTask(**task_kwargs))
+
+
+# ---------------------------------------------------------------- metrics
+def test_label_ranks_and_metrics_exact():
+    scores = jnp.asarray(
+        [
+            [0.1, 0.9, 0.5, 0.0],  # label 1 at rank 0
+            [0.8, 0.1, 0.2, 0.0],  # label 2 at rank 1 (0.2 is 2nd highest)
+            [0.9, 0.8, 0.7, 0.0],  # label 3 at rank 3 -> outside top-3
+        ]
+    )
+    labels = jnp.asarray([1, 2, 3])
+    ranks = label_ranks(scores, labels, 3)
+    np.testing.assert_array_equal(np.asarray(ranks), [0, 1, 3])
+
+    out = compute_batch_metrics(
+        scores, labels, [NDCGAt(top_ks=(3,)), RecallAt(top_ks=(3,)), MeanReciprocalRankAt(top_ks=(3,))]
+    )
+    recall_sum, count = out["recall_at_3"]
+    assert float(count) == 3.0 and float(recall_sum) == 2.0
+    mrr_sum, _ = out["mrr_at_3"]
+    np.testing.assert_allclose(float(mrr_sum), 1.0 + 1.0 / 2.0, rtol=1e-6)
+    ndcg_sum, _ = out["ndcg_at_3"]
+    np.testing.assert_allclose(
+        float(ndcg_sum), 1.0 + 1.0 / np.log2(3.0), rtol=1e-6
+    )
+
+
+def test_metric_weights_ignore_invalid_rows():
+    scores = jnp.asarray([[0.9, 0.1], [0.9, 0.1]])
+    labels = jnp.asarray([0, 0])
+    w = jnp.asarray([1.0, 0.0])
+    out = compute_batch_metrics(scores, labels, [RecallAt(top_ks=(1,))], weights=w)
+    s, c = out["recall_at_1"]
+    assert float(s) == 1.0 and float(c) == 1.0
+
+
+def test_streaming_metric_state():
+    state = init_metric_state([RecallAt(top_ks=(2,))])
+    b1 = {"recall_at_2": (jnp.asarray(1.0), jnp.asarray(2.0))}
+    b2 = {"recall_at_2": (jnp.asarray(2.0), jnp.asarray(2.0))}
+    state = update_metric_state(state, b1)
+    state = update_metric_state(state, b2)
+    final = finalize_metrics(state)
+    np.testing.assert_allclose(float(final["recall_at_2"]), 0.75)
+
+
+# ----------------------------------------------------------------- losses
+def test_masked_ce_matches_manual():
+    logits = jax.random.normal(jax.random.PRNGKey(0), (4, 7))
+    labels = jnp.asarray([1, 2, 3, 4])
+    w = jnp.asarray([1.0, 1.0, 0.0, 1.0])
+    got = cross_entropy_with_logits(logits, labels, weights=w)
+    lp = jax.nn.log_softmax(logits)
+    manual = -(lp[0, 1] + lp[1, 2] + lp[3, 4]) / 3.0
+    np.testing.assert_allclose(float(got), float(manual), rtol=1e-6)
+
+
+def test_label_smoothing_increases_loss_on_confident_logits():
+    logits = jnp.asarray([[10.0, -10.0, -10.0]])
+    labels = jnp.asarray([0])
+    plain = cross_entropy_with_logits(logits, labels)
+    smooth = cross_entropy_with_logits(logits, labels, label_smoothing=0.2)
+    assert float(smooth) > float(plain)
+
+
+# ----------------------------------------------------------------- sampler
+def test_log_uniform_sampler_distribution():
+    s = LogUniformSampler(max_n_samples=64, max_id=1000, min_id=1)
+    ids = s.sample(jax.random.PRNGKey(0))
+    assert ids.shape == (64,)
+    assert int(ids.min()) >= 1 and int(ids.max()) < 1000
+    # pmf sums to ~1 over the range
+    all_ids = jnp.arange(1, 1000)
+    np.testing.assert_allclose(float(s.probs(all_ids).sum()), 1.0, rtol=1e-3)
+    # popular (low) ids are more likely
+    assert float(s.probs(jnp.asarray([1]))[0]) > float(s.probs(jnp.asarray([500]))[0])
+    # expected-count correction is monotone in p and ≤ 1
+    ep = s.expected_probs(all_ids)
+    assert float(ep.max()) <= 1.0 and float(ep[0]) > float(ep[-1])
+
+
+# ------------------------------------------------------------- model paths
+def test_model_train_test_inference_shapes(jbatch):
+    schema, batch = jbatch
+    model = _build(schema)
+    params = model.init(RNGS, batch, training=True)
+    loss, outs = model.apply(params, batch, training=True, rngs=APPLY_RNGS)
+    assert loss.shape == () and float(loss) > 0
+    loss_t, outs_t = model.apply(params, batch, testing=True)
+    assert outs_t["next-item"].metrics is not None
+    scores = model.apply(params, batch)
+    assert scores.shape == (16, 1001)
+    s, ids = model.apply(params, batch, top_k=5)
+    assert s.shape == (16, 5) and ids.shape == (16, 5)
+
+
+def test_weight_tying_shares_gradients(jbatch):
+    schema, batch = jbatch
+    model = _build(schema, masking="clm", arch="gpt2")
+    params = model.init(RNGS, batch, training=True)
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    # tied → no separate output_layer param
+    assert not any("output_layer" in jax.tree_util.keystr(p) for p, _ in flat)
+
+    def lossfn(p):
+        l, _ = model.apply(p, batch, training=True, rngs=APPLY_RNGS)
+        return l
+
+    grads = jax.grad(lossfn)(params)
+    table_grads = [
+        g for p, g in jax.tree_util.tree_leaves_with_path(grads)
+        if "item_id_table" in jax.tree_util.keystr(p)
+    ]
+    assert len(table_grads) == 1
+    assert float(jnp.abs(table_grads[0]).sum()) > 0
+
+
+def test_untied_has_output_layer(jbatch):
+    schema, batch = jbatch
+    model = _build(schema, weight_tying=False, target_dim=1001)
+    params = model.init(RNGS, batch, training=True)
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    assert any("output_layer" in jax.tree_util.keystr(p) for p, _ in flat)
+
+
+def test_sampled_softmax_trains(jbatch):
+    schema, batch = jbatch
+    model = _build(schema, masking="clm", arch="gpt2",
+                   sampled_softmax=True, max_n_samples=50)
+    params = model.init(RNGS, batch, training=True)
+    loss, _ = model.apply(params, batch, training=True, rngs=APPLY_RNGS)
+    assert np.isfinite(float(loss))
+
+
+def test_model_overfits_tiny_batch(jbatch):
+    """A few optimizer steps must reduce the training loss (end-to-end grads)."""
+    import optax
+
+    schema, batch = jbatch
+    model = _build(schema, masking="clm", arch="gpt2")
+    params = model.init(RNGS, batch, training=True)
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(p, s, rng):
+        r = {"masking": rng, "dropout": rng, "sampling": rng}
+        def lossfn(pp):
+            l, _ = model.apply(pp, batch, training=True, rngs=r)
+            return l
+        l, g = jax.value_and_grad(lossfn)(p)
+        updates, s = opt.update(g, s)
+        return optax.apply_updates(p, updates), s, l
+
+    losses = []
+    rng = jax.random.PRNGKey(0)
+    for i in range(12):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, l = step(params, opt_state, sub)
+        losses.append(float(l))
+    assert losses[-1] < losses[0] - 0.5, losses
+
+
+def test_masking_arch_compat_enforced(jbatch):
+    schema, batch = jbatch
+    model = _build(schema, masking="mlm", arch="gpt2")
+    with pytest.raises(ValueError, match="not supported"):
+        model.init(RNGS, batch, training=True)
+
+
+def test_binary_classification_and_regression_tasks(jbatch):
+    schema, batch = jbatch
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=32, aggregation="concat"
+    )
+    cfg = tr.transformer_registry.parse("bert").build(
+        d_model=32, n_head=2, n_layer=1, total_seq_length=20
+    )
+    head = tr.Head.from_body(
+        input_module=im,
+        transformer=cfg,
+        tasks=[
+            tr.BinaryClassificationTask(task_name="click", target_name="click"),
+            tr.RegressionTask(task_name="play_time", target_name="play_time"),
+        ],
+        task_weights=[1.0, 0.5],
+    )
+    model = tr.Model(heads=(head,))
+    targets = {
+        "click": jnp.asarray(np.random.default_rng(0).integers(0, 2, 16)),
+        "play_time": jnp.asarray(np.random.default_rng(1).uniform(0, 1, 16), jnp.float32),
+    }
+    params = model.init(RNGS, batch, targets, training=True)
+    loss, outs = model.apply(params, batch, targets, training=True, rngs=APPLY_RNGS)
+    assert np.isfinite(float(loss))
+    assert "click" in outs and "play_time" in outs
+    assert outs["click"].metrics is not None
+
+
+def test_multi_task_head_weights(jbatch):
+    schema, batch = jbatch
+    model = _build(schema)
+    params = model.init(RNGS, batch, training=True)
+    # input/output schema for serving export
+    in_schema = model.input_schema
+    assert "item_id" in in_schema.column_names
+    out_schema = model.bind(params).output_schema
+    assert len(out_schema) >= 1
+
+
+def test_mlm_inference_uses_extended_position(jbatch):
+    """MLM inference appends one [MASK]; predictions must come from index
+    non_pad.sum() (reference prediction_task.py:453-461)."""
+    schema, batch = jbatch
+    model = _build(schema, masking="mlm")
+    params = model.init(RNGS, batch, training=True)
+    scores = model.apply(params, batch)
+    assert scores.shape == (16, 1001)
+    assert np.isfinite(np.asarray(scores)).all()

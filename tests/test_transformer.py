@@ -1,0 +1,136 @@
+"""Transformer body tests: bias composition, causality, sharing, two-stream.
+
+Mirrors the reference's per-arch forward tests
+(/root/reference/tests/unit/torch/block/test_transformer.py) but checks the
+semantic invariants of the unified encoder directly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transformers4rec_tpu.blocks.transformer import (
+    NEG_INF,
+    TransformerEncoder,
+    make_attention_bias,
+)
+from transformers4rec_tpu.config import transformer_registry
+
+RNGS = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+
+
+def _encoder(**kw):
+    defaults = dict(d_model=32, n_head=4, n_layer=2, dropout=0.0)
+    defaults.update(kw)
+    return TransformerEncoder(**defaults)
+
+
+def test_bias_pad_masking():
+    pad = jnp.array([[True, True, False, False]])
+    bias = make_attention_bias(pad, 4)
+    assert bias.shape == (1, 1, 4, 4)
+    np.testing.assert_array_less(bias[0, 0, :, 2:], -1e8)
+    np.testing.assert_allclose(bias[0, 0, :, :2], 0.0)
+
+
+def test_bias_causal_and_window():
+    bias = make_attention_bias(None, 5, causal=True)
+    # strictly upper triangle blocked
+    for i in range(5):
+        for j in range(5):
+            expected = NEG_INF if j > i else 0.0
+            assert bias[0, 0, i, j] == expected
+    win = make_attention_bias(None, 6, local_window=1)
+    assert win[0, 0, 0, 2] <= NEG_INF and win[0, 0, 0, 1] == 0.0
+
+
+def test_bias_perm_mask_diagonal_rules():
+    perm = jnp.ones((1, 3, 3))  # block everything
+    content = make_attention_bias(None, 3, perm_mask=perm, query_stream=False)
+    query = make_attention_bias(None, 3, perm_mask=perm, query_stream=True)
+    # content stream: diagonal stays visible
+    assert content[0, 0, 1, 1] == 0.0 and content[0, 0, 1, 0] <= NEG_INF
+    # query stream: diagonal blocked
+    assert query[0, 0, 1, 1] <= NEG_INF
+
+
+def test_causal_encoder_no_future_leak():
+    enc = _encoder(causal=True)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 32))
+    pad = jnp.ones((2, 8), bool)
+    params = enc.init(RNGS, x, pad)
+    out1 = enc.apply(params, x, pad)
+    x2 = x.at[:, 5:].set(0.0)  # change the future
+    out2 = enc.apply(params, x2, pad)
+    np.testing.assert_allclose(out1[:, :5], out2[:, :5], rtol=1e-5, atol=1e-5)
+
+
+def test_bidirectional_encoder_sees_future():
+    enc = _encoder(causal=False)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 32))
+    pad = jnp.ones((2, 8), bool)
+    params = enc.init(RNGS, x, pad)
+    out1 = enc.apply(params, x, pad)
+    out2 = enc.apply(params, x.at[:, 5:].set(0.0), pad)
+    assert not np.allclose(out1[:, :5], out2[:, :5], atol=1e-5)
+
+
+def test_padding_keys_do_not_affect_valid_positions():
+    enc = _encoder()
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 6, 32))
+    pad = jnp.array([[True] * 4 + [False] * 2])
+    params = enc.init(RNGS, x, pad)
+    out1 = enc.apply(params, x, pad)
+    out2 = enc.apply(params, x.at[:, 4:].set(7.0), pad)
+    np.testing.assert_allclose(out1[:, :4], out2[:, :4], rtol=1e-5, atol=1e-5)
+
+
+def test_albert_layer_sharing_param_count():
+    shared = _encoder(share_layers=True, n_layer=4)
+    unshared = _encoder(share_layers=False, n_layer=4)
+    x = jnp.ones((1, 4, 32))
+    p_shared = shared.init(RNGS, x)
+    p_unshared = unshared.init(RNGS, x)
+    n_shared = sum(a.size for a in jax.tree_util.tree_leaves(p_shared))
+    n_unshared = sum(a.size for a in jax.tree_util.tree_leaves(p_unshared))
+    assert n_shared < n_unshared
+
+
+def test_two_stream_output_is_query_stream():
+    enc = _encoder(two_stream=True, pos_encoding="relative_bias")
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 6, 32))
+    pad = jnp.ones((2, 6), bool)
+    # block everything from everything: query stream can only see pad-free
+    # unmasked content; with all positions masked the query output must be
+    # independent of x at its own position.
+    perm = jnp.ones((2, 6, 6))
+    params = enc.init(RNGS, x, pad, perm)
+    out1 = enc.apply(params, x, pad, perm)
+    out2 = enc.apply(params, x * 2.0, pad, perm)
+    # all content blocked for the query stream → identical outputs
+    np.testing.assert_allclose(out1, out2, rtol=1e-4, atol=1e-4)
+    # without perm mask, single stream output depends on x
+    out3 = enc.apply(params, x, pad, None)
+    assert not np.allclose(out1, out3, atol=1e-4)
+
+
+def test_relative_bias_translation_invariance_components():
+    enc = _encoder(pos_encoding="relative_bias")
+    x = jnp.ones((1, 5, 32))
+    params = enc.init(RNGS, x)
+    out = enc.apply(params, x)
+    assert out.shape == (1, 5, 32)
+
+
+@pytest.mark.parametrize("arch", sorted(transformer_registry.keys()))
+def test_all_registered_archs_forward(arch):
+    cfg = transformer_registry.parse(arch).build(
+        d_model=32, n_head=2, n_layer=1, total_seq_length=10
+    )
+    enc = cfg.to_encoder()
+    x = jnp.ones((2, 10, 32))
+    pad = jnp.ones((2, 10), bool)
+    params = enc.init(RNGS, x, pad)
+    out = enc.apply(params, x, pad)
+    assert out.shape == (2, 10, 32)

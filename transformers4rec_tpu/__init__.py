@@ -9,7 +9,47 @@ serving export.
 
 __version__ = "0.1.0"
 
-from . import data, schema
+from . import blocks, config, data, features, masking, model, schema, tabular
+from .blocks import MLPBlock, SequentialBlock, TransformerBlock, TransformerEncoder
+from .config import T4RecConfig, XLNetConfig, transformer_registry
+from .features import TabularFeatures, TabularSequenceFeatures
+from .masking import MaskingInfo, masking_registry
+from .model import (
+    BinaryClassificationTask,
+    Head,
+    Model,
+    NextItemPredictionTask,
+    RegressionTask,
+)
 from .schema import ColumnSchema, Schema, Tags
 
-__all__ = ["ColumnSchema", "Schema", "Tags", "data", "schema", "__version__"]
+__all__ = [
+    "BinaryClassificationTask",
+    "ColumnSchema",
+    "Head",
+    "MaskingInfo",
+    "MLPBlock",
+    "Model",
+    "NextItemPredictionTask",
+    "RegressionTask",
+    "Schema",
+    "SequentialBlock",
+    "T4RecConfig",
+    "TabularFeatures",
+    "TabularSequenceFeatures",
+    "Tags",
+    "TransformerBlock",
+    "TransformerEncoder",
+    "XLNetConfig",
+    "blocks",
+    "config",
+    "data",
+    "features",
+    "masking",
+    "masking_registry",
+    "model",
+    "schema",
+    "tabular",
+    "transformer_registry",
+    "__version__",
+]

@@ -1,0 +1,31 @@
+from .base import (
+    MASKING_COMPAT,
+    Block,
+    MLPBlock,
+    SequentialBlock,
+    TransformerBlock,
+    check_masking_compat,
+    right_shift_block,
+)
+from .transformer import (
+    MultiHeadAttention,
+    RelativePositionBias,
+    TransformerEncoder,
+    TransformerLayer,
+    make_attention_bias,
+)
+
+__all__ = [
+    "Block",
+    "MLPBlock",
+    "MASKING_COMPAT",
+    "MultiHeadAttention",
+    "RelativePositionBias",
+    "SequentialBlock",
+    "TransformerBlock",
+    "TransformerEncoder",
+    "TransformerLayer",
+    "check_masking_compat",
+    "make_attention_bias",
+    "right_shift_block",
+]

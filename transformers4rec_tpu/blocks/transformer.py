@@ -1,0 +1,325 @@
+"""Unified TPU-first transformer body.
+
+The reference borrows nine HuggingFace architectures via config adapters
+(/root/reference/transformers4rec/config/transformer.py:142-641) and feeds them
+``inputs_embeds`` (vocab_size=1 — transformer.py:258,479). Re-designed here as
+ONE flax encoder whose capabilities are config-selected instead of nine ports:
+
+- bidirectional vs causal attention           (BERT/RoBERTa/ELECTRA vs GPT-2)
+- learned-absolute vs relative position bias  (BERT vs XLNet/TransfoXL)
+- two-stream attention driven by ``perm_mask`` (XLNet PLM,
+  reference masking.py:749-750 → HF XLNet two-stream)
+- cross-layer parameter sharing               (ALBERT)
+- local windowed attention                    (Longformer ``attention_window``,
+  Reformer local attention — config/transformer.py:185-204, 304)
+
+TPU-first notes:
+- All masking variants are folded into ONE additive attention-bias tensor
+  computed once per forward and broadcast across layers — XLA fuses the adds
+  into the attention softmax; no per-layer mask recomputation.
+- Matmuls run through ``jnp.einsum`` with ``preferred_element_type=float32``
+  so the MXU accumulates in f32 even under bf16 params/activations.
+- Relative position uses a T5-style per-head learned bias (a (heads, S, S)
+  add) rather than TransfoXL's extra R-matrix GEMMs: same relative-position
+  capability, strictly fewer FLOPs, better MXU utilisation.
+- Static shapes throughout; dropout via linen ``deterministic``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+def make_attention_bias(
+    pad_mask: Optional[jnp.ndarray],
+    seq_len: int,
+    causal: bool = False,
+    perm_mask: Optional[jnp.ndarray] = None,
+    local_window: Optional[int] = None,
+    dtype: Any = jnp.float32,
+    query_stream: bool = False,
+) -> jnp.ndarray:
+    """Compose every masking variant into one additive (B|1, 1, S, S) bias.
+
+    pad_mask:   (B, S) bool — True at valid (non-pad) positions.
+    perm_mask:  (B, S, S) float/bool — 1 where query i must NOT attend key j
+                (reference masking.py:660-683 convention).
+    local_window: each query attends keys within ±window (Longformer/Reformer).
+    query_stream: for two-stream attention, additionally block the diagonal
+                (the query stream must not see its own content).
+    """
+    bias = jnp.zeros((1, 1, seq_len, seq_len), dtype)
+    idx = jnp.arange(seq_len)
+    if causal:
+        causal_block = idx[None, :] > idx[:, None]  # key after query
+        bias = bias + jnp.where(causal_block, NEG_INF, 0.0).astype(dtype)[None, None]
+    if local_window is not None:
+        far = jnp.abs(idx[None, :] - idx[:, None]) > local_window
+        bias = bias + jnp.where(far, NEG_INF, 0.0).astype(dtype)[None, None]
+    if pad_mask is not None:
+        key_pad = jnp.where(pad_mask[:, None, None, :], 0.0, NEG_INF).astype(dtype)
+        bias = bias + key_pad
+    if perm_mask is not None:
+        block = perm_mask.astype(bool)
+        if not query_stream:
+            # content stream: every position may see its own content
+            eye = jnp.eye(seq_len, dtype=bool)[None]
+            block = block & ~eye
+        else:
+            eye = jnp.eye(seq_len, dtype=bool)[None]
+            block = block | eye
+        bias = bias + jnp.where(block, NEG_INF, 0.0).astype(dtype)[:, None]
+    return bias
+
+
+class RelativePositionBias(nn.Module):
+    """T5-style bucketed per-head relative position bias.
+
+    Replaces XLNet/TransfoXL relative attention R-matrices
+    (reference config/transformer.py:454-460) with a learned (heads, S, S)
+    additive bias — equal capability, no extra GEMMs on the MXU.
+    """
+
+    num_heads: int
+    num_buckets: int = 32
+    max_distance: int = 128
+    bidirectional: bool = True
+
+    @staticmethod
+    def _bucket(relative_position, bidirectional, num_buckets, max_distance):
+        ret = 0
+        n = -relative_position
+        if bidirectional:
+            num_buckets //= 2
+            ret += (n < 0).astype(jnp.int32) * num_buckets
+            n = jnp.abs(n)
+        else:
+            n = jnp.maximum(n, 0)
+        max_exact = num_buckets // 2
+        is_small = n < max_exact
+        val_large = max_exact + (
+            jnp.log(n.astype(jnp.float32) / max_exact + 1e-6)
+            / jnp.log(max_distance / max_exact)
+            * (num_buckets - max_exact)
+        ).astype(jnp.int32)
+        val_large = jnp.minimum(val_large, num_buckets - 1)
+        return ret + jnp.where(is_small, n, val_large)
+
+    @nn.compact
+    def __call__(self, seq_len: int) -> jnp.ndarray:
+        table = self.param(
+            "rel_bias", nn.initializers.normal(0.02), (self.num_buckets, self.num_heads)
+        )
+        pos = jnp.arange(seq_len)
+        rel = pos[None, :] - pos[:, None]  # key - query
+        buckets = self._bucket(rel, self.bidirectional, self.num_buckets, self.max_distance)
+        bias = table[buckets]  # (S, S, H)
+        return jnp.transpose(bias, (2, 0, 1))[None]  # (1, H, S, S)
+
+
+class MultiHeadAttention(nn.Module):
+    """Standard MHA with additive bias; f32 MXU accumulation."""
+
+    d_model: int
+    n_head: int
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        query_in: jnp.ndarray,
+        kv_in: jnp.ndarray,
+        bias: jnp.ndarray,
+        deterministic: bool = True,
+        shared_kv: Optional[tuple] = None,
+    ):
+        B, S, D = kv_in.shape
+        H, Dh = self.n_head, self.d_model // self.n_head
+        dense = lambda name: nn.DenseGeneral(  # noqa: E731
+            (H, Dh), axis=-1, name=name, dtype=self.dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+        )
+        q = dense("q")(query_in)
+        if shared_kv is not None:
+            k, v = shared_kv
+        else:
+            k, v = dense("k")(kv_in), dense("v")(kv_in)
+        scale = Dh ** -0.5
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        logits = logits * scale + bias.astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        # fully-blocked query rows (all keys masked) must output 0, not the
+        # uniform-softmax average — matters for padded rows and degenerate
+        # perm masks.
+        row_ok = (bias > NEG_INF / 2).any(axis=-1, keepdims=True)
+        probs = probs * row_ok.astype(probs.dtype)
+        probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
+        ctx = ctx.astype(self.dtype)
+        out = nn.DenseGeneral(
+            self.d_model, axis=(-2, -1), name="out", dtype=self.dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+        )(ctx)
+        return out, (k, v)
+
+
+class TransformerLayer(nn.Module):
+    """Pre-LN transformer layer; optional second (query) stream sharing K/V."""
+
+    d_model: int
+    n_head: int
+    d_ff: int
+    dropout: float = 0.0
+    attn_dropout: float = 0.0
+    layer_norm_eps: float = 1e-12
+    activation: str = "gelu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden: jnp.ndarray,
+        bias: jnp.ndarray,
+        deterministic: bool = True,
+        query_hidden: Optional[jnp.ndarray] = None,
+        query_bias: Optional[jnp.ndarray] = None,
+    ):
+        attn = MultiHeadAttention(
+            self.d_model, self.n_head, self.attn_dropout, dtype=self.dtype, name="attn"
+        )
+        ln1 = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="ln1")
+        ln2 = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="ln2")
+        ffn_in = nn.Dense(self.d_ff, dtype=self.dtype, name="ffn_in")
+        ffn_out = nn.Dense(self.d_model, dtype=self.dtype, name="ffn_out")
+        act = getattr(nn, self.activation)
+        drop = nn.Dropout(self.dropout)
+
+        def ffn(x):
+            h = act(ffn_in(x))
+            h = drop(h, deterministic=deterministic)
+            return ffn_out(h)
+
+        normed = ln1(hidden)
+        ctx, kv = attn(normed, normed, bias, deterministic=deterministic)
+        hidden = hidden + drop(ctx, deterministic=deterministic)
+        hidden = hidden + drop(ffn(ln2(hidden)), deterministic=deterministic)
+
+        new_query = None
+        if query_hidden is not None:
+            # two-stream: query stream attends the content stream's K/V with its
+            # own (self-blocking) bias; parameters are shared with the content
+            # stream (same `attn`/ffn modules — XLNet semantics).
+            q_normed = ln1(query_hidden)
+            q_ctx, _ = attn(
+                q_normed, normed, query_bias, deterministic=deterministic, shared_kv=kv
+            )
+            new_query = query_hidden + drop(q_ctx, deterministic=deterministic)
+            new_query = new_query + drop(ffn(ln2(new_query)), deterministic=deterministic)
+        return hidden, new_query
+
+
+class TransformerEncoder(nn.Module):
+    """The unified body. ``__call__(inputs_embeds, pad_mask, perm_mask, ...) →
+    (B, S, d_model)`` hidden states (query-stream states when two-stream runs).
+    """
+
+    d_model: int
+    n_head: int
+    n_layer: int
+    d_ff: int = 0  # default 4*d_model
+    dropout: float = 0.1
+    attn_dropout: float = 0.0
+    layer_norm_eps: float = 1e-12
+    activation: str = "gelu"
+    causal: bool = False
+    pos_encoding: str = "learned_absolute"  # | 'relative_bias' | 'none'
+    max_position: int = 512
+    share_layers: bool = False  # ALBERT cross-layer sharing
+    local_window: Optional[int] = None  # Longformer/Reformer local attention
+    two_stream: bool = False  # XLNet PLM (activates when perm_mask given)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        inputs_embeds: jnp.ndarray,
+        pad_mask: Optional[jnp.ndarray] = None,
+        perm_mask: Optional[jnp.ndarray] = None,
+        training: bool = False,
+    ) -> jnp.ndarray:
+        B, S, _ = inputs_embeds.shape
+        deterministic = not training
+        d_ff = self.d_ff or 4 * self.d_model
+
+        hidden = inputs_embeds.astype(self.dtype)
+        if self.pos_encoding == "learned_absolute":
+            pos_table = self.param(
+                "position_embedding", nn.initializers.normal(0.02),
+                (self.max_position, self.d_model),
+            )
+            hidden = hidden + pos_table[:S][None].astype(self.dtype)
+
+        rel_bias = None
+        if self.pos_encoding == "relative_bias":
+            rel_bias = RelativePositionBias(
+                num_heads=self.n_head, bidirectional=not self.causal, name="rel_pos"
+            )(S)
+
+        use_two_stream = self.two_stream and perm_mask is not None
+        bias = make_attention_bias(
+            pad_mask, S, causal=self.causal,
+            perm_mask=perm_mask if not use_two_stream else perm_mask,
+            local_window=self.local_window, query_stream=False,
+        )
+        if rel_bias is not None:
+            bias = bias + rel_bias
+
+        query_hidden = None
+        query_bias = None
+        if use_two_stream:
+            g0 = self.param(
+                "query_stream_init", nn.initializers.normal(0.02), (self.d_model,)
+            )
+            query_hidden = jnp.broadcast_to(
+                g0.astype(self.dtype), (B, S, self.d_model)
+            )
+            if self.pos_encoding == "learned_absolute":
+                query_hidden = query_hidden + pos_table[:S][None].astype(self.dtype)
+            query_bias = make_attention_bias(
+                pad_mask, S, causal=self.causal, perm_mask=perm_mask,
+                local_window=self.local_window, query_stream=True,
+            )
+            if rel_bias is not None:
+                query_bias = query_bias + rel_bias
+
+        hidden = nn.Dropout(self.dropout)(hidden, deterministic=deterministic)
+        if query_hidden is not None:
+            query_hidden = nn.Dropout(self.dropout)(
+                query_hidden, deterministic=deterministic
+            )
+
+        make_layer = lambda i: TransformerLayer(  # noqa: E731
+            d_model=self.d_model, n_head=self.n_head, d_ff=d_ff,
+            dropout=self.dropout, attn_dropout=self.attn_dropout,
+            layer_norm_eps=self.layer_norm_eps, activation=self.activation,
+            dtype=self.dtype, name=f"layer_{i}",
+        )
+        shared = make_layer("shared") if self.share_layers else None
+        for i in range(self.n_layer):
+            layer = shared if shared is not None else make_layer(i)
+            hidden, query_hidden = layer(
+                hidden, bias, deterministic=deterministic,
+                query_hidden=query_hidden, query_bias=query_bias,
+            )
+
+        out = query_hidden if query_hidden is not None else hidden
+        out = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="ln_f")(out)
+        return out.astype(jnp.float32)

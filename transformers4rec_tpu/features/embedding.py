@@ -147,11 +147,22 @@ class EmbeddingFeatures(TabularBlock):
             item_id = None
         return cls(feature_configs=configs, item_id=item_id, schema=selected, **kwargs)
 
+    def setup(self):
+        # Tables are created in setup (not compact) so weight tying can reach
+        # them through ``item_embedding_table()`` from the prediction head's
+        # scope — the flax multi-method shared-param pattern.
+        tables = {}
+        for name, fc in self.feature_configs.items():
+            cfg = fc.table
+            init = cfg.initializer or _default_initializer()
+            tables[name] = self.param(
+                f"{cfg.name or name}_table", init,
+                (cfg.vocabulary_size, cfg.dim), self.table_dtype,
+            )
+        self._tables = tables
+
     def table_param(self, name: str) -> jnp.ndarray:
-        cfg = self.feature_configs[name].table
-        init = cfg.initializer or _default_initializer()
-        return self.param(f"{cfg.name or name}_table", init,
-                          (cfg.vocabulary_size, cfg.dim), self.table_dtype)
+        return self._tables[name]
 
     def item_embedding_table(self) -> jnp.ndarray:
         """The item-id table — called by NextItemPredictionTask for weight tying."""

@@ -142,4 +142,9 @@ class TabularSequenceFeatures(TabularFeatures):
             hidden, info = self.masking(
                 hidden, item_ids, training=training, testing=testing
             )
+            # thread item ids + (tied) item table to the prediction head as values
+            table = None
+            if self.item_id is not None:
+                table = self.item_embedding_table()
+            info = info.replace(item_ids=item_ids, item_table=table)
         return hidden, info

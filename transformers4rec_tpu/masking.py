@@ -45,12 +45,21 @@ class MaskingInfo:
         from ``mask`` in CLM's last-item modes).
     perm_mask: (B, S, S) float, optional — PLM: 1 where query i must NOT attend key j.
     target_mapping: identity in every reference path, so represented implicitly.
+    pad_mask: (B, S') bool — True at positions holding a real (non-pad) input in
+        the POST-masking sequence; S' = S+1 under MLM's inference [MASK]
+        extension. Consumed by the transformer as the key-padding mask.
     """
 
     targets: jnp.ndarray
     mask: jnp.ndarray
     input_schema: jnp.ndarray
     perm_mask: Optional[jnp.ndarray] = None
+    pad_mask: Optional[jnp.ndarray] = None
+    # Filled by TabularSequenceFeatures after masking — threads the raw item-id
+    # sequence and the (tied) item embedding table to the prediction head as
+    # VALUES (the reference instead stashes module state: embedding.py:242-245).
+    item_ids: Optional[jnp.ndarray] = None
+    item_table: Optional[jnp.ndarray] = None
 
 
 def _predict_all(item_ids: jnp.ndarray, padding_idx: int):
@@ -151,7 +160,8 @@ class CausalLanguageModeling(MaskSequence):
         non_pad = item_ids != self.padding_idx
         if not training and not testing:
             # inference: identity targets, mask = non-pad
-            return MaskingInfo(targets=item_ids, mask=non_pad, input_schema=non_pad)
+            return MaskingInfo(targets=item_ids, mask=non_pad, input_schema=non_pad,
+                               pad_mask=non_pad)
         labels, mask = _predict_all(item_ids, self.padding_idx)
         if (self.eval_on_last_item_seq_only and not training) or (
             self.train_on_last_item_seq_only and training
@@ -162,8 +172,8 @@ class CausalLanguageModeling(MaskSequence):
             keep = jax.nn.one_hot(last, labels.shape[1], dtype=bool)
             labels = jnp.where(keep, labels, jnp.full_like(labels, self.padding_idx))
             return MaskingInfo(targets=labels, mask=labels != self.padding_idx,
-                               input_schema=non_pad)
-        return MaskingInfo(targets=labels, mask=mask, input_schema=mask)
+                               input_schema=non_pad, pad_mask=non_pad)
+        return MaskingInfo(targets=labels, mask=mask, input_schema=mask, pad_mask=non_pad)
 
     def apply_mask_to_inputs(self, inputs, info: MaskingInfo, training=False, testing=False):
         mask_emb = self.mask_embedding().astype(inputs.dtype)
@@ -195,7 +205,9 @@ class MaskedLanguageModeling(MaskSequence):
             last_items = item_ids[rows, jnp.maximum(last_len - 1, 0)]
             labels = labels.at[rows, last_len].set(last_items)
             mask = labels != self.padding_idx
-            return MaskingInfo(targets=labels, mask=mask, input_schema=mask)
+            ext_pad = jnp.arange(S + 1)[None, :] < (last_len + 1)[:, None]
+            return MaskingInfo(targets=labels, mask=mask, input_schema=mask,
+                               pad_mask=ext_pad)
         if training:
             r1, r2 = jax.random.split(rng)
             bern = jax.random.bernoulli(r1, self.mlm_probability, item_ids.shape)
@@ -204,13 +216,14 @@ class MaskedLanguageModeling(MaskSequence):
             labels, mask_labels = _ensure_min_masking(
                 r2, labels, mask_labels, item_ids, non_pad, self.padding_idx
             )
-            return MaskingInfo(targets=labels, mask=mask_labels, input_schema=mask_labels)
+            return MaskingInfo(targets=labels, mask=mask_labels,
+                               input_schema=mask_labels, pad_mask=non_pad)
         # testing
         if self.eval_on_last_item_seq_only:
             labels, mask = _label_at_last(item_ids, non_pad, self.padding_idx)
         else:
             labels, mask = _predict_all(item_ids, self.padding_idx)
-        return MaskingInfo(targets=labels, mask=mask, input_schema=mask)
+        return MaskingInfo(targets=labels, mask=mask, input_schema=mask, pad_mask=non_pad)
 
     def apply_mask_to_inputs(self, inputs, info: MaskingInfo, training=False, testing=False):
         mask_emb = self.mask_embedding().astype(inputs.dtype)
@@ -283,7 +296,8 @@ class PermutationLanguageModeling(MaskSequence):
                 (perm_index[:, :, None] <= perm_index[:, None, :]) & mask_labels[:, None, :]
             ).astype(jnp.float32)
             return MaskingInfo(targets=labels, mask=mask_labels,
-                               input_schema=mask_labels, perm_mask=perm_mask)
+                               input_schema=mask_labels, perm_mask=perm_mask,
+                               pad_mask=non_pad)
         # eval / inference
         causal = jnp.triu(jnp.ones((S, S), jnp.float32), k=1)[None]
         if self.eval_on_last_item_seq_only:
@@ -294,7 +308,8 @@ class PermutationLanguageModeling(MaskSequence):
         else:
             labels, mask = _predict_all(item_ids, self.padding_idx)
             perm_mask = jnp.broadcast_to(causal, (B, S, S))
-        return MaskingInfo(targets=labels, mask=mask, input_schema=mask, perm_mask=perm_mask)
+        return MaskingInfo(targets=labels, mask=mask, input_schema=mask,
+                           perm_mask=perm_mask, pad_mask=non_pad)
 
     def apply_mask_to_inputs(self, inputs, info: MaskingInfo, training=False, testing=False):
         # PLM hides targets via the two-stream attention's perm_mask, NOT by

@@ -1,0 +1,244 @@
+"""Head / Model: multi-task, multi-head composition.
+
+Parity: /root/reference/transformers4rec/torch/model/base.py —
+``PredictionTask`` (:52-232), ``Head`` (:235-492) with per-task weights and
+``from_schema`` target routing (:306-353), ``Model`` (:495-930) with multi-head
+loss reduction (:544-598), ``input_schema``/``output_schema`` for serving
+export (:747-833), ``save/load`` (:839-922).
+
+TPU-first: ``Model`` is a pure flax module — ``Model.apply(params, batch,
+training=True)`` is the jittable unit the Trainer pjits over the device mesh.
+Masking/targets flow through as values (MaskingInfo), not module state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..blocks.base import SequentialBlock, TransformerBlock
+from ..config.transformer import T4RecConfig
+from ..masking import MaskingInfo
+from ..schema import ColumnSchema, Schema, Tags, ValueCount
+from .prediction_task import (
+    BinaryClassificationTask,
+    NextItemPredictionTask,
+    PredictionTask,
+    RegressionTask,
+    TaskOutput,
+)
+
+
+class Head(nn.Module):
+    """One body + one or more prediction tasks (reference model/base.py:235-492)."""
+
+    body: SequentialBlock = None
+    tasks: Sequence[Any] = ()
+    task_weights: Optional[Sequence[float]] = None
+
+    @classmethod
+    def from_body(
+        cls,
+        input_module,
+        transformer: Union[T4RecConfig, str, None] = None,
+        tasks: Optional[Sequence[Any]] = None,
+        task_weights: Optional[Sequence[float]] = None,
+        extra_blocks: Sequence[Any] = (),
+    ) -> "Head":
+        """Wire input module (+ optional MLP blocks) + transformer into a body,
+        configuring each NextItemPredictionTask from the masking scheme."""
+        blocks: List[Any] = [input_module, *extra_blocks]
+        masking = getattr(input_module, "masking", None)
+        masking_name = None
+        if masking is not None:
+            # registry name of the masking class, for arch compat validation
+            for key in ("clm", "mlm", "plm", "rtd"):
+                from ..masking import masking_registry
+
+                if masking_registry.get(key) is type(masking):
+                    masking_name = key
+                    break
+        if transformer is not None:
+            blocks.append(TransformerBlock(transformer=transformer, masking=masking_name))
+        body = SequentialBlock(blocks=tuple(blocks))
+
+        tasks = list(tasks or [NextItemPredictionTask(weight_tying=True)])
+        configured = []
+        for t in tasks:
+            if isinstance(t, NextItemPredictionTask) and masking is not None:
+                t = t.clone(
+                    eval_single_target=bool(
+                        getattr(masking, "eval_on_last_item_seq_only", True)
+                    ),
+                    padding_idx=getattr(masking, "padding_idx", 0),
+                )
+            configured.append(t)
+        return cls(body=body, tasks=tuple(configured), task_weights=task_weights)
+
+    @classmethod
+    def from_schema(
+        cls,
+        schema: Schema,
+        body: SequentialBlock,
+        task_weights: Optional[Sequence[float]] = None,
+    ) -> "Head":
+        """Build Binary/Regression tasks from target tags
+        (reference model/base.py:306-353)."""
+        tasks: List[Any] = []
+        for col in schema.select_by_tag([Tags.BINARY_CLASSIFICATION, Tags.TARGET]):
+            if col.has_tag(Tags.REGRESSION) or col.is_continuous and not col.has_tag(
+                Tags.BINARY_CLASSIFICATION
+            ):
+                continue
+            tasks.append(
+                BinaryClassificationTask(target_name=col.name, task_name=col.name)
+            )
+        for col in schema.select_by_tag([Tags.REGRESSION]):
+            tasks.append(RegressionTask(target_name=col.name, task_name=col.name))
+        if not tasks:
+            raise ValueError("No target columns found in schema")
+        return cls(body=body, tasks=tuple(tasks), task_weights=task_weights)
+
+    @property
+    def input_module(self):
+        return self.body.blocks[0] if self.body is not None else None
+
+    @nn.compact
+    def __call__(
+        self,
+        inputs: Dict[str, jnp.ndarray],
+        targets: Optional[Union[jnp.ndarray, Dict[str, jnp.ndarray]]] = None,
+        training: bool = False,
+        testing: bool = False,
+        top_k: Optional[int] = None,
+        compute_metrics: bool = True,
+    ):
+        pad_mask = None
+        item_id = getattr(self.input_module, "item_id", None)
+        if item_id is not None and item_id in inputs:
+            pad_mask = inputs[item_id] != 0
+
+        hidden, info = self.body(
+            inputs, training=training, testing=testing, pad_mask=pad_mask
+        )
+
+        weights = list(self.task_weights or [1.0] * len(self.tasks))
+        outputs: Dict[str, TaskOutput] = {}
+        total_loss = jnp.zeros(())
+        inference_out = None
+        for w, task in zip(weights, self.tasks):
+            if isinstance(task, NextItemPredictionTask):
+                out = task(
+                    hidden, info, training=training, testing=testing,
+                    top_k=top_k, compute_metrics=compute_metrics,
+                )
+            else:
+                t = targets
+                if isinstance(targets, dict):
+                    t = targets.get(task.target_name or task.task_name)
+                elif task.target_name and task.target_name in inputs:
+                    t = inputs[task.target_name]
+                out = task(
+                    hidden, targets=t, pad_mask=pad_mask,
+                    training=training, testing=testing,
+                )
+            if isinstance(out, TaskOutput):
+                outputs[task.task_name] = out
+                total_loss = total_loss + w * out.loss
+            else:
+                inference_out = out  # inference path returns raw scores/top-k
+
+        if not (training or testing):
+            if inference_out is not None:
+                return inference_out
+            return {name: o.predictions for name, o in outputs.items()}
+        total_loss = total_loss / sum(weights)
+        return total_loss, outputs
+
+
+class Model(nn.Module):
+    """Multi-head model (reference model/base.py:495-930). The jittable unit.
+
+    Train/test: ``loss, outputs = model.apply(params, batch, targets,
+    training=True, rngs=...)``. Inference: next-item scores or top-k tuple.
+    """
+
+    heads: Sequence[Head] = ()
+    head_weights: Optional[Sequence[float]] = None
+    top_k: Optional[int] = None
+    name_prefix: str = "model"
+
+    @nn.compact
+    def __call__(
+        self,
+        inputs: Dict[str, jnp.ndarray],
+        targets: Optional[Union[jnp.ndarray, Dict[str, jnp.ndarray]]] = None,
+        training: bool = False,
+        testing: bool = False,
+        top_k: Optional[int] = None,
+        compute_metrics: bool = True,
+    ):
+        top_k = top_k if top_k is not None else self.top_k
+        weights = list(self.head_weights or [1.0] * len(self.heads))
+        if not (training or testing):
+            if len(self.heads) == 1:
+                return self.heads[0](
+                    inputs, training=False, testing=False, top_k=top_k
+                )
+            return [h(inputs, training=False, testing=False, top_k=top_k)
+                    for h in self.heads]
+
+        total = jnp.zeros(())
+        all_outputs: Dict[str, TaskOutput] = {}
+        for w, head in zip(weights, self.heads):
+            loss, outs = head(
+                inputs, targets=targets, training=training, testing=testing,
+                compute_metrics=compute_metrics,
+            )
+            total = total + w * loss
+            all_outputs.update(outs)
+        total = total / sum(weights)
+        return total, all_outputs
+
+    # ------------------------------------------------------------ serving I/O
+    @property
+    def input_schema(self) -> Schema:
+        """Feature columns consumed at inference
+        (reference model/base.py:747-782)."""
+        cols: List[ColumnSchema] = []
+        seen = set()
+        for head in self.heads:
+            schema = getattr(head.input_module, "schema", None)
+            if schema is None:
+                continue
+            for col in schema:
+                if col.name not in seen:
+                    seen.add(col.name)
+                    cols.append(col)
+        return Schema(cols)
+
+    @property
+    def output_schema(self) -> Schema:
+        """Scores (+ ids when top_k set) — reference model/base.py:810-831."""
+        task = self.heads[0].tasks[0]
+        if isinstance(task, NextItemPredictionTask):
+            dim = self.top_k
+            if dim is None:
+                dim = task.target_dim
+            if self.top_k is not None:
+                return Schema([
+                    ColumnSchema(
+                        "item_id_scores", type=3,
+                        shape=None, value_count=ValueCount(self.top_k, self.top_k),
+                    ),
+                    ColumnSchema(
+                        "item_ids", type=2,
+                        value_count=ValueCount(self.top_k, self.top_k),
+                    ),
+                ])
+            return Schema([ColumnSchema("next-item", type=3)])
+        return Schema([ColumnSchema(task.task_name, type=3)])

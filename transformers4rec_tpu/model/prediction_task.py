@@ -1,0 +1,337 @@
+"""Prediction tasks: next-item (tied weights, sampled softmax), binary, regression.
+
+Parity: /root/reference/transformers4rec/torch/model/prediction_task.py —
+``NextItemPredictionTask`` (:306-512) with weight tying + auto-projection
+(:369-417), masked-position loss (:437-451), inference last-position scoring
+(:452-470); ``_NextItemPredictionTask`` tied/untied output + ``sampled()``
+sampled softmax with logQ correction and accidental-hit masking (:589-699);
+``LogUniformSampler`` (:702-861); ``BinaryClassificationTask`` (:66-173);
+``RegressionTask`` (:206-303).
+
+TPU-first redesign (SURVEY.md §7.4 points 3, 5):
+- Loss on masked positions is a weighted mean over STATIC shapes —
+  ``sum(mask * ce) / sum(mask)`` — instead of the reference's dynamic
+  ``remove_pad_3d`` gather (prediction_task.py:472-479).
+- ``LogUniformSampler`` samples a FIXED number of negatives with replacement
+  via inverse-CDF (static shapes; no ``.unique()`` variable-size output) and
+  corrects with the expected-unique-count distribution
+  ``-expm1(n*log1p(-p))`` — the same correction the reference applies
+  (prediction_task.py:789-796).
+- Inference gathers ONE hidden position per session (MLM uses index
+  ``non_pad.sum()`` because of the appended [MASK] — reference :453-461) and
+  runs a single (B, V) GEMM + ``lax.top_k``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..masking import MaskingInfo
+from .losses import binary_cross_entropy_with_logits, cross_entropy_with_logits, mse_loss
+from .ranking_metric import (
+    DEFAULT_METRICS,
+    RankingMetric,
+    compute_batch_metrics,
+    metrics_from_ranks,
+    parse_metrics,
+    ranks_from_topk,
+)
+
+
+class LogUniformSampler:
+    """Log-uniform (Zipf) negative sampler, static-shape.
+
+    ``P(class) = (log(class+2) - log(class+1)) / log(max_id+1)`` over ids
+    ``[min_id, max_id)`` — assumes ids sorted decreasingly by frequency
+    (reference prediction_task.py:766-787). Sampling uses the closed-form
+    inverse CDF ``floor(exp(u * log(range+1))) - 1`` so a fixed ``n_sample``
+    negatives are drawn with replacement per batch; the logQ correction uses
+    the probability each id appears at least once in ``n_sample`` tries.
+    """
+
+    def __init__(self, max_n_samples: int, max_id: int, min_id: int = 0,
+                 unique_sampling: bool = True):
+        if max_id <= 0:
+            raise ValueError("max_id must be a positive integer.")
+        if max_n_samples <= 0:
+            raise ValueError("max_n_samples must be a positive integer.")
+        self.max_n_samples = max_n_samples
+        self.max_id = max_id
+        self.min_id = min_id
+        self.unique_sampling = unique_sampling
+        self.range = max_id - min_id
+
+    def probs(self, ids: jnp.ndarray) -> jnp.ndarray:
+        """Log-uniform pmf at the given (possibly offset) ids."""
+        rel = jnp.clip(ids - self.min_id, 0, self.range - 1).astype(jnp.float32)
+        p = (jnp.log(rel + 2.0) - jnp.log(rel + 1.0)) / jnp.log(self.range + 1.0)
+        return jnp.where(ids >= self.min_id, p, 0.0)
+
+    def expected_probs(self, ids: jnp.ndarray) -> jnp.ndarray:
+        """P(id sampled ≥ once in n tries) = -expm1(n*log1p(-p))
+        (reference :789-796)."""
+        p = self.probs(ids)
+        if not self.unique_sampling:
+            return p
+        return -jnp.expm1(self.max_n_samples * jnp.log1p(-p))
+
+    def sample(self, rng: jax.Array) -> jnp.ndarray:
+        """Draw ``max_n_samples`` ids via inverse CDF (with replacement)."""
+        u = jax.random.uniform(rng, (self.max_n_samples,), dtype=jnp.float32)
+        ids = jnp.exp(u * jnp.log(self.range + 1.0)).astype(jnp.int32) - 1
+        return jnp.clip(ids, 0, self.range - 1) + self.min_id
+
+
+@dataclasses.dataclass
+class TaskOutput:
+    """What a task returns at train/test time (reference returns the dict
+    {"loss","labels","predictions"} — model/base.py:170-183)."""
+
+    loss: jnp.ndarray
+    labels: Optional[jnp.ndarray] = None
+    predictions: Optional[jnp.ndarray] = None
+    weights: Optional[jnp.ndarray] = None  # per-row validity for metrics
+    metrics: Optional[Dict[str, Any]] = None
+
+
+class PredictionTask(nn.Module):
+    """Base task: optional task block (MLP), sequence summary for 2-D tasks
+    (reference model/base.py:52-232 + HF SequenceSummary)."""
+
+    target_name: Optional[str] = None
+    task_name: str = "task"
+    summary_type: str = "last"  # last | first | mean
+
+    def summarize(self, hidden: jnp.ndarray, pad_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+        """3-D (B, S, D) → 2-D (B, D) (HF SequenceSummary analog)."""
+        if hidden.ndim == 2:
+            return hidden
+        if self.summary_type == "first":
+            return hidden[:, 0]
+        if self.summary_type == "mean":
+            if pad_mask is not None:
+                w = pad_mask[..., : hidden.shape[1]].astype(hidden.dtype)
+                return (hidden * w[..., None]).sum(1) / jnp.maximum(
+                    w.sum(1, keepdims=True), 1.0
+                )
+            return hidden.mean(axis=1)
+        # 'last': last non-padded position
+        if pad_mask is not None:
+            last = jnp.maximum(pad_mask[..., : hidden.shape[1]].sum(axis=1) - 1, 0)
+        else:
+            last = jnp.full((hidden.shape[0],), hidden.shape[1] - 1)
+        return jnp.take_along_axis(hidden, last[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+
+
+class BinaryClassificationTask(PredictionTask):
+    """BCE + streaming accuracy/precision/recall
+    (reference prediction_task.py:66-173)."""
+
+    task_name: str = "binary_classification"
+    task_block_dims: Sequence[int] = ()
+
+    @nn.compact
+    def __call__(self, hidden, targets=None, pad_mask=None, training=False,
+                 testing=False, **kwargs):
+        x = self.summarize(hidden, pad_mask).astype(jnp.float32)
+        for i, d in enumerate(self.task_block_dims):
+            x = nn.relu(nn.Dense(d, name=f"task_block_{i}")(x))
+        logits = nn.Dense(1, name="output")(x)[..., 0]
+        if targets is None:
+            return TaskOutput(loss=jnp.zeros(()), predictions=jax.nn.sigmoid(logits))
+        targets = targets.astype(jnp.float32)
+        loss = binary_cross_entropy_with_logits(logits, targets)
+        preds = jax.nn.sigmoid(logits)
+        hard = (preds > 0.5).astype(jnp.float32)
+        tp = (hard * targets).sum()
+        metrics = {
+            f"{self.task_name}/accuracy": ((hard == targets).mean(), jnp.float32(1.0)),
+            f"{self.task_name}/precision": (tp / jnp.maximum(hard.sum(), 1.0), jnp.float32(1.0)),
+            f"{self.task_name}/recall": (tp / jnp.maximum(targets.sum(), 1.0), jnp.float32(1.0)),
+        }
+        return TaskOutput(loss=loss, labels=targets, predictions=preds, metrics=metrics)
+
+
+class RegressionTask(PredictionTask):
+    """MSE regression (reference prediction_task.py:206-303)."""
+
+    task_name: str = "regression"
+    task_block_dims: Sequence[int] = ()
+
+    @nn.compact
+    def __call__(self, hidden, targets=None, pad_mask=None, training=False,
+                 testing=False, **kwargs):
+        x = self.summarize(hidden, pad_mask).astype(jnp.float32)
+        for i, d in enumerate(self.task_block_dims):
+            x = nn.relu(nn.Dense(d, name=f"task_block_{i}")(x))
+        preds = nn.Dense(1, name="output")(x)[..., 0]
+        if targets is None:
+            return TaskOutput(loss=jnp.zeros(()), predictions=preds)
+        loss = mse_loss(preds, targets)
+        metrics = {f"{self.task_name}/mse": (loss, jnp.float32(1.0))}
+        return TaskOutput(loss=loss, labels=targets, predictions=preds, metrics=metrics)
+
+
+class NextItemPredictionTask(PredictionTask):
+    """Next-item prediction with optional weight tying and sampled softmax.
+
+    Call modes (mirroring reference prediction_task.py:419-470):
+    - training/testing: masked-position CE loss; predictions+labels returned
+      flattened (B*S,) with ``weights`` marking real target positions.
+    - inference: per-session next-item scores (B, V), or (scores, ids) top-k.
+    """
+
+    task_name: str = "next-item"
+    weight_tying: bool = False
+    softmax_temperature: float = 1.0
+    padding_idx: int = 0
+    target_dim: Optional[int] = None
+    sampled_softmax: bool = False
+    max_n_samples: int = 100
+    min_id: int = 1
+    label_smoothing: float = 0.0
+    task_block_dims: Sequence[int] = ()
+    metrics: Tuple[RankingMetric, ...] = DEFAULT_METRICS
+    # static hint: at testing time each session has exactly one target (the
+    # default eval_on_last_item_seq_only mode) → logits computed on ONE
+    # gathered position per session instead of all S positions.
+    eval_single_target: bool = True
+
+    def _output_weights(self, info: MaskingInfo, d_in: int):
+        if self.weight_tying:
+            if info.item_table is None:
+                raise ValueError(
+                    "weight_tying=True requires the input module to thread the "
+                    "item embedding table through MaskingInfo.item_table"
+                )
+            return info.item_table
+        if self.target_dim is None:
+            raise ValueError("target_dim is required when weight_tying=False")
+        return self.param(
+            "output_layer",
+            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            (self.target_dim, d_in),
+        )
+
+    def _project(self, x: jnp.ndarray, item_dim: int) -> jnp.ndarray:
+        """Auto-project hidden to the item-embedding dim for tying
+        (reference :388-395) and apply the optional task block."""
+        for i, d in enumerate(self.task_block_dims):
+            x = nn.relu(nn.Dense(d, name=f"task_block_{i}")(x))
+        if x.shape[-1] != item_dim:
+            x = nn.Dense(item_dim, name="tying_projection", use_bias=False)(x)
+        return x
+
+    def _sampled_logits(self, rng, x2d, labels, weights_table):
+        """Sampled-softmax logits + zero labels (reference sampled() :673-696)."""
+        sampler = LogUniformSampler(
+            self.max_n_samples, weights_table.shape[0], self.min_id
+        )
+        neg_ids = sampler.sample(rng)  # (n,)
+        pos_w = weights_table[labels]  # (N, E)
+        neg_w = weights_table[neg_ids]  # (n, E)
+        pos_scores = (x2d * pos_w).sum(-1, keepdims=True)
+        neg_scores = jnp.einsum("ne,se->ns", x2d, neg_w,
+                                preferred_element_type=jnp.float32)
+        # logQ correction
+        eps = 1e-16
+        pos_scores = pos_scores - jnp.log(sampler.expected_probs(labels) + eps)[:, None]
+        neg_scores = neg_scores - jnp.log(sampler.expected_probs(neg_ids) + eps)[None, :]
+        # accidental hits: sampled negative == true label
+        hits = labels[:, None] == neg_ids[None, :]
+        neg_scores = jnp.where(hits, -1e4, neg_scores)
+        logits = jnp.concatenate([pos_scores, neg_scores], axis=1)
+        return logits, jnp.zeros(logits.shape[0], jnp.int32)
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden: jnp.ndarray,
+        info: Optional[MaskingInfo] = None,
+        training: bool = False,
+        testing: bool = False,
+        top_k: Optional[int] = None,
+        compute_metrics: bool = True,
+        **kwargs,
+    ):
+        if info is None:
+            raise ValueError(
+                "NextItemPredictionTask requires a masking-enabled input module "
+                "(reference prediction_task.py:398-402)"
+            )
+        x = hidden.astype(jnp.float32)
+        W = self._output_weights(info, x.shape[-1])
+        x = self._project(x, W.shape[-1])
+        temp = self.softmax_temperature or 1.0
+
+        if training or testing:
+            targets = info.targets  # (B, S)
+            mask = info.mask.astype(jnp.float32)  # (B, S)
+            if self.sampled_softmax and training:
+                rng = self.make_rng("sampling")
+                N = targets.shape[0] * targets.shape[1]
+                x2d = x.reshape(N, -1)
+                labels = targets.reshape(N).astype(jnp.int32)
+                logits, zero_labels = self._sampled_logits(rng, x2d, labels, W)
+                logits = logits / temp
+                loss = cross_entropy_with_logits(
+                    logits, zero_labels, weights=mask.reshape(N),
+                    label_smoothing=self.label_smoothing,
+                )
+                return TaskOutput(loss=loss, labels=labels,
+                                  predictions=None, weights=mask.reshape(N))
+            if testing and self.eval_single_target:
+                # one target per session: gather that position (static shapes)
+                idx = jnp.argmax(info.mask, axis=1)  # (B,)
+                row_valid = info.mask.any(axis=1).astype(jnp.float32)
+                xg = jnp.take_along_axis(x, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+                labels = jnp.take_along_axis(targets, idx[:, None].astype(jnp.int32), axis=1)[:, 0]
+                logits = jnp.einsum("be,ve->bv", xg, W,
+                                    preferred_element_type=jnp.float32) / temp
+                loss = cross_entropy_with_logits(
+                    logits, labels, weights=row_valid,
+                    label_smoothing=self.label_smoothing,
+                )
+                metrics = None
+                if compute_metrics:
+                    metrics = compute_batch_metrics(
+                        logits, labels, self.metrics, weights=row_valid
+                    )
+                return TaskOutput(loss=loss, labels=labels, predictions=logits,
+                                  weights=row_valid, metrics=metrics)
+            # full-position path: (B, S, V) logits, masked mean CE
+            logits = jnp.einsum("bse,ve->bsv", x, W,
+                                preferred_element_type=jnp.float32) / temp
+            loss = cross_entropy_with_logits(
+                logits, targets, weights=mask, label_smoothing=self.label_smoothing
+            )
+            N = targets.shape[0] * targets.shape[1]
+            flat_logits = logits.reshape(N, -1)
+            flat_labels = targets.reshape(N)
+            metrics = None
+            if compute_metrics and testing:
+                metrics = compute_batch_metrics(
+                    flat_logits, flat_labels, self.metrics, weights=mask.reshape(N)
+                )
+            return TaskOutput(loss=loss, labels=flat_labels,
+                              predictions=flat_logits if testing else None,
+                              weights=mask.reshape(N), metrics=metrics)
+
+        # ---------------- inference: score the next item per session ----------
+        item_ids = info.item_ids
+        non_pad = (item_ids != self.padding_idx).sum(axis=1)
+        # MLM appended a [MASK] at index len → predict there; others: last item
+        # (reference :452-461). The scheme signals extension via pad_mask width.
+        extended = info.pad_mask is not None and info.pad_mask.shape[1] > item_ids.shape[1]
+        last_idx = jnp.clip(non_pad if extended else non_pad - 1, 0, x.shape[1] - 1)
+        xg = jnp.take_along_axis(x, last_idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+        scores = jnp.einsum("be,ve->bv", xg, W,
+                            preferred_element_type=jnp.float32) / temp
+        if top_k is None:
+            return scores
+        return jax.lax.top_k(scores, top_k)
