@@ -1,0 +1,123 @@
+"""Benchmark: training throughput on the flagship XLNet-MLM config.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Config mirrors the reference's tuned REES46 XLNet-MLM run
+(/root/reference/ci/test_integration.sh: d_model=192, n_layer=3, n_head=16,
+batch 128, seq 20, item vocab 390k, mlm_p=0.3) — the headline benchmark in
+BASELINE.md. Runs on whatever jax.devices() provides (the real TPU chip under
+the driver); reports examples/sec/chip of the jitted train step.
+
+``vs_baseline``: ratio against bench_baseline.json if present (written by a
+previous run: {"value": N}), else 1.0 — the reference publishes no numbers
+(BASELINE.md), so the first recorded run seeds the baseline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    import optax
+
+    import transformers4rec_tpu as tr
+    from transformers4rec_tpu.data.synthetic import (
+        synthetic_data,
+        synthetic_ecommerce_data_schema,
+    )
+    from transformers4rec_tpu.parallel import make_mesh, param_shardings, shard_batch
+
+    NUM_ITEMS = 390_000
+    D_MODEL, N_LAYER, N_HEAD = 192, 3, 16
+    SEQ, BATCH_PER_CHIP = 20, 128
+    STEPS, WARMUP = 30, 3
+
+    n_chips = jax.device_count()
+    batch_size = BATCH_PER_CHIP * n_chips
+    mesh = make_mesh(model=1)
+
+    schema = synthetic_ecommerce_data_schema(
+        num_items=NUM_ITEMS, num_categories=150, max_session_length=SEQ
+    )
+    input_module = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=D_MODEL, masking="mlm", aggregation="concat"
+    )
+    cfg = tr.XLNetConfig.build(
+        d_model=D_MODEL, n_head=N_HEAD, n_layer=N_LAYER, total_seq_length=SEQ,
+        dropout=0.1,
+    )
+    model = cfg.to_model(
+        input_module,
+        tr.NextItemPredictionTask(
+            weight_tying=True, sampled_softmax=False, label_smoothing=0.0
+        ),
+    )
+
+    data = synthetic_data(schema, num_rows=batch_size, max_session_length=SEQ, seed=0)
+    batch_host = {k: jnp.asarray(v) for k, v in data.items()}
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "masking": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+        "sampling": jax.random.PRNGKey(3),
+    }
+    params = model.init(rngs, batch_host, training=True)
+    params = jax.device_put(params, param_shardings(params, mesh))
+    tx = optax.adamw(6.7e-4)
+    opt_state = tx.init(params)
+    batch = shard_batch(batch_host, mesh)
+
+    @jax.jit
+    def train_step(params, opt_state, batch, rng):
+        r = {
+            "masking": jax.random.fold_in(rng, 0),
+            "dropout": jax.random.fold_in(rng, 1),
+            "sampling": jax.random.fold_in(rng, 2),
+        }
+
+        def loss_fn(p):
+            loss, _ = model.apply(p, batch, training=True, rngs=r)
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = jax.random.PRNGKey(7)
+    for i in range(WARMUP):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, loss = train_step(params, opt_state, batch, sub)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        rng, sub = jax.random.split(rng)
+        params, opt_state, loss = train_step(params, opt_state, batch, sub)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    examples_per_sec_per_chip = STEPS * batch_size / dt / n_chips
+
+    baseline = None
+    if os.path.exists("bench_baseline.json"):
+        with open("bench_baseline.json") as f:
+            baseline = json.load(f).get("value")
+    vs_baseline = examples_per_sec_per_chip / baseline if baseline else 1.0
+
+    print(json.dumps({
+        "metric": "train_examples_per_sec_per_chip_xlnet_mlm_rees46",
+        "value": round(examples_per_sec_per_chip, 2),
+        "unit": "examples/sec/chip",
+        "vs_baseline": round(vs_baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

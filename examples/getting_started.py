@@ -1,0 +1,84 @@
+"""End-to-end session-based training driver.
+
+Mirrors the reference's getting-started flow
+(/root/reference/examples/getting-started-session-based/02-session-based-XLNet-with-PyT.ipynb):
+synthetic e-commerce sessions → schema-driven XLNet-MLM next-item model →
+train → evaluate (NDCG/Recall/MAP@k) → top-k predict.
+
+Usage:
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python examples/getting_started.py --steps 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--d-model", type=int, default=64)
+    ap.add_argument("--n-layer", type=int, default=2)
+    ap.add_argument("--n-head", type=int, default=4)
+    ap.add_argument("--batch-size", type=int, default=16, help="per device")
+    ap.add_argument("--num-items", type=int, default=5000)
+    ap.add_argument("--seq-len", type=int, default=20)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--masking", default="mlm", choices=["clm", "mlm", "plm", "rtd"])
+    ap.add_argument("--arch", default="xlnet")
+    ap.add_argument("--output-dir", default="/tmp/t4r_getting_started")
+    ap.add_argument("--num-rows", type=int, default=2048)
+    ap.add_argument("--cpu", action="store_true", help="force CPU platform")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import transformers4rec_tpu as tr
+    from transformers4rec_tpu.data.synthetic import synthetic_ecommerce_data_schema
+
+    schema = synthetic_ecommerce_data_schema(
+        num_items=args.num_items, num_categories=100, max_session_length=args.seq_len
+    )
+    input_module = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=args.d_model, masking=args.masking, aggregation="concat"
+    )
+    cfg = tr.transformer_registry.parse(args.arch).build(
+        d_model=args.d_model, n_head=args.n_head, n_layer=args.n_layer,
+        total_seq_length=args.seq_len,
+    )
+    model = cfg.to_model(input_module, tr.NextItemPredictionTask(weight_tying=True))
+
+    targs = tr.T4RecTrainingArguments(
+        output_dir=args.output_dir,
+        data_loader_engine="synthetic",
+        per_device_train_batch_size=args.batch_size,
+        per_device_eval_batch_size=args.batch_size,
+        max_steps=args.steps,
+        learning_rate=args.lr,
+        logging_steps=max(args.steps // 10, 1),
+        max_sequence_length=args.seq_len,
+        lr_scheduler_type="linear",
+        warmup_steps=max(args.steps // 20, 0),
+    )
+    trainer = tr.Trainer(model=model, args=targs, schema=schema)
+
+    train_metrics = trainer.train()
+    print("train:", json.dumps({k: round(v, 4) for k, v in train_metrics.items()}))
+    losses = [h["loss"] for h in trainer.state.log_history if "loss" in h]
+    print("loss trajectory:", [round(l, 3) for l in losses])
+    assert losses[-1] < losses[0], "training loss did not decrease"
+
+    eval_metrics = trainer.evaluate()
+    print("eval:", json.dumps({k: round(v, 4) for k, v in eval_metrics.items()}))
+
+    scores, ids = trainer.predict(top_k=10)
+    print(f"predict: top-10 ids for {ids.shape[0]} sessions, e.g. {ids[0].tolist()}")
+
+
+if __name__ == "__main__":
+    main()

@@ -9,7 +9,8 @@ serving export.
 
 __version__ = "0.1.0"
 
-from . import blocks, config, data, features, masking, model, schema, tabular
+from . import blocks, config, data, features, masking, model, parallel, schema, tabular, trainer
+from .trainer import T4RecTrainingArguments, Trainer
 from .blocks import MLPBlock, SequentialBlock, TransformerBlock, TransformerEncoder
 from .config import T4RecConfig, XLNetConfig, transformer_registry
 from .features import TabularFeatures, TabularSequenceFeatures
@@ -48,8 +49,12 @@ __all__ = [
     "masking",
     "masking_registry",
     "model",
+    "parallel",
     "schema",
+    "T4RecTrainingArguments",
     "tabular",
+    "trainer",
+    "Trainer",
     "transformer_registry",
     "__version__",
 ]

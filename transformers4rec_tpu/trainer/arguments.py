@@ -1,0 +1,76 @@
+"""Training arguments.
+
+Parity: /root/reference/transformers4rec/config/trainer.py:23-134 —
+``T4RecTrainingArguments(TrainingArguments)`` adds ``max_sequence_length``,
+``data_loader_engine`` (default "merlin"), ``predict_top_k=100``,
+``eval_steps_on_train_set``, ``compute_metrics_each_n_steps``,
+``learning_rate_num_cosine_cycles_by_epoch``, ``log_predictions``; the HF base
+contributes lr/batch/epochs/scheduler/checkpoint knobs (only the subset the
+reference actually exercises is carried over).
+
+TPU-first: ``bf16`` replaces fp16/AMP (SURVEY.md §2.10); ``mesh_model_axis``
+sizes the 'model' axis for sharded embedding tables.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class T4RecTrainingArguments:
+    output_dir: str = "./t4rec_output"
+
+    # recsys-specific (reference config/trainer.py:36-126)
+    max_sequence_length: Optional[int] = None
+    data_loader_engine: str = "parquet"  # 'merlin' accepted as alias
+    eval_steps_on_train_set: int = 20
+    predict_top_k: int = 100
+    log_predictions: bool = False
+    compute_metrics_each_n_steps: int = 1
+    learning_rate_num_cosine_cycles_by_epoch: float = 1.25
+
+    # optimization (HF TrainingArguments subset)
+    learning_rate: float = 5e-4
+    weight_decay: float = 0.0
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_epsilon: float = 1e-8
+    max_grad_norm: float = 1.0
+    lr_scheduler_type: str = "linear"  # linear|cosine|cosine_with_restarts|constant|constant_with_warmup|polynomial
+    warmup_steps: int = 0
+    num_train_epochs: float = 1.0
+    max_steps: int = -1
+    per_device_train_batch_size: int = 64
+    per_device_eval_batch_size: int = 32
+    gradient_accumulation_steps: int = 1
+    seed: int = 42
+
+    # precision / compilation
+    bf16: bool = True
+    gradient_checkpointing: bool = False
+
+    # logging / eval / checkpointing
+    logging_steps: int = 100
+    eval_steps: Optional[int] = None
+    save_steps: Optional[int] = None
+    save_total_limit: Optional[int] = None
+    report_to: str = "none"
+    disable_tqdm: bool = True
+
+    # distribution
+    mesh_model_axis: int = 1
+    shuffle_buffer_size: int = 0
+
+    @property
+    def train_batch_size(self) -> int:
+        import jax
+
+        return self.per_device_train_batch_size * max(jax.device_count(), 1)
+
+    @property
+    def eval_batch_size(self) -> int:
+        import jax
+
+        return self.per_device_eval_batch_size * max(jax.device_count(), 1)

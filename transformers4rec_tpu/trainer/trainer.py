@@ -1,0 +1,469 @@
+"""Trainer: pjit train/eval/predict loops, schedulers, checkpointing.
+
+Parity: /root/reference/transformers4rec/torch/trainer.py (883 LoC) —
+``Trainer(transformers.Trainer)``: dataloaders from the registry + schema
+(:139-217), ``compute_loss`` (:315-338), ``evaluation_loop`` with streaming
+metric updates each N steps (:402-699, :510-515), top-k truncation
+(:532-592), ``reset_lr_scheduler`` (:234-241), ``create_scheduler`` with
+num_cycles (:243-313), checkpoint save/restore (:701-745), incremental
+logging across repeated ``.train()`` calls (:802-870).
+
+TPU-first redesign:
+- ONE jitted train step over the ('data','model') mesh; gradients all-reduce
+  implicitly over ICI from the shardings (no DDP wrapper, no NCCL —
+  SURVEY.md §2.10).
+- Eval metrics are (sum, count) scalars accumulated on device and reduced by
+  sharding propagation — replacing ``_nested_gather``/``_pad_across_processes``
+  (reference trainer.py:517-530).
+- Checkpoints = msgpack of the param/opt pytree + trainer state JSON
+  (Model.save parity, reference model/base.py:839-922) with rotation.
+- ``bf16`` activation precision instead of AMP/fp16 autocast (:363-365).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+import shutil
+import time
+from typing import Any, Dict, Iterable, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization, struct
+
+from ..data.loader import T4RecDataLoader, dataloader_registry
+from ..model.base import Model
+from ..model.ranking_metric import finalize_metrics, update_metric_state
+from ..parallel.mesh import batch_sharding, make_mesh, param_shardings, shard_batch
+from ..schema import Schema
+from .arguments import T4RecTrainingArguments
+from .schedulers import get_scheduler, num_cosine_cycles
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+    rng: jnp.ndarray
+
+
+@dataclasses.dataclass
+class TrainerState:
+    """Host-side bookkeeping (reference IncrementalLoggingCallback
+    trainer.py:848-870: global_step stays monotonic across .train() calls)."""
+
+    global_step: int = 0
+    past_global_steps: int = 0
+    epoch: float = 0.0
+    log_history: List[Dict[str, Any]] = dataclasses.field(default_factory=list)
+
+
+class Trainer:
+    def __init__(
+        self,
+        model: Model,
+        args: T4RecTrainingArguments,
+        schema: Optional[Schema] = None,
+        train_dataset: Any = None,
+        eval_dataset: Any = None,
+        test_dataset: Any = None,
+        train_dataloader: Optional[Iterable] = None,
+        eval_dataloader: Optional[Iterable] = None,
+        mesh=None,
+        compute_metrics: bool = True,
+    ):
+        self.model = model
+        self.args = args
+        self.schema = schema
+        self.train_dataset = train_dataset
+        self.eval_dataset = eval_dataset
+        self.test_dataset = test_dataset
+        self._train_dataloader = train_dataloader
+        self._eval_dataloader = eval_dataloader
+        self.compute_metrics = compute_metrics
+
+        self.mesh = mesh or make_mesh(model=args.mesh_model_axis)
+        self.state = TrainerState()
+        self._train_state: Optional[TrainState] = None
+        self._tx = None
+        self._schedule = None
+        self._jit_train_step = None
+        self._jit_eval_step = None
+        self._jit_predict_step = None
+
+    # ------------------------------------------------------------ dataloaders
+    def _make_loader(self, dataset, batch_size: int, shuffle: bool, **kwargs):
+        engine = self.args.data_loader_engine
+        cls = dataloader_registry.parse("parquet" if engine == "merlin" else engine)
+        return cls.from_schema(
+            self.schema,
+            dataset,
+            batch_size=batch_size,
+            max_sequence_length=self.args.max_sequence_length,
+            shuffle=shuffle,
+            global_rank=jax.process_index(),
+            global_size=jax.process_count(),
+            seed=self.args.seed,
+            **kwargs,
+        )
+
+    def get_train_dataloader(self):
+        if self._train_dataloader is not None:
+            return self._train_dataloader
+        if self.train_dataset is None and self.args.data_loader_engine != "synthetic":
+            raise ValueError("Trainer: training requires a train_dataset")
+        return self._make_loader(
+            self.train_dataset, self.args.train_batch_size, shuffle=True
+        )
+
+    def get_eval_dataloader(self, eval_dataset=None):
+        ds = eval_dataset if eval_dataset is not None else self.eval_dataset
+        if self._eval_dataloader is not None and eval_dataset is None:
+            return self._eval_dataloader
+        if ds is None and self.args.data_loader_engine != "synthetic":
+            raise ValueError("Trainer: evaluation requires an eval_dataset")
+        return self._make_loader(ds, self.args.eval_batch_size, shuffle=False)
+
+    def get_test_dataloader(self, test_dataset=None):
+        ds = test_dataset if test_dataset is not None else self.test_dataset
+        if ds is None and self.args.data_loader_engine != "synthetic":
+            raise ValueError("Trainer: prediction requires a test_dataset")
+        return self._make_loader(ds, self.args.eval_batch_size, shuffle=False)
+
+    # ------------------------------------------------------------- optimizer
+    def num_training_steps(self, train_loader) -> int:
+        if self.args.max_steps > 0:
+            return self.args.max_steps
+        return max(int(len(train_loader) * self.args.num_train_epochs), 1)
+
+    def create_optimizer_and_scheduler(self, num_training_steps: int):
+        a = self.args
+        num_cycles = 0.5
+        if a.lr_scheduler_type.startswith("cosine"):
+            num_cycles = num_cosine_cycles(
+                a.num_train_epochs, a.learning_rate_num_cosine_cycles_by_epoch
+            )
+        self._schedule = get_scheduler(
+            a.lr_scheduler_type,
+            a.learning_rate,
+            a.warmup_steps,
+            num_training_steps,
+            num_cycles=num_cycles,
+        )
+        chain = []
+        if a.max_grad_norm and a.max_grad_norm > 0:
+            chain.append(optax.clip_by_global_norm(a.max_grad_norm))
+        chain.append(
+            optax.adamw(
+                self._schedule,
+                b1=a.adam_beta1,
+                b2=a.adam_beta2,
+                eps=a.adam_epsilon,
+                weight_decay=a.weight_decay,
+            )
+        )
+        tx = optax.chain(*chain)
+        if a.gradient_accumulation_steps > 1:
+            tx = optax.MultiSteps(tx, a.gradient_accumulation_steps)
+        self._tx = tx
+        return tx
+
+    def reset_lr_scheduler(self) -> None:
+        """Restart the schedule for a new incremental time window
+        (reference trainer.py:234-241): rebuild optimizer state, keep params."""
+        if self._train_state is None:
+            return
+        tx = self.create_optimizer_and_scheduler(self._last_num_steps)
+        self._train_state = self._train_state.replace(
+            opt_state=tx.init(self._train_state.params), step=jnp.zeros((), jnp.int32)
+        )
+        self._jit_train_step = None  # opt_state structure may have changed
+
+    # ------------------------------------------------------------------ init
+    def _init_params(self, example_batch: Dict[str, np.ndarray]):
+        rngs = {
+            "params": jax.random.PRNGKey(self.args.seed),
+            "masking": jax.random.PRNGKey(self.args.seed + 1),
+            "dropout": jax.random.PRNGKey(self.args.seed + 2),
+            "sampling": jax.random.PRNGKey(self.args.seed + 3),
+        }
+        batch = {k: jnp.asarray(v) for k, v in example_batch.items()}
+        params = self.model.init(rngs, batch, targets=batch, training=True)
+        shardings = param_shardings(params, self.mesh)
+        return jax.device_put(params, shardings)
+
+    def _ensure_state(self, example_batch, num_training_steps: int):
+        self._last_num_steps = num_training_steps
+        if self._tx is None:
+            self.create_optimizer_and_scheduler(num_training_steps)
+        if self._train_state is None:
+            params = self._init_params(example_batch)
+            self._train_state = TrainState(
+                params=params,
+                opt_state=self._tx.init(params),
+                step=jnp.zeros((), jnp.int32),
+                rng=jax.random.PRNGKey(self.args.seed + 17),
+            )
+
+    # ------------------------------------------------------------------ steps
+    def _build_train_step(self):
+        model, tx = self.model, self._tx
+
+        def train_step(state: TrainState, batch):
+            rng, new_rng = jax.random.split(state.rng)
+            r = {
+                "masking": jax.random.fold_in(rng, 0),
+                "dropout": jax.random.fold_in(rng, 1),
+                "sampling": jax.random.fold_in(rng, 2),
+            }
+
+            def loss_fn(params):
+                loss, _ = model.apply(
+                    params, batch, targets=batch, training=True,
+                    compute_metrics=False, rngs=r,
+                )
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return (
+                TrainState(params=params, opt_state=opt_state,
+                           step=state.step + 1, rng=new_rng),
+                loss,
+            )
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def _build_eval_step(self, compute_metrics: bool):
+        model = self.model
+
+        def eval_step(params, batch):
+            loss, outs = model.apply(
+                params, batch, targets=batch, testing=True,
+                compute_metrics=compute_metrics,
+            )
+            metrics = {}
+            for task_name, out in outs.items():
+                if out.metrics:
+                    for k, v in out.metrics.items():
+                        metrics[f"{task_name}/{k}"] = v
+            return loss, metrics
+
+        return jax.jit(eval_step, static_argnames=())
+
+    # ------------------------------------------------------------------ train
+    def train(self) -> Dict[str, float]:
+        a = self.args
+        loader = self.get_train_dataloader()
+        num_steps = self.num_training_steps(loader)
+        first = next(iter(loader))
+        self._ensure_state(first, num_steps)
+        if self._jit_train_step is None:
+            self._jit_train_step = self._build_train_step()
+
+        # incremental logging: resume global_step from past runs
+        self.state.past_global_steps = self.state.global_step
+
+        start = time.time()
+        losses = []
+        step_in_run = 0
+        epochs = math.inf if a.max_steps > 0 else a.num_train_epochs
+        done = False
+        epoch = 0
+        n_examples = 0
+        while not done and epoch < epochs:
+            for batch in loader:
+                sb = shard_batch(
+                    {k: jnp.asarray(v) for k, v in batch.items()}, self.mesh
+                )
+                self._train_state, loss = self._jit_train_step(self._train_state, sb)
+                step_in_run += 1
+                self.state.global_step = self.state.past_global_steps + step_in_run
+                n_examples += next(iter(batch.values())).shape[0]
+                if step_in_run % a.logging_steps == 0 or step_in_run == num_steps:
+                    l = float(loss)
+                    losses.append(l)
+                    self.state.log_history.append(
+                        {"loss": l, "step": self.state.global_step}
+                    )
+                if step_in_run >= num_steps:
+                    done = True
+                    break
+            epoch += 1
+            self.state.epoch = epoch
+            if a.save_steps and step_in_run % a.save_steps == 0:
+                self._save_checkpoint()
+
+        runtime = time.time() - start
+        metrics = {
+            "train_loss": losses[-1] if losses else float("nan"),
+            "train_runtime": runtime,
+            "train_samples_per_second": n_examples / max(runtime, 1e-9),
+            "train_steps": step_in_run,
+            "global_step": self.state.global_step,
+        }
+        self.state.log_history.append(metrics)
+        return metrics
+
+    # ------------------------------------------------------------------- eval
+    def evaluate(
+        self, eval_dataset=None, metric_key_prefix: str = "eval"
+    ) -> Dict[str, float]:
+        a = self.args
+        loader = self.get_eval_dataloader(eval_dataset)
+        if self._train_state is None:
+            first = next(iter(loader))
+            self._ensure_state(first, 1)
+        if self._jit_eval_step is None:
+            self._jit_eval_step = self._build_eval_step(self.compute_metrics)
+
+        start = time.time()
+        metric_state: Dict[str, Any] = {}
+        loss_sum, n_batches, n_examples = 0.0, 0, 0
+        for i, batch in enumerate(loader):
+            sb = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, self.mesh)
+            loss, metrics = self._jit_eval_step(self._train_state.params, sb)
+            loss_sum += float(loss)
+            n_batches += 1
+            n_examples += next(iter(batch.values())).shape[0]
+            if self.compute_metrics and i % a.compute_metrics_each_n_steps == 0:
+                metric_state = (
+                    update_metric_state(metric_state, metrics)
+                    if metric_state
+                    else metrics
+                )
+        runtime = time.time() - start
+
+        results = {
+            f"{metric_key_prefix}_loss": loss_sum / max(n_batches, 1),
+            f"{metric_key_prefix}_runtime": runtime,
+            f"{metric_key_prefix}_samples_per_second": n_examples / max(runtime, 1e-9),
+        }
+        if metric_state:
+            final = finalize_metrics(metric_state)
+            for name, val in final.items():
+                # reference key style: eval_/next-item/ndcg_at_10
+                # (trainer.py:683-689, process_metrics :836-845)
+                results[f"{metric_key_prefix}_/{name}"] = float(val)
+        self.state.log_history.append(results)
+        return results
+
+    # ----------------------------------------------------------------- predict
+    def predict(self, test_dataset=None, top_k: Optional[int] = None):
+        """Top-k next-item predictions over a dataset
+        (reference evaluation_loop top-k truncation trainer.py:532-592:
+        trainer predict_top_k wins over model.top_k when both set)."""
+        a = self.args
+        loader = self.get_test_dataloader(test_dataset)
+        if self._train_state is None:
+            first = next(iter(loader))
+            self._ensure_state(first, 1)
+        k = top_k or a.predict_top_k or self.model.top_k
+        model = self.model
+
+        if self._jit_predict_step is None:
+            def predict_step(params, batch):
+                return model.apply(params, batch, top_k=k)
+            self._jit_predict_step = jax.jit(predict_step)
+
+        all_scores, all_ids = [], []
+        for batch in loader:
+            sb = shard_batch({k2: jnp.asarray(v) for k2, v in batch.items()}, self.mesh)
+            scores, ids = self._jit_predict_step(self._train_state.params, sb)
+            all_scores.append(np.asarray(scores))
+            all_ids.append(np.asarray(ids))
+        return np.concatenate(all_scores), np.concatenate(all_ids)
+
+    # ------------------------------------------------------------- checkpoint
+    @property
+    def params(self):
+        return self._train_state.params if self._train_state else None
+
+    def _save_checkpoint(self) -> str:
+        path = os.path.join(
+            self.args.output_dir, f"checkpoint-{self.state.global_step}"
+        )
+        self.save(path)
+        self._rotate_checkpoints()
+        return path
+
+    def _rotate_checkpoints(self):
+        limit = self.args.save_total_limit
+        if not limit:
+            return
+        root = self.args.output_dir
+        cks = sorted(
+            (d for d in os.listdir(root) if d.startswith("checkpoint-")),
+            key=lambda d: int(d.split("-")[1]),
+        )
+        for d in cks[:-limit]:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+    def save(self, path: str) -> None:
+        """Params + optimizer + trainer state (reference
+        _save_model_and_checkpoint trainer.py:701-723)."""
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "params.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(
+                jax.device_get(self._train_state.params)))
+        with open(os.path.join(path, "opt_state.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(
+                jax.device_get(self._train_state.opt_state)))
+        with open(os.path.join(path, "trainer_state.json"), "w") as f:
+            json.dump(
+                {
+                    "global_step": self.state.global_step,
+                    "epoch": self.state.epoch,
+                    "log_history": self.state.log_history,
+                    "step": int(self._train_state.step),
+                },
+                f,
+            )
+
+    def load(self, path: str) -> None:
+        """Restore params (+ optimizer + step) — reference
+        load_model_trainer_states_from_checkpoint (trainer.py:725-745)."""
+        if self._train_state is None:
+            raise ValueError(
+                "Call train()/evaluate() once (or _ensure_state) before load() "
+                "so the parameter structure exists"
+            )
+        with open(os.path.join(path, "params.msgpack"), "rb") as f:
+            params = serialization.from_bytes(
+                jax.device_get(self._train_state.params), f.read()
+            )
+        params = jax.device_put(params, param_shardings(params, self.mesh))
+        opt_state = self._train_state.opt_state
+        opt_path = os.path.join(path, "opt_state.msgpack")
+        if os.path.exists(opt_path):
+            with open(opt_path, "rb") as f:
+                opt_state = serialization.from_bytes(
+                    jax.device_get(self._train_state.opt_state), f.read()
+                )
+        with open(os.path.join(path, "trainer_state.json")) as f:
+            ts = json.load(f)
+        self.state.global_step = ts["global_step"]
+        self.state.epoch = ts.get("epoch", 0.0)
+        self.state.log_history = ts.get("log_history", [])
+        self._train_state = self._train_state.replace(
+            params=params,
+            opt_state=opt_state,
+            step=jnp.asarray(ts.get("step", 0), jnp.int32),
+        )
+
+    def wipe_memory(self):
+        """Drop compiled step caches between incremental windows
+        (reference examples_utils.py:101-103 gc + cuda empty_cache analog)."""
+        self._jit_train_step = None
+        self._jit_eval_step = None
+        self._jit_predict_step = None
+        import gc
+
+        gc.collect()
