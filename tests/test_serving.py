@@ -1,0 +1,83 @@
+"""Serving export tests — the torchscript-traceability analog
+(/root/reference/tests/unit/torch/test_torchscript.py:7-28 and
+test_torchscript_with_topk.py): exported artifact must reproduce the live
+model's predictions, including the top-k path and varying batch sizes."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import transformers4rec_tpu as tr
+from transformers4rec_tpu.serving import export_model, load_runner
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    import jax
+
+    from transformers4rec_tpu.data.synthetic import (
+        synthetic_data,
+        synthetic_ecommerce_data_schema,
+    )
+
+    schema = synthetic_ecommerce_data_schema(
+        num_items=500, num_categories=30, max_session_length=10
+    )
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_data(schema, num_rows=8, max_session_length=10, seed=0).items()
+    }
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=32, masking="mlm", aggregation="concat"
+    )
+    cfg = tr.XLNetConfig.build(d_model=32, n_head=2, n_layer=1, total_seq_length=10)
+    model = cfg.to_model(im, tr.NextItemPredictionTask(weight_tying=True))
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "masking": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+        "sampling": jax.random.PRNGKey(3),
+    }
+    params = model.init(rngs, batch, training=True)
+    return schema, model, params, batch
+
+
+def test_export_topk_roundtrip(trained, tmp_path):
+    schema, model, params, batch = trained
+    live_scores, live_ids = model.apply(params, batch, top_k=5)
+
+    path = export_model(model, params, batch, str(tmp_path / "artifact"), top_k=5)
+    runner = load_runner(path)
+    scores, ids = runner.predict({k: np.asarray(v) for k, v in batch.items()})
+    np.testing.assert_allclose(np.asarray(live_scores), scores, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(live_ids), ids)
+
+
+def test_export_full_scores(trained, tmp_path):
+    schema, model, params, batch = trained
+    live = model.apply(params, batch)
+    path = export_model(model, params, batch, str(tmp_path / "artifact2"), top_k=None)
+    runner = load_runner(path)
+    got = runner.predict({k: np.asarray(v) for k, v in batch.items()})
+    np.testing.assert_allclose(np.asarray(live), got, rtol=1e-5, atol=1e-5)
+
+
+def test_export_batch_polymorphic(trained, tmp_path):
+    """One artifact, multiple batch sizes (shape-polymorphic export)."""
+    from transformers4rec_tpu.data.synthetic import synthetic_data
+
+    schema, model, params, batch = trained
+    path = export_model(model, params, batch, str(tmp_path / "artifact3"), top_k=3)
+    runner = load_runner(path)
+    for rows in (1, 4, 17):
+        nb = synthetic_data(schema, num_rows=rows, max_session_length=10, seed=rows)
+        scores, ids = runner.predict(nb)
+        assert scores.shape == (rows, 3) and ids.shape == (rows, 3)
+
+
+def test_export_schemas_written(trained, tmp_path):
+    schema, model, params, batch = trained
+    path = export_model(model, params, batch, str(tmp_path / "artifact4"), top_k=5)
+    runner = load_runner(path)
+    assert "item_id" in runner.input_schema.column_names
+    assert set(runner.output_schema.column_names) == {"item_id_scores", "item_ids"}

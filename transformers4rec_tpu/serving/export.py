@@ -1,0 +1,120 @@
+"""Serving export: AOT-compiled inference artifacts.
+
+Parity: the reference's serving recipe (SURVEY.md §1.11) is
+``torch.jit.trace(model, example)`` → merlin.systems ``Ensemble(TransformWorkflow
+>> PredictPyTorch)`` → Triton (examples/getting-started-session-based/
+03-serving-...ipynb:418, 656-680), with IO schemas from ``Model.input_schema``/
+``Model.output_schema`` (model/base.py:747-833).
+
+TPU-native redesign: ``jax.export`` serializes the jitted inference function to
+a portable StableHLO artifact — the torch.jit.trace analog that any XLA runtime
+(TPU serving container, CPU) can AOT-load without Python model code. The
+directory artifact bundles:
+
+- ``model.stablehlo``  — serialized exported function (params closed over)
+- ``input_schema.json`` / ``output_schema.json`` — feature wiring for the
+  serving frontend (NVTabular-workflow analog is the client's responsibility,
+  as in the reference's TransformWorkflow stage)
+- ``metadata.json``    — top_k, sequence length, batch-size axis info
+
+``load`` returns a callable server-side predictor. ``InferenceRunner`` gives an
+in-process Triton-like predict(dict-of-ndarray)→(scores, ids) interface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..model.base import Model
+from ..schema import Schema
+
+
+def export_model(
+    model: Model,
+    params,
+    example_batch: Dict[str, jnp.ndarray],
+    path: str,
+    top_k: Optional[int] = None,
+    batch_polymorphic: bool = True,
+) -> str:
+    """Trace + AOT-serialize the inference path and write the artifact dir.
+
+    ``batch_polymorphic`` exports with a symbolic batch dimension so the same
+    artifact serves any batch size (shape-polymorphic StableHLO).
+    """
+    from jax import export as jexport
+
+    os.makedirs(path, exist_ok=True)
+    example = {k: jnp.asarray(v) for k, v in example_batch.items()}
+
+    def infer(batch):
+        return model.apply(params, batch, top_k=top_k)
+
+    fn = jax.jit(infer)
+    if batch_polymorphic:
+        scope = jexport.SymbolicScope()
+        shapes = {}
+        for k, v in example.items():
+            dims = ",".join(["b"] + [str(d) for d in v.shape[1:]])
+            shapes[k] = jax.ShapeDtypeStruct(
+                jexport.symbolic_shape(dims, scope=scope), v.dtype
+            )
+        exported = jexport.export(fn)(shapes)
+    else:
+        exported = jexport.export(fn)(example)
+
+    with open(os.path.join(path, "model.stablehlo"), "wb") as f:
+        f.write(exported.serialize())
+    with open(os.path.join(path, "input_schema.json"), "w") as f:
+        f.write(model.input_schema.to_json())
+    with open(os.path.join(path, "output_schema.json"), "w") as f:
+        f.write(model.clone(top_k=top_k or model.top_k).output_schema.to_json())
+    with open(os.path.join(path, "metadata.json"), "w") as f:
+        json.dump(
+            {
+                "top_k": top_k,
+                "features": {k: list(np.asarray(v).shape[1:]) for k, v in example.items()},
+                "dtypes": {k: str(np.asarray(v).dtype) for k, v in example.items()},
+                "batch_polymorphic": batch_polymorphic,
+            },
+            f,
+        )
+    return path
+
+
+class InferenceRunner:
+    """In-process predictor over an exported artifact (Triton-ensemble analog)."""
+
+    def __init__(self, path: str):
+        from jax import export as jexport
+
+        with open(os.path.join(path, "model.stablehlo"), "rb") as f:
+            self._exported = jexport.deserialize(f.read())
+        with open(os.path.join(path, "metadata.json")) as f:
+            self.metadata = json.load(f)
+        self.input_schema = Schema.from_json(os.path.join(path, "input_schema.json"))
+        self.output_schema = Schema.from_json(os.path.join(path, "output_schema.json"))
+
+    def predict(self, batch: Dict[str, np.ndarray]):
+        feats = self.metadata["features"]
+        dtypes = self.metadata["dtypes"]
+        arrs = {
+            k: jnp.asarray(np.asarray(v, dtype=dtypes[k]))
+            for k, v in batch.items()
+            if k in feats
+        }
+        out = self._exported.call(arrs)
+        if isinstance(out, (tuple, list)) and len(out) == 2:
+            scores, ids = out
+            return np.asarray(scores), np.asarray(ids)
+        return np.asarray(out)
+
+
+def load_runner(path: str) -> InferenceRunner:
+    return InferenceRunner(path)
