@@ -47,7 +47,8 @@ def main():
         num_items=NUM_ITEMS, num_categories=150, max_session_length=SEQ
     )
     input_module = tr.TabularSequenceFeatures.from_schema(
-        schema, d_output=D_MODEL, masking="mlm", aggregation="concat"
+        schema, d_output=D_MODEL, masking="mlm", aggregation="concat",
+        masking_kwargs={"mlm_probability": 0.3},  # paper config (test_integration.sh)
     )
     cfg = tr.XLNetConfig.build(
         d_model=D_MODEL, n_head=N_HEAD, n_layer=N_LAYER, total_seq_length=SEQ,
@@ -94,13 +95,15 @@ def main():
     for i in range(WARMUP):
         rng, sub = jax.random.split(rng)
         params, opt_state, loss = train_step(params, opt_state, batch, sub)
-    jax.block_until_ready(loss)
+    # force full completion with a host transfer: on the tunneled axon backend
+    # block_until_ready alone under-reports (async dispatch artifact)
+    float(loss)
 
     t0 = time.perf_counter()
     for i in range(STEPS):
         rng, sub = jax.random.split(rng)
         params, opt_state, loss = train_step(params, opt_state, batch, sub)
-    jax.block_until_ready(loss)
+    float(loss)
     dt = time.perf_counter() - t0
 
     examples_per_sec_per_chip = STEPS * batch_size / dt / n_chips

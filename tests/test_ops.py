@@ -1,0 +1,154 @@
+"""Fused vocab-op tests (scan fallback on CPU; the same code path the Pallas
+kernels mirror — kernel-vs-fallback equivalence is exercised on TPU by bench
+and verified manually against f32-accumulation references)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from transformers4rec_tpu.ops import fused_label_rank, fused_softmax_ce, fused_topk
+
+N, V, E = 64, 1000, 32
+
+
+@pytest.fixture(scope="module")
+def data():
+    x = jax.random.normal(jax.random.PRNGKey(0), (N, E), jnp.float32)
+    W = jax.random.normal(jax.random.PRNGKey(1), (V, E), jnp.float32) * 0.05
+    labels = jax.random.randint(jax.random.PRNGKey(2), (N,), 0, V)
+    weights = (jax.random.uniform(jax.random.PRNGKey(3), (N,)) > 0.4).astype(jnp.float32)
+    return x, W, labels, weights
+
+
+def _ref_logits(x, W):
+    return jnp.einsum(
+        "ne,ve->nv", x.astype(jnp.bfloat16), W.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def test_fused_ce_matches_reference(data):
+    x, W, labels, weights = data
+    logits = _ref_logits(x, W)
+    lp = jax.nn.log_softmax(logits)
+    nll = -jnp.take_along_axis(lp, labels[:, None], 1)[:, 0]
+    ref = (nll * weights).sum() / weights.sum()
+    got = fused_softmax_ce(x, W, labels, weights, 64, 256)
+    np.testing.assert_allclose(float(ref), float(got), rtol=1e-4)
+
+
+def test_fused_ce_gradients_match(data):
+    x, W, labels, weights = data
+
+    def ref_fn(x_, W_):
+        lp = jax.nn.log_softmax(_ref_logits(x_, W_))
+        nll = -jnp.take_along_axis(lp, labels[:, None], 1)[:, 0]
+        return (nll * weights).sum() / weights.sum()
+
+    gx_ref, gW_ref = jax.grad(ref_fn, argnums=(0, 1))(x, W)
+    gx, gW = jax.grad(
+        lambda a, b: fused_softmax_ce(a, b, labels, weights, 64, 256),
+        argnums=(0, 1),
+    )(x, W)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=2e-2, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gW), np.asarray(gW_ref), rtol=2e-2, atol=1e-5)
+
+
+def test_fused_ce_zero_weight_rows_ignored(data):
+    x, W, labels, _ = data
+    w1 = jnp.ones((N,)).at[10:].set(0.0)
+    got = fused_softmax_ce(x, W, labels, w1, 64, 256)
+    ref = fused_softmax_ce(x[:10], W, labels[:10], jnp.ones((10,)), 64, 256)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+
+def test_fused_label_rank_exact(data):
+    x, W, labels, _ = data
+    logits = _ref_logits(x, W)
+    ll = jnp.take_along_axis(logits, labels[:, None], 1)
+    ref = (logits > ll).sum(axis=1)
+    got = fused_label_rank(x, W, labels, 64, 256)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_fused_topk_matches_direct(data):
+    x, W, labels, _ = data
+    logits = _ref_logits(x, W)
+    rs, ri = jax.lax.top_k(logits, 10)
+    ts, ti = fused_topk(x, W, 10, chunk=256)
+    np.testing.assert_allclose(np.asarray(ts), np.asarray(rs), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ti), np.asarray(ri))
+
+
+def test_fused_ce_nondivisible_vocab():
+    """V not a multiple of the block: padded tail must not leak into loss."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 16))
+    W = jax.random.normal(jax.random.PRNGKey(1), (777, 16)) * 0.1
+    labels = jnp.asarray([0, 1, 775, 776, 3, 4, 5, 6])
+    w = jnp.ones((8,))
+    lp = jax.nn.log_softmax(_ref_logits(x, W))
+    ref = -jnp.take_along_axis(lp, labels[:, None], 1).mean()
+    got = fused_softmax_ce(x, W, labels, w, 8, 256)
+    np.testing.assert_allclose(float(ref), float(got), rtol=1e-4)
+
+
+def test_loss_budget_training_path():
+    """MLM loss-budget gather must keep the loss close to the full-position
+    loss when the budget covers all targets."""
+    import transformers4rec_tpu as tr
+    from transformers4rec_tpu.data.synthetic import (
+        synthetic_data,
+        synthetic_ecommerce_data_schema,
+    )
+
+    schema = synthetic_ecommerce_data_schema(
+        num_items=300, num_categories=20, max_session_length=10
+    )
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_data(schema, num_rows=8, max_session_length=10, seed=0).items()
+    }
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "masking": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+        "sampling": jax.random.PRNGKey(3),
+    }
+    ar = {k: v for k, v in rngs.items() if k != "params"}
+
+    def build(budget):
+        im = tr.TabularSequenceFeatures.from_schema(
+            schema, d_output=16, masking="mlm", aggregation="concat"
+        )
+        cfg = tr.transformer_registry.parse("bert").build(16, 2, 1, 10, dropout=0.0)
+        return cfg.to_model(
+            im, tr.NextItemPredictionTask(weight_tying=True, loss_budget=budget)
+        )
+
+    m_full = build(1.0)
+    m_budget = build(0.9)  # ≥ any possible target count
+    params = m_full.init(rngs, batch, training=True)
+    l_full, _ = m_full.apply(params, batch, training=True, rngs=ar)
+    l_budget, _ = m_budget.apply(params, batch, training=True, rngs=ar)
+    np.testing.assert_allclose(float(l_full), float(l_budget), rtol=1e-5)
+
+
+def test_head_sets_mlm_loss_budget():
+    import transformers4rec_tpu as tr
+    from transformers4rec_tpu.data.synthetic import synthetic_ecommerce_data_schema
+
+    schema = synthetic_ecommerce_data_schema(num_items=100, num_categories=10)
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=16, masking="mlm", aggregation="concat",
+        masking_kwargs={"mlm_probability": 0.3},
+    )
+    head = tr.Head.from_body(input_module=im, transformer="bert")
+    task = head.tasks[0]
+    np.testing.assert_allclose(task.loss_budget, 0.7, rtol=1e-6)
+    # CLM: no budget
+    im2 = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=16, masking="clm", aggregation="concat"
+    )
+    head2 = tr.Head.from_body(input_module=im2, transformer="gpt2")
+    assert head2.tasks[0].loss_budget is None

@@ -49,6 +49,7 @@ class TabularSequenceFeatures(TabularFeatures):
         projection: Optional[Sequence[int]] = None,
         d_output: Optional[int] = None,
         masking: Optional[Union[str, MaskSequence]] = None,
+        masking_kwargs: Optional[dict] = None,
         **kwargs,
     ) -> "TabularSequenceFeatures":
         base = super().from_schema(
@@ -81,7 +82,9 @@ class TabularSequenceFeatures(TabularFeatures):
                 if hidden is None:
                     # hidden = aggregated size when no projection
                     hidden = base.clone(aggregation=agg).output_size()
-                mask_module = masking_registry.parse(masking)(hidden_size=hidden)
+                mask_module = masking_registry.parse(masking)(
+                    hidden_size=hidden, **(masking_kwargs or {})
+                )
             else:
                 mask_module = masking
 

@@ -201,6 +201,16 @@ class NextItemPredictionTask(PredictionTask):
     # default eval_on_last_item_seq_only mode) → logits computed on ONE
     # gathered position per session instead of all S positions.
     eval_single_target: bool = True
+    # fused large-vocab ops (ops/vocab.py): CE loss + ranking metrics without
+    # materializing (N, V) logits — Pallas kernels on TPU, lax.scan elsewhere.
+    # Disabled automatically when label_smoothing > 0 (unfused path supports it).
+    use_fused_ops: bool = True
+    # loss-position budget: at train time gather the masked (target-carrying)
+    # positions into ceil(B*S*budget) static rows before the vocab CE — under
+    # MLM p=0.3 only ~30% of positions carry loss, so budget 0.5 halves the
+    # dominant GEMM with negligible target loss. None = all positions.
+    # Set automatically by Head.from_body for MLM/RTD maskings.
+    loss_budget: Optional[float] = None
 
     def _output_weights(self, info: MaskingInfo, d_in: int):
         if self.weight_tying:
@@ -269,6 +279,7 @@ class NextItemPredictionTask(PredictionTask):
         x = self._project(x, W.shape[-1])
         temp = self.softmax_temperature or 1.0
 
+        fused = self.use_fused_ops and self.label_smoothing == 0.0
         if training or testing:
             targets = info.targets  # (B, S)
             mask = info.mask.astype(jnp.float32)  # (B, S)
@@ -291,6 +302,17 @@ class NextItemPredictionTask(PredictionTask):
                 row_valid = info.mask.any(axis=1).astype(jnp.float32)
                 xg = jnp.take_along_axis(x, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
                 labels = jnp.take_along_axis(targets, idx[:, None].astype(jnp.int32), axis=1)[:, 0]
+                if fused:
+                    from ..ops.vocab import fused_label_rank, fused_softmax_ce
+
+                    xs = xg / temp
+                    loss = fused_softmax_ce(xs, W, labels.astype(jnp.int32), row_valid)
+                    metrics = None
+                    if compute_metrics:
+                        rank = fused_label_rank(xs, W, labels.astype(jnp.int32))
+                        metrics = metrics_from_ranks(rank, self.metrics, weights=row_valid)
+                    return TaskOutput(loss=loss, labels=labels, predictions=None,
+                                      weights=row_valid, metrics=metrics)
                 logits = jnp.einsum("be,ve->bv", xg, W,
                                     preferred_element_type=jnp.float32) / temp
                 loss = cross_entropy_with_logits(
@@ -304,23 +326,48 @@ class NextItemPredictionTask(PredictionTask):
                     )
                 return TaskOutput(loss=loss, labels=labels, predictions=logits,
                                   weights=row_valid, metrics=metrics)
-            # full-position path: (B, S, V) logits, masked mean CE
+            # full-position path over (B*S) rows
+            N = targets.shape[0] * targets.shape[1]
+            flat_labels = targets.reshape(N)
+            flat_mask = mask.reshape(N)
+            if fused:
+                from ..ops.vocab import fused_label_rank, fused_softmax_ce
+
+                x2d = x.reshape(N, -1) / temp
+                if training and self.loss_budget is not None and self.loss_budget < 1.0:
+                    M = max(int(N * self.loss_budget), 1)
+                    # stable argsort puts target positions first; overflow
+                    # beyond M (rare at budget ≥ 2·p) drops a few targets
+                    order = jnp.argsort(flat_mask <= 0.0, stable=True)[:M]
+                    xb = jnp.take(x2d, order, axis=0)
+                    lb = jnp.take(flat_labels, order).astype(jnp.int32)
+                    wb = jnp.take(flat_mask, order)
+                    loss = fused_softmax_ce(xb, W, lb, wb)
+                    return TaskOutput(loss=loss, labels=lb, predictions=None,
+                                      weights=wb)
+                loss = fused_softmax_ce(
+                    x2d, W, flat_labels.astype(jnp.int32), flat_mask
+                )
+                metrics = None
+                if compute_metrics and testing:
+                    rank = fused_label_rank(x2d, W, flat_labels.astype(jnp.int32))
+                    metrics = metrics_from_ranks(rank, self.metrics, weights=flat_mask)
+                return TaskOutput(loss=loss, labels=flat_labels, predictions=None,
+                                  weights=flat_mask, metrics=metrics)
             logits = jnp.einsum("bse,ve->bsv", x, W,
                                 preferred_element_type=jnp.float32) / temp
             loss = cross_entropy_with_logits(
                 logits, targets, weights=mask, label_smoothing=self.label_smoothing
             )
-            N = targets.shape[0] * targets.shape[1]
             flat_logits = logits.reshape(N, -1)
-            flat_labels = targets.reshape(N)
             metrics = None
             if compute_metrics and testing:
                 metrics = compute_batch_metrics(
-                    flat_logits, flat_labels, self.metrics, weights=mask.reshape(N)
+                    flat_logits, flat_labels, self.metrics, weights=flat_mask
                 )
             return TaskOutput(loss=loss, labels=flat_labels,
                               predictions=flat_logits if testing else None,
-                              weights=mask.reshape(N), metrics=metrics)
+                              weights=flat_mask, metrics=metrics)
 
         # ---------------- inference: score the next item per session ----------
         item_ids = info.item_ids
@@ -330,6 +377,14 @@ class NextItemPredictionTask(PredictionTask):
         extended = info.pad_mask is not None and info.pad_mask.shape[1] > item_ids.shape[1]
         last_idx = jnp.clip(non_pad if extended else non_pad - 1, 0, x.shape[1] - 1)
         xg = jnp.take_along_axis(x, last_idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+        # (isinstance check keeps shape-polymorphic serving export tractable —
+        # symbolic batch dims can't be compared against the threshold)
+        if (top_k is not None and fused and isinstance(xg.shape[0], int)
+                and xg.shape[0] * W.shape[0] > 1_000_000_000):
+            # huge N×V: streamed top-k merge (peak memory O(N·chunk))
+            from ..ops.vocab import fused_topk
+
+            return fused_topk(xg / temp, W, top_k)
         scores = jnp.einsum("be,ve->bv", xg, W,
                             preferred_element_type=jnp.float32) / temp
         if top_k is None:

@@ -1,0 +1,3 @@
+from .vocab import fused_label_rank, fused_softmax_ce, fused_topk
+
+__all__ = ["fused_label_rank", "fused_softmax_ce", "fused_topk"]

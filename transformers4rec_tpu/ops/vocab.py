@@ -1,0 +1,492 @@
+"""Fused large-vocab output ops: softmax-CE, label rank, top-k.
+
+The hot op of the whole framework (SURVEY.md §3.1: "vocab-size GEMM" in
+_NextItemPredictionTask, reference prediction_task.py:648-696): scoring
+(N, E) hidden states against a (V, E) item table with V up to 390k–100M.
+Materializing (N, V) logits costs gigabytes of HBM traffic per step — measured
+~33ms of a 42ms train step at the REES46 config on TPU v5e.
+
+Pallas TPU kernels stream the vocab in VMEM-resident tiles:
+- ``fused_softmax_ce``: online-logsumexp CE forward + all-GEMM custom backward
+  (dW = Pᵀ(coef·x) per tile, dx = ΣP·W) — logits never touch HBM.
+- ``fused_label_rank``: exact rank of the label logit via streaming
+  count-of-greater — replaces top-k + one-hot for single-label ranking
+  metrics (SURVEY.md §7.4 point 5).
+- ``fused_topk``: streamed top-k merge over vocab tiles for serving.
+
+Every op has a pure-JAX ``lax.scan`` fallback (used on CPU and as the
+numerics reference in tests). bf16 GEMM inputs, f32 accumulation throughout.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _pad_rows(W: jnp.ndarray, multiple: int) -> Tuple[jnp.ndarray, int]:
+    V = W.shape[0]
+    Vp = ((V + multiple - 1) // multiple) * multiple
+    if Vp != V:
+        W = jnp.pad(W, ((0, Vp - V), (0, 0)))
+    return W, Vp
+
+
+# =========================================================================
+# forward: online-logsumexp + label logit
+# =========================================================================
+
+
+def _ce_fwd_kernel(v_total_ref, x_ref, w_ref, lbl_ref, lse_ref, ll_ref, m_sc, s_sc, ll_sc):
+    """Grid (nN, nV), V minor. Scratch (m, s, ll) persists across the V loop."""
+    vi = pl.program_id(1)
+    nv = pl.num_programs(1)
+    BV = w_ref.shape[0]
+
+    @pl.when(vi == 0)
+    def _():
+        m_sc[:] = jnp.full_like(m_sc, NEG)
+        s_sc[:] = jnp.zeros_like(s_sc)
+        ll_sc[:] = jnp.zeros_like(ll_sc)
+
+    logits = jax.lax.dot_general(
+        x_ref[:], w_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BN, BV)
+    col0 = vi * BV
+    col = col0 + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    valid = col < v_total_ref[0]
+    logits = jnp.where(valid, logits, NEG)
+
+    m_prev = m_sc[:, 0]
+    m_new = jnp.maximum(m_prev, logits.max(axis=1))
+    s_sc[:, 0] = s_sc[:, 0] * jnp.exp(m_prev - m_new) + jnp.exp(
+        logits - m_new[:, None]
+    ).sum(axis=1)
+    m_sc[:, 0] = m_new
+
+    is_label = col == lbl_ref[:]  # (BN, BV) vs (BN, 1) broadcast
+    ll_sc[:, 0] = ll_sc[:, 0] + jnp.where(is_label, logits, 0.0).sum(axis=1)
+
+    @pl.when(vi == nv - 1)
+    def _():
+        lse_ref[:, 0] = m_sc[:, 0] + jnp.log(s_sc[:, 0])
+        ll_ref[:, 0] = ll_sc[:, 0]
+
+
+def _ce_fwd_pallas(x, W, labels, bn: int, bv: int):
+    N, E = x.shape
+    V = W.shape[0]
+    Wp, Vp = _pad_rows(W, bv)
+    Np = ((N + bn - 1) // bn) * bn
+    xp = jnp.pad(x, ((0, Np - N), (0, 0))) if Np != N else x
+    lblp = jnp.pad(labels, (0, Np - N)) if Np != N else labels
+
+    grid = (Np // bn, Vp // bv)
+    lse, ll = pl.pallas_call(
+        _ce_fwd_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bn, E), lambda i, j, *_: (i, 0)),
+                pl.BlockSpec((bv, E), lambda i, j, *_: (j, 0)),
+                pl.BlockSpec((bn, 1), lambda i, j, *_: (i, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((bn, 1), lambda i, j, *_: (i, 0)),
+                pl.BlockSpec((bn, 1), lambda i, j, *_: (i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bn, 1), jnp.float32),
+                pltpu.VMEM((bn, 1), jnp.float32),
+                pltpu.VMEM((bn, 1), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+        ],
+    )(
+        jnp.asarray([V], jnp.int32),
+        xp.astype(jnp.bfloat16),
+        Wp.astype(jnp.bfloat16),
+        lblp[:, None].astype(jnp.int32),
+    )
+    return lse[:N, 0], ll[:N, 0]
+
+
+def _ce_fwd_scan(x, W, labels, chunk: int):
+    N, E = x.shape
+    V = W.shape[0]
+    Wp, Vp = _pad_rows(W, chunk)
+    xb = x.astype(jnp.bfloat16)
+    Wb = Wp.astype(jnp.bfloat16).reshape(Vp // chunk, chunk, E)
+
+    def body(carry, args):
+        m, s, ll = carry
+        Wc, idx0 = args
+        logits = jnp.einsum("ne,ce->nc", xb, Wc, preferred_element_type=jnp.float32)
+        col = idx0 + jnp.arange(chunk)
+        logits = jnp.where((col < V)[None, :], logits, NEG)
+        m_new = jnp.maximum(m, logits.max(-1))
+        s = s * jnp.exp(m - m_new) + jnp.exp(logits - m_new[:, None]).sum(-1)
+        ll = ll + jnp.where(col[None, :] == labels[:, None], logits, 0.0).sum(-1)
+        return (m_new, s, ll), None
+
+    init = (jnp.full((N,), NEG), jnp.zeros((N,)), jnp.zeros((N,)))
+    idxs = jnp.arange(Vp // chunk) * chunk
+    (m, s, ll), _ = jax.lax.scan(body, init, (Wb, idxs))
+    return m + jnp.log(s), ll
+
+
+# =========================================================================
+# backward: dx (V-minor accumulation) and dW (N-minor accumulation)
+# =========================================================================
+
+
+def _ce_bwd_dx_kernel(v_total_ref, x_ref, w_ref, lbl_ref, lse_ref, coef_ref,
+                      dx_ref, acc_sc):
+    vi = pl.program_id(1)
+    nv = pl.num_programs(1)
+    BV = w_ref.shape[0]
+
+    @pl.when(vi == 0)
+    def _():
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+
+    logits = jax.lax.dot_general(
+        x_ref[:], w_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    col = vi * BV + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    valid = col < v_total_ref[0]
+    p = jnp.where(valid, jnp.exp(logits - lse_ref[:]), 0.0)
+    p = p - jnp.where(col == lbl_ref[:], 1.0, 0.0)
+    p = p * coef_ref[:]
+    acc_sc[:, :] += jax.lax.dot_general(
+        p.astype(jnp.bfloat16), w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(vi == nv - 1)
+    def _():
+        dx_ref[:, :] = acc_sc[:, :]
+
+
+def _ce_bwd_dw_kernel(v_total_ref, x_ref, w_ref, lbl_ref, lse_ref, coef_ref,
+                      dw_ref, acc_sc):
+    ni = pl.program_id(1)
+    nn = pl.num_programs(1)
+    BV = w_ref.shape[0]
+
+    @pl.when(ni == 0)
+    def _():
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+
+    logits = jax.lax.dot_general(
+        x_ref[:], w_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BN, BV)
+    vi = pl.program_id(0)
+    col = vi * BV + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    valid = col < v_total_ref[0]
+    p = jnp.where(valid, jnp.exp(logits - lse_ref[:]), 0.0)
+    p = p - jnp.where(col == lbl_ref[:], 1.0, 0.0)
+    p = p * coef_ref[:]
+    # dW_tile += pᵀ @ x  : (BV, BN) @ (BN, E)
+    acc_sc[:, :] += jax.lax.dot_general(
+        p.astype(jnp.bfloat16), x_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ni == nn - 1)
+    def _():
+        dw_ref[:, :] = acc_sc[:, :]
+
+
+def _ce_bwd_pallas(x, W, labels, lse, coef, bn: int, bv: int):
+    # backward tiles carry an (bv, E) f32 accumulator + (bn, bv) probs in VMEM;
+    # cap bv so the kernel stays under the 16MB VMEM budget
+    bv = min(bv, 2048)
+    N, E = x.shape
+    V = W.shape[0]
+    Wp, Vp = _pad_rows(W, bv)
+    Np = ((N + bn - 1) // bn) * bn
+    pad_n = Np != N
+    xp = jnp.pad(x, ((0, Np - N), (0, 0))) if pad_n else x
+    lblp = jnp.pad(labels, (0, Np - N), constant_values=-1) if pad_n else labels
+    lsep = jnp.pad(lse, (0, Np - N)) if pad_n else lse
+    coefp = jnp.pad(coef, (0, Np - N)) if pad_n else coef  # 0 for pad rows
+
+    v_arg = jnp.asarray([V], jnp.int32)
+    xb = xp.astype(jnp.bfloat16)
+    Wb = Wp.astype(jnp.bfloat16)
+    lbl2 = lblp[:, None].astype(jnp.int32)
+    lse2 = lsep[:, None].astype(jnp.float32)
+    coef2 = coefp[:, None].astype(jnp.float32)
+
+    dx = pl.pallas_call(
+        _ce_bwd_dx_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Np // bn, Vp // bv),
+            in_specs=[
+                pl.BlockSpec((bn, E), lambda i, j, *_: (i, 0)),
+                pl.BlockSpec((bv, E), lambda i, j, *_: (j, 0)),
+                pl.BlockSpec((bn, 1), lambda i, j, *_: (i, 0)),
+                pl.BlockSpec((bn, 1), lambda i, j, *_: (i, 0)),
+                pl.BlockSpec((bn, 1), lambda i, j, *_: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((bn, E), lambda i, j, *_: (i, 0)),
+            scratch_shapes=[pltpu.VMEM((bn, E), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Np, E), jnp.float32),
+    )(v_arg, xb, Wb, lbl2, lse2, coef2)
+
+    dW = pl.pallas_call(
+        _ce_bwd_dw_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Vp // bv, Np // bn),  # N minor: accumulate dW tile
+            in_specs=[
+                pl.BlockSpec((bn, E), lambda j, i, *_: (i, 0)),
+                pl.BlockSpec((bv, E), lambda j, i, *_: (j, 0)),
+                pl.BlockSpec((bn, 1), lambda j, i, *_: (i, 0)),
+                pl.BlockSpec((bn, 1), lambda j, i, *_: (i, 0)),
+                pl.BlockSpec((bn, 1), lambda j, i, *_: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((bv, E), lambda j, i, *_: (j, 0)),
+            scratch_shapes=[pltpu.VMEM((bv, E), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Vp, E), jnp.float32),
+    )(v_arg, xb, Wb, lbl2, lse2, coef2)
+
+    return dx[:N], dW[:V]
+
+
+def _ce_bwd_scan(x, W, labels, lse, coef, chunk: int):
+    N, E = x.shape
+    V = W.shape[0]
+    Wp, Vp = _pad_rows(W, chunk)
+    xb = x.astype(jnp.bfloat16)
+    Wb = Wp.astype(jnp.bfloat16).reshape(Vp // chunk, chunk, E)
+
+    def body(dx, args):
+        Wc, idx0 = args
+        logits = jnp.einsum("ne,ce->nc", xb, Wc, preferred_element_type=jnp.float32)
+        col = idx0 + jnp.arange(chunk)
+        p = jnp.where((col < V)[None, :], jnp.exp(logits - lse[:, None]), 0.0)
+        p = p - (col[None, :] == labels[:, None]).astype(jnp.float32)
+        p = p * coef[:, None]
+        dWc = jnp.einsum("nc,ne->ce", p.astype(jnp.bfloat16), xb,
+                         preferred_element_type=jnp.float32)
+        dx = dx + jnp.einsum("nc,ce->ne", p.astype(jnp.bfloat16), Wc,
+                             preferred_element_type=jnp.float32)
+        return dx, dWc
+
+    idxs = jnp.arange(Vp // chunk) * chunk
+    dx, dWs = jax.lax.scan(body, jnp.zeros((N, E), jnp.float32), (Wb, idxs))
+    dW = dWs.reshape(Vp, E)[:V]
+    return dx, dW
+
+
+# =========================================================================
+# public op
+# =========================================================================
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_softmax_ce(
+    x: jnp.ndarray,
+    W: jnp.ndarray,
+    labels: jnp.ndarray,
+    weights: jnp.ndarray,
+    block_n: int = 256,
+    block_v: int = 4096,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Weighted-mean CE of ``x @ W.T`` vs ``labels`` without materializing
+    logits. x: (N, E); W: (V, E); labels: (N,) int; weights: (N,) float."""
+    lse, ll = _ce_forward_dispatch(x, W, labels, block_n, block_v, use_pallas)
+    w = weights.astype(jnp.float32)
+    return ((lse - ll) * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+
+def _ce_forward_dispatch(x, W, labels, block_n, block_v, use_pallas):
+    on_tpu = _on_tpu() if use_pallas is None else use_pallas
+    if on_tpu:
+        return _ce_fwd_pallas(x, W, labels, block_n, block_v)
+    return _ce_fwd_scan(x, W, labels, block_v)
+
+
+def _fused_ce_fwd(x, W, labels, weights, block_n, block_v, use_pallas):
+    lse, ll = _ce_forward_dispatch(x, W, labels, block_n, block_v, use_pallas)
+    w = weights.astype(jnp.float32)
+    wsum = jnp.maximum(w.sum(), 1.0)
+    loss = ((lse - ll) * w).sum() / wsum
+    return loss, (x, W, labels, w, wsum, lse)
+
+
+def _fused_ce_bwd(block_n, block_v, use_pallas, res, g):
+    x, W, labels, w, wsum, lse = res
+    coef = g * w / wsum  # (N,)
+    on_tpu = _on_tpu() if use_pallas is None else use_pallas
+    if on_tpu:
+        dx, dW = _ce_bwd_pallas(x, W, labels, lse, coef, block_n, block_v)
+    else:
+        dx, dW = _ce_bwd_scan(x, W, labels, lse, coef, block_v)
+    return dx.astype(x.dtype), dW.astype(W.dtype), None, None
+
+
+fused_softmax_ce.defvjp(_fused_ce_fwd, _fused_ce_bwd)
+
+
+# =========================================================================
+# label rank (streaming count-of-greater) — for ranking metrics
+# =========================================================================
+
+
+def _rank_kernel(v_total_ref, x_ref, w_ref, lbl_ref, ll_ref, rank_ref, cnt_sc):
+    vi = pl.program_id(1)
+    nv = pl.num_programs(1)
+    BV = w_ref.shape[0]
+
+    @pl.when(vi == 0)
+    def _():
+        cnt_sc[:] = jnp.zeros_like(cnt_sc)
+
+    logits = jax.lax.dot_general(
+        x_ref[:], w_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    col = vi * BV + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    valid = col < v_total_ref[0]
+    greater = valid & (logits > ll_ref[:])
+    cnt_sc[:, 0] += greater.sum(axis=1).astype(jnp.float32)
+
+    @pl.when(vi == nv - 1)
+    def _():
+        rank_ref[:, 0] = cnt_sc[:, 0].astype(jnp.int32)
+
+
+def fused_label_rank(
+    x: jnp.ndarray,
+    W: jnp.ndarray,
+    labels: jnp.ndarray,
+    block_n: int = 256,
+    block_v: int = 4096,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Exact 0-based rank of each label's logit among all V logits
+    (count of strictly-greater logits). Never materializes (N, V) nor sorts.
+    Equivalent to ``label_ranks(scores, labels, max_k)`` for rank < max_k."""
+    on_tpu = _on_tpu() if use_pallas is None else use_pallas
+    N, E = x.shape
+    V = W.shape[0]
+    # label logit first (reuse CE forward machinery)
+    if on_tpu:
+        _, ll = _ce_fwd_pallas(x, W, labels, block_n, block_v)
+        Wp, Vp = _pad_rows(W, block_v)
+        Np = ((N + block_n - 1) // block_n) * block_n
+        xp = jnp.pad(x, ((0, Np - N), (0, 0))) if Np != N else x
+        lblp = jnp.pad(labels, (0, Np - N)) if Np != N else labels
+        llp = jnp.pad(ll, (0, Np - N)) if Np != N else ll
+        rank = pl.pallas_call(
+            _rank_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(Np // block_n, Vp // block_v),
+                in_specs=[
+                    pl.BlockSpec((block_n, E), lambda i, j, *_: (i, 0)),
+                    pl.BlockSpec((block_v, E), lambda i, j, *_: (j, 0)),
+                    pl.BlockSpec((block_n, 1), lambda i, j, *_: (i, 0)),
+                    pl.BlockSpec((block_n, 1), lambda i, j, *_: (i, 0)),
+                ],
+                out_specs=pl.BlockSpec((block_n, 1), lambda i, j, *_: (i, 0)),
+                scratch_shapes=[pltpu.VMEM((block_n, 1), jnp.float32)],
+            ),
+            out_shape=jax.ShapeDtypeStruct((Np, 1), jnp.int32),
+        )(
+            jnp.asarray([V], jnp.int32),
+            xp.astype(jnp.bfloat16),
+            Wp.astype(jnp.bfloat16),
+            lblp[:, None].astype(jnp.int32),
+            llp[:, None].astype(jnp.float32),
+        )
+        return rank[:N, 0]
+    # scan fallback
+    _, ll = _ce_fwd_scan(x, W, labels, block_v)
+    Wp, Vp = _pad_rows(W, block_v)
+    xb = x.astype(jnp.bfloat16)
+    Wb = Wp.astype(jnp.bfloat16).reshape(Vp // block_v, block_v, E)
+
+    def body(cnt, args):
+        Wc, idx0 = args
+        logits = jnp.einsum("ne,ce->nc", xb, Wc, preferred_element_type=jnp.float32)
+        col = idx0 + jnp.arange(block_v)
+        greater = (col < V)[None, :] & (logits > ll[:, None])
+        return cnt + greater.sum(-1).astype(jnp.int32), None
+
+    idxs = jnp.arange(Vp // block_v) * block_v
+    rank, _ = jax.lax.scan(body, jnp.zeros((N,), jnp.int32), (Wb, idxs))
+    return rank
+
+
+# =========================================================================
+# streamed top-k (serving / predict)
+# =========================================================================
+
+
+def fused_topk(
+    x: jnp.ndarray,
+    W: jnp.ndarray,
+    k: int,
+    chunk: int = 32768,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k of ``x @ W.T`` via per-chunk top-k + running merge — peak memory
+    O(N*chunk) instead of O(N*V). Pure-JAX (the per-chunk top_k is already a
+    fused XLA sort over VMEM-sized tiles)."""
+    N, E = x.shape
+    V = W.shape[0]
+    Wp, Vp = _pad_rows(W, chunk)
+    xb = x.astype(jnp.bfloat16)
+    Wb = Wp.astype(jnp.bfloat16).reshape(Vp // chunk, chunk, E)
+
+    def body(carry, args):
+        best_s, best_i = carry
+        Wc, idx0 = args
+        logits = jnp.einsum("ne,ce->nc", xb, Wc, preferred_element_type=jnp.float32)
+        col = idx0 + jnp.arange(chunk)
+        logits = jnp.where((col < V)[None, :], logits, NEG)
+        s, i = jax.lax.top_k(logits, k)
+        cat_s = jnp.concatenate([best_s, s], axis=1)
+        cat_i = jnp.concatenate([best_i, i + idx0], axis=1)
+        s2, pos = jax.lax.top_k(cat_s, k)
+        i2 = jnp.take_along_axis(cat_i, pos, axis=1)
+        return (s2, i2), None
+
+    init = (jnp.full((N, k), NEG, jnp.float32), jnp.zeros((N, k), jnp.int32))
+    idxs = jnp.arange(Vp // chunk) * chunk
+    (scores, ids), _ = jax.lax.scan(body, init, (Wb, idxs))
+    return scores, ids
