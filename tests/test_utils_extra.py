@@ -1,0 +1,123 @@
+"""Tests for preproc utils, examples utils, experimental PostContextFusion,
+and the paper-repro driver plumbing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+import transformers4rec_tpu as tr
+from transformers4rec_tpu.utils.data_utils import (
+    add_item_first_seen_col_to_df,
+    remove_consecutive_interactions,
+    session_aggregator,
+)
+
+
+@pytest.fixture
+def interactions_df():
+    return pd.DataFrame(
+        {
+            "session_id": [1, 1, 1, 1, 2, 2, 3],
+            "item_id":    [5, 5, 6, 5, 7, 7, 8],
+            "timestamp":  [10, 11, 12, 13, 9, 14, 20],
+            "category":   [1, 1, 2, 1, 3, 3, 4],
+        }
+    )
+
+
+def test_remove_consecutive_interactions(interactions_df):
+    out = remove_consecutive_interactions(interactions_df)
+    # session 1: 5,5,6,5 -> 5,6,5 ; session 2: 7,7 -> 7
+    assert list(out[out.session_id == 1].item_id) == [5, 6, 5]
+    assert list(out[out.session_id == 2].item_id) == [7]
+    assert len(out[out.session_id == 3]) == 1
+
+
+def test_add_item_first_seen(interactions_df):
+    out = add_item_first_seen_col_to_df(interactions_df)
+    assert "item_ts_first" in out.columns
+    assert out[out.item_id == 5].item_ts_first.unique().tolist() == [10]
+    assert out[out.item_id == 7].item_ts_first.unique().tolist() == [9]
+
+
+def test_session_aggregator(interactions_df, ecommerce_schema):
+    schema = ecommerce_schema.select_by_name(["item_id", "category"])
+    out = session_aggregator(schema, interactions_df, maximum_length=3, minimum_length=2)
+    assert set(out.session_id) == {1, 2}  # session 3 too short
+    row1 = out[out.session_id == 1].iloc[0]
+    assert row1.item_id == [5, 5, 6]  # sorted by ts, trimmed to 3
+
+
+def test_post_context_fusion(ecommerce_schema):
+    from transformers4rec_tpu.blocks import SequentialBlock, TransformerBlock
+    from transformers4rec_tpu.experimental import PostContextFusion
+    from transformers4rec_tpu.data.synthetic import synthetic_data
+    from transformers4rec_tpu.features.tabular import TabularFeatures
+
+    schema = ecommerce_schema
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_data(schema, num_rows=8, max_session_length=20, seed=0).items()
+    }
+    seq = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=32, masking="clm", aggregation="concat"
+    )
+    cfg = tr.transformer_registry.parse("gpt2").build(32, 2, 1, 20)
+    body = SequentialBlock(blocks=(seq, TransformerBlock(transformer=cfg, masking="clm")))
+    context = tr.TabularSequenceFeatures.from_schema(
+        schema.select_by_name(["weekday_sin"]), aggregation="concat"
+    )
+
+    for aggregation, want_dim in [
+        ("elementwise-mul", 32), ("elementwise-sum", 32), ("concat", 33),
+    ]:
+        fused = PostContextFusion(
+            sequential_module=body, post_context_module=context,
+            fusion_aggregation=aggregation,
+        )
+        rngs = {
+            "params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2),
+        }
+        params = fused.init(rngs, batch, training=True)
+        out, info = fused.apply(
+            params, batch, training=True,
+            rngs={k: v for k, v in rngs.items() if k != "params"},
+        )
+        assert out.shape == (8, 20, want_dim)
+        assert info is not None
+
+
+def test_fit_and_evaluate_time_windows(tmp_path, ecommerce_schema):
+    from transformers4rec_tpu.data.synthetic import (
+        generate_item_interactions,
+        interactions_to_sessions,
+    )
+    from transformers4rec_tpu.utils.examples_utils import fit_and_evaluate
+
+    schema = ecommerce_schema.select_by_name(["item_id", "category"])
+    for t in (1, 2, 3):
+        d = tmp_path / str(t)
+        d.mkdir()
+        for split, seed in (("train", t * 2), ("valid", t * 2 + 1)):
+            df = generate_item_interactions(800, schema, seed=seed)
+            interactions_to_sessions(df, schema, max_session_length=20).to_parquet(
+                d / f"{split}.parquet"
+            )
+
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=24, masking="clm", aggregation="concat"
+    )
+    cfg = tr.transformer_registry.parse("gpt2").build(24, 2, 1, 20)
+    model = cfg.to_model(im, tr.NextItemPredictionTask(weight_tying=True))
+    args = tr.T4RecTrainingArguments(
+        output_dir=str(tmp_path / "out"), data_loader_engine="parquet",
+        per_device_train_batch_size=8, per_device_eval_batch_size=8,
+        num_train_epochs=1, max_sequence_length=20,
+    )
+    trainer = tr.Trainer(model=model, args=args, schema=schema)
+    results = fit_and_evaluate(trainer, 1, 2, str(tmp_path))
+    key = "indexed_by_time_eval_/next-item/ndcg@10"
+    assert key in results and len(results[key]) == 2

@@ -9,7 +9,7 @@ serving export.
 
 __version__ = "0.1.0"
 
-from . import blocks, config, data, features, masking, model, parallel, schema, tabular, trainer
+from . import blocks, config, data, experimental, features, masking, model, native, ops, parallel, schema, serving, tabular, trainer, utils
 from .trainer import T4RecTrainingArguments, Trainer
 from .blocks import MLPBlock, SequentialBlock, TransformerBlock, TransformerEncoder
 from .config import T4RecConfig, XLNetConfig, transformer_registry
@@ -45,16 +45,21 @@ __all__ = [
     "blocks",
     "config",
     "data",
+    "experimental",
     "features",
     "masking",
     "masking_registry",
     "model",
+    "native",
+    "ops",
     "parallel",
     "schema",
+    "serving",
     "T4RecTrainingArguments",
     "tabular",
     "trainer",
     "Trainer",
+    "utils",
     "transformer_registry",
     "__version__",
 ]

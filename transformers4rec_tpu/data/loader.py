@@ -173,11 +173,17 @@ class ParquetDataLoader(T4RecDataLoader):
         return order
 
     def _iter_batches(self) -> Iterator[NDArrayDict]:
+        from .. import native
+
         order = self._epoch_order()
         self._epoch += 1
+        use_native = native.available()
         for start in range(0, len(order), self.batch_size):
             sel = order[start : start + self.batch_size]
-            yield {k: v[sel] for k, v in self.data.items()}
+            if use_native:
+                yield {k: native.gather_rows(v, sel) for k, v in self.data.items()}
+            else:
+                yield {k: v[sel] for k, v in self.data.items()}
 
     def __iter__(self) -> Iterator[NDArrayDict]:
         if self.prefetch <= 0:

@@ -18,7 +18,16 @@ NDArrayDict = Dict[str, np.ndarray]
 
 
 def pad_ragged(values: np.ndarray, offsets: np.ndarray, max_len: int) -> np.ndarray:
-    """Densify one ragged column to ``(num_rows, max_len)``, zero padded."""
+    """Densify one ragged column to ``(num_rows, max_len)``, zero padded.
+
+    Dispatches to the multithreaded C++ kernel (native/padding.cc) when the
+    native lib is available; the numpy path below is the exact fallback.
+    """
+    from .. import native
+
+    got = native.pad_ragged(np.asarray(values), np.asarray(offsets), max_len)
+    if got is not None:
+        return got
     offsets = offsets.astype(np.int64)
     num_rows = len(offsets) - 1
     lengths = np.minimum(offsets[1:] - offsets[:-1], max_len)

@@ -1,3 +1,4 @@
+from . import data_utils, examples_utils
 from .registry import Registry
 
-__all__ = ["Registry"]
+__all__ = ["Registry", "data_utils", "examples_utils"]

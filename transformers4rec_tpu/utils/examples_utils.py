@@ -1,0 +1,67 @@
+"""Example-driver utilities.
+
+Parity: /root/reference/transformers4rec/torch/utils/examples_utils.py —
+``fit_and_evaluate`` (:45-98) incremental time-window train/eval and
+``wipe_memory`` (:101-103).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, List
+
+
+def fit_and_evaluate(trainer, start_time_index: int, end_time_index: int,
+                     input_dir: str) -> Dict[str, List[float]]:
+    """Time-window incremental training: train on window t, evaluate on t+1.
+
+    Expects ``input_dir/{t}/train.parquet`` and ``input_dir/{t+1}/valid.parquet``
+    partitions (same layout the reference's NVTabular preprocessing emits).
+    Returns ``{"indexed_by_time_<metric>@k": [scores per window]}``.
+    """
+    indexed_by_time_metrics: Dict[str, List[float]] = {}
+    for time_index in range(start_time_index, end_time_index + 1):
+        train_paths = glob.glob(os.path.join(input_dir, f"{time_index}/train.parquet"))
+        eval_paths = glob.glob(os.path.join(input_dir, f"{time_index + 1}/valid.parquet"))
+
+        print(f"\n***** Launch training for day {time_index}: *****")
+        trainer.train_dataset = train_paths
+        trainer.reset_lr_scheduler()
+        trainer.train()
+
+        trainer.eval_dataset = eval_paths
+        eval_metrics = trainer.evaluate(metric_key_prefix="eval")
+        print(f"\n***** Evaluation results for day {time_index + 1}:*****\n")
+        for key in sorted(eval_metrics.keys()):
+            if "at_" in key:
+                print(f" {key.replace('_at_', '@')} = {eval_metrics[key]}")
+                bucket = "indexed_by_time_" + key.replace("_at_", "@")
+                indexed_by_time_metrics.setdefault(bucket, []).append(eval_metrics[key])
+
+        wipe_memory(trainer)
+    return indexed_by_time_metrics
+
+
+def wipe_memory(trainer=None) -> None:
+    """Free between-window state (reference: gc + cuda empty_cache; here the
+    compiled step caches are dropped and host garbage collected)."""
+    if trainer is not None and hasattr(trainer, "wipe_memory"):
+        trainer.wipe_memory()
+    else:
+        import gc
+
+        gc.collect()
+
+
+def visualize_response(batch, response, top_k: int, session_col: str = "session_id"):
+    """Format a serving response into (session, top-k item ids) rows
+    (reference examples_utils.py:22-42)."""
+    import numpy as np
+
+    scores, ids = response if isinstance(response, tuple) else (None, response)
+    sessions = np.asarray(batch[session_col]) if session_col in batch else np.arange(len(ids))
+    return [
+        {"session": int(s), "top_k_items": [int(i) for i in row[:top_k]]}
+        for s, row in zip(sessions, np.asarray(ids))
+    ]
