@@ -148,6 +148,7 @@ class MultiHeadAttention(nn.Module):
     d_model: int
     n_head: int
     dropout: float = 0.0
+    causal: bool = False  # static: lets the flash kernel build causal inline
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -158,7 +159,7 @@ class MultiHeadAttention(nn.Module):
         bias: jnp.ndarray,
         deterministic: bool = True,
         shared_kv: Optional[tuple] = None,
-        flash_ctx: Optional[tuple] = None,  # (extra_bias, pad_mask, causal)
+        flash_ctx: Optional[tuple] = None,  # (extra_bias, pad_mask)
     ):
         B, S, D = kv_in.shape
         H, Dh = self.n_head, self.d_model // self.n_head
@@ -178,9 +179,9 @@ class MultiHeadAttention(nn.Module):
             # fused Pallas kernel for long sequences (ops/attention.py):
             # causal/pad handled inline, only perm/local/rel biases read as
             # tensors
-            extra_bias, pad_mask, causal = flash_ctx
+            extra_bias, pad_mask = flash_ctx
             ctx = flash_attention(
-                q, k, v, bias=extra_bias, pad_mask=pad_mask, causal=causal
+                q, k, v, bias=extra_bias, pad_mask=pad_mask, causal=self.causal
             ).astype(self.dtype)
         else:
             scale = Dh ** -0.5
@@ -214,6 +215,7 @@ class TransformerLayer(nn.Module):
     attn_dropout: float = 0.0
     layer_norm_eps: float = 1e-12
     activation: str = "gelu"
+    causal: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -228,7 +230,8 @@ class TransformerLayer(nn.Module):
         query_flash_ctx: Optional[tuple] = None,
     ):
         attn = MultiHeadAttention(
-            self.d_model, self.n_head, self.attn_dropout, dtype=self.dtype, name="attn"
+            self.d_model, self.n_head, self.attn_dropout, causal=self.causal,
+            dtype=self.dtype, name="attn",
         )
         ln1 = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="ln1")
         ln2 = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="ln2")
@@ -283,6 +286,7 @@ class TransformerEncoder(nn.Module):
     share_layers: bool = False  # ALBERT cross-layer sharing
     local_window: Optional[int] = None  # Longformer/Reformer local attention
     two_stream: bool = False  # XLNet PLM (activates when perm_mask given)
+    remat: bool = False  # rematerialize layer activations (jax.checkpoint)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -325,7 +329,7 @@ class TransformerEncoder(nn.Module):
         extra = make_extra_bias(S, perm_mask, self.local_window, query_stream=False)
         if rel_bias is not None:
             extra = rel_bias if extra is None else extra + rel_bias
-        flash_ctx = (extra, pad_mask, self.causal)
+        flash_ctx = (extra, pad_mask)
 
         query_hidden = None
         query_bias = None
@@ -348,7 +352,7 @@ class TransformerEncoder(nn.Module):
             q_extra = make_extra_bias(S, perm_mask, self.local_window, query_stream=True)
             if rel_bias is not None:
                 q_extra = rel_bias if q_extra is None else q_extra + rel_bias
-            query_flash_ctx = (q_extra, pad_mask, self.causal)
+            query_flash_ctx = (q_extra, pad_mask)
 
         hidden = nn.Dropout(self.dropout)(hidden, deterministic=deterministic)
         if query_hidden is not None:
@@ -356,19 +360,24 @@ class TransformerEncoder(nn.Module):
                 query_hidden, deterministic=deterministic
             )
 
-        make_layer = lambda i: TransformerLayer(  # noqa: E731
+        layer_cls = (
+            nn.remat(TransformerLayer, static_argnums=(3,)) if self.remat
+            else TransformerLayer
+        )
+        make_layer = lambda i: layer_cls(  # noqa: E731
             d_model=self.d_model, n_head=self.n_head, d_ff=d_ff,
             dropout=self.dropout, attn_dropout=self.attn_dropout,
             layer_norm_eps=self.layer_norm_eps, activation=self.activation,
-            dtype=self.dtype, name=f"layer_{i}",
+            causal=self.causal, dtype=self.dtype, name=f"layer_{i}",
         )
         shared = make_layer("shared") if self.share_layers else None
         for i in range(self.n_layer):
             layer = shared if shared is not None else make_layer(i)
+            # positional call: under nn.remat, `deterministic` must stay a
+            # static argument (static_argnums=(3,), counting self as 0)
             hidden, query_hidden = layer(
-                hidden, bias, deterministic=deterministic,
-                query_hidden=query_hidden, query_bias=query_bias,
-                flash_ctx=flash_ctx, query_flash_ctx=query_flash_ctx,
+                hidden, bias, deterministic, query_hidden, query_bias,
+                flash_ctx, query_flash_ctx,
             )
 
         out = query_hidden if query_hidden is not None else hidden

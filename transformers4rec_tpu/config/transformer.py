@@ -47,6 +47,7 @@ class T4RecConfig:
     share_layers: bool = False
     local_window: Optional[int] = None
     two_stream: bool = False
+    remat: bool = False  # gradient checkpointing (jax.checkpoint per layer)
     # masking scheme this arch was built for (informational; compat-checked in
     # TransformerBlock like the reference block/transformer.py:109-134)
     masking: Optional[str] = None
@@ -79,6 +80,7 @@ class T4RecConfig:
             share_layers=self.share_layers,
             local_window=self.local_window,
             two_stream=self.two_stream,
+            remat=self.remat,
             dtype=self.dtype or jnp.float32,
         )
 

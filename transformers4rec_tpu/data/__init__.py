@@ -7,8 +7,16 @@ from .synthetic import (
     synthetic_data,
     synthetic_ecommerce_data_schema,
 )
+from .testing import (
+    music_streaming_testing_data,
+    tabular_sequence_testing_data,
+    tabular_testing_data,
+)
 
 __all__ = [
+    "music_streaming_testing_data",
+    "tabular_sequence_testing_data",
+    "tabular_testing_data",
     "Dataset",
     "ParquetDataset",
     "ParquetDataLoader",

@@ -314,10 +314,22 @@ class Trainer:
 
     # ------------------------------------------------------------------- eval
     def evaluate(
-        self, eval_dataset=None, metric_key_prefix: str = "eval"
+        self,
+        eval_dataset=None,
+        metric_key_prefix: str = "eval",
+        on_train_set: bool = False,
+        max_steps: Optional[int] = None,
     ) -> Dict[str, float]:
+        """Streaming eval. ``on_train_set=True`` evaluates on the training
+        data capped at ``args.eval_steps_on_train_set`` batches (reference
+        T4RecTrainingArguments.eval_steps_on_train_set)."""
         a = self.args
-        loader = self.get_eval_dataloader(eval_dataset)
+        if on_train_set:
+            loader = self.get_train_dataloader()
+            max_steps = max_steps or a.eval_steps_on_train_set
+            metric_key_prefix = f"{metric_key_prefix}_train"
+        else:
+            loader = self.get_eval_dataloader(eval_dataset)
         if self._train_state is None:
             first = next(iter(loader))
             self._ensure_state(first, 1)
@@ -326,11 +338,16 @@ class Trainer:
 
         start = time.time()
         metric_state: Dict[str, Any] = {}
-        loss_sum, n_batches, n_examples = 0.0, 0, 0
+        # accumulate on device — a host transfer per batch costs ~30ms on a
+        # tunneled TPU backend; one transfer happens at the end
+        loss_sum = jnp.zeros(())
+        n_batches, n_examples = 0, 0
         for i, batch in enumerate(loader):
+            if max_steps is not None and i >= max_steps:
+                break
             sb = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, self.mesh)
             loss, metrics = self._jit_eval_step(self._train_state.params, sb)
-            loss_sum += float(loss)
+            loss_sum = loss_sum + loss
             n_batches += 1
             n_examples += next(iter(batch.values())).shape[0]
             if self.compute_metrics and i % a.compute_metrics_each_n_steps == 0:
@@ -342,7 +359,7 @@ class Trainer:
         runtime = time.time() - start
 
         results = {
-            f"{metric_key_prefix}_loss": loss_sum / max(n_batches, 1),
+            f"{metric_key_prefix}_loss": float(loss_sum) / max(n_batches, 1),
             f"{metric_key_prefix}_runtime": runtime,
             f"{metric_key_prefix}_samples_per_second": n_examples / max(runtime, 1e-9),
         }
@@ -353,7 +370,28 @@ class Trainer:
                 # (trainer.py:683-689, process_metrics :836-845)
                 results[f"{metric_key_prefix}_/{name}"] = float(val)
         self.state.log_history.append(results)
+        if self.args.log_predictions and not on_train_set:
+            self.log_predictions(eval_dataset, metric_key_prefix=metric_key_prefix)
         return results
+
+    def log_predictions(self, dataset=None, metric_key_prefix: str = "eval") -> str:
+        """Dump top-k predicted ids/scores to parquet
+        (reference log_predictions_callback, trainer.py:748-800)."""
+        import pandas as pd
+
+        scores, ids = self.predict(dataset or self.eval_dataset)
+        os.makedirs(self.args.output_dir, exist_ok=True)
+        path = os.path.join(
+            self.args.output_dir,
+            f"pred_logs_{metric_key_prefix}_{self.state.global_step}.parquet",
+        )
+        pd.DataFrame(
+            {
+                "pred_item_ids": list(map(list, ids)),
+                "pred_item_scores": list(map(list, scores.astype(float))),
+            }
+        ).to_parquet(path)
+        return path
 
     # ----------------------------------------------------------------- predict
     def predict(self, test_dataset=None, top_k: Optional[int] = None):
