@@ -114,3 +114,31 @@ def test_sharded_embedding_training_matches_single_device():
         jax.device_get(ref_grads),
         jax.device_get(grads),
     )
+
+
+def test_sharded_embedding_lookup_exact():
+    """Explicit shard_map lookup must equal plain indexing, with grads
+    scatter-added into the local shard only."""
+    from transformers4rec_tpu.parallel import shard_table, sharded_embedding_lookup
+
+    mesh = make_mesh(model=4)
+    V, E = 512, 8
+    table = jax.random.normal(jax.random.PRNGKey(0), (V, E))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (8, 5), 0, V)
+    ts = shard_table(table, mesh)
+    out = sharded_embedding_lookup(ts, ids, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(table[ids]), atol=1e-6)
+
+    g = jax.grad(lambda t: (sharded_embedding_lookup(t, ids, mesh) ** 2).sum())(ts)
+    gref = jax.grad(lambda t: (t[ids] ** 2).sum())(table)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gref), atol=1e-5)
+    assert g.sharding.spec == P("model", None)
+
+
+def test_sharded_embedding_rejects_nondivisible():
+    from transformers4rec_tpu.parallel import shard_table, sharded_embedding_lookup
+
+    mesh = make_mesh(model=4)
+    table = jnp.zeros((510, 8))
+    with pytest.raises(ValueError, match="divide"):
+        sharded_embedding_lookup(table, jnp.zeros((2,), jnp.int32), mesh)

@@ -6,6 +6,7 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .sharded_embedding import shard_table, sharded_embedding_lookup
 
 __all__ = [
     "batch_sharding",
@@ -14,4 +15,6 @@ __all__ = [
     "param_shardings",
     "replicated",
     "shard_batch",
+    "shard_table",
+    "sharded_embedding_lookup",
 ]
