@@ -25,6 +25,12 @@ import numpy as np
 
 
 def main():
+    # persistent compile cache — compiles through the tunnel are slow (60-250s)
+    # and repeated driver runs should reuse them where the backend allows
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import optax
 
     import transformers4rec_tpu as tr
@@ -69,7 +75,10 @@ def main():
         "dropout": jax.random.PRNGKey(2),
         "sampling": jax.random.PRNGKey(3),
     }
-    params = model.init(rngs, batch_host, training=True)
+    # init on a tiny batch: param shapes are batch-independent and the init
+    # forward is a separate (expensive) tunnel compile
+    tiny = {k: v[:8] for k, v in batch_host.items()}
+    params = model.init(rngs, tiny, training=True)
     params = jax.device_put(params, param_shardings(params, mesh))
     tx = optax.adamw(6.7e-4)
     opt_state = tx.init(params)

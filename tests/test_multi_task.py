@@ -1,0 +1,118 @@
+"""Multi-task end-to-end: next-item + binary classification + regression on
+the music-streaming fixture (reference test_model.py multi-head/multi-task
+coverage + the BASELINE 'multi-task stretch' config)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import transformers4rec_tpu as tr
+from transformers4rec_tpu.data import music_streaming_testing_data as ms
+
+RNGS = {
+    "params": jax.random.PRNGKey(0),
+    "masking": jax.random.PRNGKey(1),
+    "dropout": jax.random.PRNGKey(2),
+    "sampling": jax.random.PRNGKey(3),
+}
+APPLY = {k: v for k, v in RNGS.items() if k != "params"}
+
+
+@pytest.fixture(scope="module")
+def batch():
+    from transformers4rec_tpu.data.synthetic import synthetic_data
+
+    data = synthetic_data(ms.schema, num_rows=16, max_session_length=20, seed=5)
+    return {k: jnp.asarray(v) for k, v in data.items()}
+
+
+def test_three_task_model(batch):
+    feature_schema = ms.schema.remove_by_tag(tr.Tags.TARGET)
+    im = tr.TabularSequenceFeatures.from_schema(
+        feature_schema, d_output=32, masking="mlm", aggregation="concat"
+    )
+    cfg = tr.transformer_registry.parse("bert").build(32, 2, 1, 20)
+    head = tr.Head.from_body(
+        input_module=im,
+        transformer=cfg,
+        tasks=[
+            tr.NextItemPredictionTask(weight_tying=True),
+            tr.BinaryClassificationTask(task_name="click", target_name="click"),
+            tr.RegressionTask(task_name="play_percentage",
+                              target_name="play_percentage"),
+        ],
+        task_weights=[1.0, 0.5, 0.5],
+    )
+    model = tr.Model(heads=(head,))
+    params = model.init(RNGS, batch, targets=batch, training=True)
+    loss, outs = model.apply(params, batch, targets=batch, training=True, rngs=APPLY)
+    assert np.isfinite(float(loss))
+    assert set(outs) == {"next-item", "click", "play_percentage"}
+
+    loss_t, outs_t = model.apply(params, batch, targets=batch, testing=True)
+    assert outs_t["next-item"].metrics is not None
+    assert outs_t["click"].metrics is not None
+
+    # trains end-to-end
+    import optax
+
+    opt = optax.adam(5e-3)
+    st = opt.init(params)
+
+    @jax.jit
+    def step(p, s, rng):
+        r = {"masking": rng, "dropout": rng, "sampling": rng}
+
+        def lf(pp):
+            l, _ = model.apply(pp, batch, targets=batch, training=True, rngs=r)
+            return l
+
+        l, g = jax.value_and_grad(lf)(p)
+        u, s = opt.update(g, s)
+        return optax.apply_updates(p, u), s, l
+
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(10):
+        rng, sub = jax.random.split(rng)
+        params, st, l = step(params, st, sub)
+        losses.append(float(l))
+    assert losses[-1] < losses[0]
+
+
+def test_head_from_schema_builds_target_tasks():
+    head = tr.Head.from_schema(
+        ms.schema,
+        body=tr.SequentialBlock(blocks=(
+            tr.TabularSequenceFeatures.from_schema(
+                ms.schema.remove_by_tag(tr.Tags.TARGET),
+                d_output=16, aggregation="concat",
+            ),
+        )),
+    )
+    names = {t.task_name for t in head.tasks}
+    assert "click" in names and "play_percentage" in names
+
+
+def test_predict_top_k_precedence(tmp_path, ecommerce_schema):
+    """trainer predict_top_k wins over model.top_k (reference
+    trainer.py:546-592 interplay)."""
+    im = tr.TabularSequenceFeatures.from_schema(
+        ecommerce_schema, d_output=16, masking="clm", aggregation="concat"
+    )
+    cfg = tr.transformer_registry.parse("gpt2").build(16, 2, 1, 20)
+    head = tr.Head.from_body(input_module=im, transformer=cfg,
+                             tasks=[tr.NextItemPredictionTask(weight_tying=True)])
+    model = tr.Model(heads=(head,), top_k=30)
+    args = tr.T4RecTrainingArguments(
+        output_dir=str(tmp_path), data_loader_engine="synthetic",
+        per_device_train_batch_size=8, num_train_epochs=1,
+        max_sequence_length=20, predict_top_k=12,
+    )
+    trainer = tr.Trainer(model=model, args=args, schema=ecommerce_schema)
+    trainer.train()
+    scores, ids = trainer.predict()            # args.predict_top_k = 12
+    assert ids.shape[1] == 12
+    scores2, ids2 = trainer.predict(top_k=5)   # explicit wins over both
+    assert ids2.shape[1] == 5

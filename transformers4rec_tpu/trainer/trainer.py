@@ -406,15 +406,18 @@ class Trainer:
         k = top_k or a.predict_top_k or self.model.top_k
         model = self.model
 
-        if self._jit_predict_step is None:
-            def predict_step(params, batch):
+        if not isinstance(self._jit_predict_step, dict):
+            self._jit_predict_step = {}
+        if k not in self._jit_predict_step:
+            def predict_step(params, batch, k=k):
                 return model.apply(params, batch, top_k=k)
-            self._jit_predict_step = jax.jit(predict_step)
+            self._jit_predict_step[k] = jax.jit(predict_step)
+        step_fn = self._jit_predict_step[k]
 
         all_scores, all_ids = [], []
         for batch in loader:
             sb = shard_batch({k2: jnp.asarray(v) for k2, v in batch.items()}, self.mesh)
-            scores, ids = self._jit_predict_step(self._train_state.params, sb)
+            scores, ids = step_fn(self._train_state.params, sb)
             all_scores.append(np.asarray(scores))
             all_ids.append(np.asarray(ids))
         return np.concatenate(all_scores), np.concatenate(all_ids)
