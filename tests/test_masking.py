@@ -170,3 +170,48 @@ def test_rtd_fake_tokens():
     assert (d == ((c != np.asarray(ids)) & non_pad)).all()
     # pad positions untouched
     assert (c[~non_pad] == 0).all()
+
+
+def test_plm_mask_ratio_distribution():
+    """PLM span sampling should mask roughly plm_probability of non-pad
+    positions on average (reference masking.py:599-627 semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from transformers4rec_tpu.masking import PermutationLanguageModeling
+
+    plm = PermutationLanguageModeling(hidden_size=8, plm_probability=1 / 6)
+    ids = jnp.asarray(np.random.default_rng(0).integers(1, 100, (64, 20)))
+    ratios = []
+    for seed in range(20):
+        info = plm.compute_masked_targets(
+            jax.random.PRNGKey(seed), ids, training=True
+        )
+        non_pad = (ids != 0).sum()
+        ratios.append(float(info.mask.sum() / non_pad))
+    mean_ratio = float(np.mean(ratios))
+    # span sampling is bursty; the long-run mean must sit near p
+    assert 0.08 < mean_ratio < 0.33, mean_ratio
+
+
+def test_plm_perm_mask_properties():
+    """perm_mask invariants: non-masked positions visible to everyone; masked
+    position i never sees itself (reference masking.py:660-683)."""
+    import jax
+    import jax.numpy as jnp
+
+    from transformers4rec_tpu.masking import PermutationLanguageModeling
+
+    plm = PermutationLanguageModeling(hidden_size=8, plm_probability=0.3)
+    ids = jnp.asarray(np.random.default_rng(1).integers(1, 100, (8, 12)))
+    info = plm.compute_masked_targets(jax.random.PRNGKey(3), ids, training=True)
+    pm = np.asarray(info.perm_mask)
+    mask = np.asarray(info.mask)
+    for b in range(8):
+        for j in range(12):
+            if not mask[b, j]:
+                # non-masked key visible to all queries
+                assert (pm[b, :, j] == 0).all()
+            else:
+                # masked position cannot attend itself
+                assert pm[b, j, j] == 1
