@@ -15,6 +15,7 @@ previous run: {"value": N}), else 1.0 — the reference publishes no numbers
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -84,7 +85,7 @@ def main():
     opt_state = tx.init(params)
     batch = shard_batch(batch_host, mesh)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, rng):
         r = {
             "masking": jax.random.fold_in(rng, 0),

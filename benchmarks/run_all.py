@@ -1,0 +1,183 @@
+"""Benchmark harness over the five BASELINE.md configs.
+
+Each config trains briefly and reports one JSON line:
+``{"config": ..., "examples_per_sec_per_chip": ..., "eval": {...}}``.
+``bench.py`` at the repo root remains the driver's single-line headline
+benchmark (REES46 throughput); this harness covers the full matrix:
+
+1. getting-started-session-based — synthetic sessions, XLNet-MLM
+2. YooChoose ecommerce          — GPT-2 CLM, tied embeddings
+3. REES46 paper config          — XLNet-MLM with side features (schema from
+                                  the reference's rees46_schema.pbtxt)
+4. large-vocab stress           — sharded table + sampled softmax
+                                  (examples/large_vocab_stress.py)
+5. multi-task stretch           — BERT body, next-item + binary + regression
+
+Usage:  python benchmarks/run_all.py [--quick] [--cpu] [--configs 1,2,3,5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def _throughput(trainer, steps: int) -> float:
+    import jax
+
+    loader = trainer.get_train_dataloader()
+    trainer._ensure_state(next(iter(loader)), steps)
+    if trainer._jit_train_step is None:
+        trainer._jit_train_step = trainer._build_train_step()
+    from transformers4rec_tpu.parallel import shard_batch
+    import jax.numpy as jnp
+
+    batches = []
+    it = iter(loader)
+    for _ in range(min(4, len(loader))):
+        batches.append(shard_batch(
+            {k: jnp.asarray(v) for k, v in next(it).items()}, trainer.mesh))
+    # warmup/compile
+    for b in batches[:2]:
+        trainer._train_state, loss = trainer._jit_train_step(trainer._train_state, b)
+    float(loss)
+    n = 0
+    t0 = time.perf_counter()
+    for i in range(steps):
+        b = batches[i % len(batches)]
+        trainer._train_state, loss = trainer._jit_train_step(trainer._train_state, b)
+        n += next(iter(b.values())).shape[0]
+    float(loss)
+    dt = time.perf_counter() - t0
+    return n / dt / max(jax.device_count(), 1)
+
+
+def _make_trainer(model, schema, batch_size, seq_len, engine="synthetic", **kw):
+    import transformers4rec_tpu as tr
+
+    args = tr.T4RecTrainingArguments(
+        output_dir="/tmp/t4r_benchmarks",
+        data_loader_engine=engine,
+        per_device_train_batch_size=batch_size,
+        per_device_eval_batch_size=batch_size,
+        max_sequence_length=seq_len,
+        learning_rate=1e-3,
+        **kw,
+    )
+    return tr.Trainer(model=model, args=args, schema=schema)
+
+
+def config_getting_started(quick: bool):
+    import transformers4rec_tpu as tr
+    from transformers4rec_tpu.data.synthetic import synthetic_ecommerce_data_schema
+
+    schema = synthetic_ecommerce_data_schema(num_items=10000)
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=64, masking="mlm", aggregation="concat")
+    model = tr.XLNetConfig.build(64, 4, 2, 20).to_model(
+        im, tr.NextItemPredictionTask(weight_tying=True))
+    trainer = _make_trainer(model, schema, 32 if quick else 128, 20)
+    tput = _throughput(trainer, 10 if quick else 50)
+    ev = trainer.evaluate()
+    return {"config": "getting-started-xlnet-mlm",
+            "examples_per_sec_per_chip": round(tput, 1),
+            "eval": {k: round(v, 4) for k, v in ev.items() if "at_" in k}}
+
+
+def config_yoochoose(quick: bool):
+    import transformers4rec_tpu as tr
+    from transformers4rec_tpu.data import tabular_sequence_testing_data as ds
+
+    im = tr.TabularSequenceFeatures.from_schema(
+        ds.schema.select_by_name(["item_id", "category"]),
+        d_output=128, masking="clm", aggregation="concat")
+    model = tr.GPT2Config.build(128, 8, 2, 20).to_model(
+        im, tr.NextItemPredictionTask(weight_tying=True))
+    trainer = _make_trainer(
+        model, ds.schema, 32 if quick else 128, 20,
+        engine="parquet")
+    trainer.train_dataset = ds.path
+    trainer.eval_dataset = ds.path
+    tput = _throughput(trainer, 10 if quick else 50)
+    ev = trainer.evaluate()
+    return {"config": "yoochoose-gpt2-clm",
+            "examples_per_sec_per_chip": round(tput, 1),
+            "eval": {k: round(v, 4) for k, v in ev.items() if "at_" in k}}
+
+
+def config_rees46(quick: bool):
+    import transformers4rec_tpu as tr
+    from transformers4rec_tpu.data.synthetic import synthetic_data
+
+    schema = tr.Schema.from_proto_text(
+        "/root/reference/examples/t4rec_paper_experiments/datasets_configs/"
+        "ecom_rees46/rees46_schema.pbtxt")
+    keep = ["sess_pid_seq", "sess_csid_seq", "sess_price_log_norm_seq",
+            "sess_et_dayofweek_sin_seq"]
+    schema = schema.select_by_name([c for c in keep if c in schema.column_names])
+    d = 64 if quick else 192
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=d, masking="mlm", aggregation="concat",
+        masking_kwargs={"mlm_probability": 0.3})
+    # quick (CPU) mode: sampled softmax — the 390k full softmax only makes
+    # sense with the TPU Pallas kernels
+    model = tr.XLNetConfig.build(d, 4 if quick else 16, 2 if quick else 3, 20).to_model(
+        im, tr.NextItemPredictionTask(
+            weight_tying=True, sampled_softmax=quick, max_n_samples=1000))
+    trainer = _make_trainer(model, schema, 32 if quick else 128, 20)
+    tput = _throughput(trainer, 10 if quick else 30)
+    return {"config": "rees46-xlnet-mlm-side-features",
+            "examples_per_sec_per_chip": round(tput, 1)}
+
+
+def config_multitask(quick: bool):
+    import transformers4rec_tpu as tr
+    from transformers4rec_tpu.data import music_streaming_testing_data as ms
+
+    feats = ms.schema.remove_by_tag(tr.Tags.TARGET)
+    im = tr.TabularSequenceFeatures.from_schema(
+        feats, d_output=64, masking="rtd", aggregation="concat")
+    cfg = tr.ElectraConfig.build(64, 4, 2, 20)
+    head = tr.Head.from_body(
+        input_module=im, transformer=cfg,
+        tasks=[tr.NextItemPredictionTask(weight_tying=True),
+               tr.BinaryClassificationTask(task_name="click", target_name="click"),
+               tr.RegressionTask(task_name="play_percentage",
+                                 target_name="play_percentage")])
+    model = tr.Model(heads=(head,))
+    trainer = _make_trainer(model, ms.schema, 32 if quick else 128, 20)
+    tput = _throughput(trainer, 10 if quick else 30)
+    ev = trainer.evaluate()
+    return {"config": "multitask-electra-rtd",
+            "examples_per_sec_per_chip": round(tput, 1),
+            "eval": {k: round(v, 4) for k, v in ev.items() if "at_" in k}}
+
+
+CONFIGS = {
+    "1": config_getting_started,
+    "2": config_yoochoose,
+    "3": config_rees46,
+    "5": config_multitask,
+    # 4 (large-vocab stress) lives in examples/large_vocab_stress.py — its
+    # sharded-table topology doesn't fit the Trainer harness shape
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--configs", default="1,2,3,5")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    for key in args.configs.split(","):
+        result = CONFIGS[key.strip()](args.quick)
+        print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

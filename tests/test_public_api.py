@@ -16,6 +16,14 @@ EXPECTED_TOP_LEVEL = {
     "SequentialBlock",
     "T4RecConfig",
     "T4RecTrainingArguments",
+    "AlbertConfig",
+    "BertConfig",
+    "ElectraConfig",
+    "GPT2Config",
+    "LongformerConfig",
+    "ReformerConfig",
+    "RobertaConfig",
+    "TransfoXLConfig",
     "TabularFeatures",
     "TabularSequenceFeatures",
     "Tags",

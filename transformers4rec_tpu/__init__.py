@@ -12,7 +12,19 @@ __version__ = "0.1.0"
 from . import blocks, config, data, experimental, features, masking, model, native, ops, parallel, schema, serving, tabular, trainer, utils
 from .trainer import T4RecTrainingArguments, Trainer
 from .blocks import MLPBlock, SequentialBlock, TransformerBlock, TransformerEncoder
-from .config import T4RecConfig, XLNetConfig, transformer_registry
+from .config import (
+    AlbertConfig,
+    BertConfig,
+    ElectraConfig,
+    GPT2Config,
+    LongformerConfig,
+    ReformerConfig,
+    RobertaConfig,
+    T4RecConfig,
+    TransfoXLConfig,
+    XLNetConfig,
+    transformer_registry,
+)
 from .features import TabularFeatures, TabularSequenceFeatures
 from .masking import MaskingInfo, masking_registry
 from .model import (
@@ -25,20 +37,28 @@ from .model import (
 from .schema import ColumnSchema, Schema, Tags
 
 __all__ = [
+    "AlbertConfig",
+    "BertConfig",
     "BinaryClassificationTask",
     "ColumnSchema",
+    "ElectraConfig",
+    "GPT2Config",
     "Head",
+    "LongformerConfig",
     "MaskingInfo",
     "MLPBlock",
     "Model",
     "NextItemPredictionTask",
     "RegressionTask",
+    "ReformerConfig",
+    "RobertaConfig",
     "Schema",
     "SequentialBlock",
     "T4RecConfig",
     "TabularFeatures",
     "TabularSequenceFeatures",
     "Tags",
+    "TransfoXLConfig",
     "TransformerBlock",
     "TransformerEncoder",
     "XLNetConfig",
