@@ -224,6 +224,93 @@ def _ce_bwd_dw_kernel(v_total_ref, x_ref, w_ref, lbl_ref, lse_ref, coef_ref,
         dw_ref[:, :] = acc_sc[:, :]
 
 
+def _ce_bwd_fused_kernel(v_total_ref, x_ref, w_ref, lbl_ref, lse_ref, coef_ref,
+                         dw_ref, dxp_ref, acc_sc):
+    """One logits pass produces BOTH gradients: grid (nV outer, nN inner);
+    dW tile accumulates in scratch across N, dx partials per V-tile are
+    written out and summed by the caller."""
+    ni = pl.program_id(1)
+    nn = pl.num_programs(1)
+    vi = pl.program_id(0)
+    BV = w_ref.shape[0]
+
+    @pl.when(ni == 0)
+    def _():
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+
+    logits = jax.lax.dot_general(
+        x_ref[:], w_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    col = vi * BV + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    valid = col < v_total_ref[0]
+    p = jnp.where(valid, jnp.exp(logits - lse_ref[:]), 0.0)
+    p = p - jnp.where(col == lbl_ref[:], 1.0, 0.0)
+    p = (p * coef_ref[:]).astype(jnp.bfloat16)
+    acc_sc[:, :] += jax.lax.dot_general(
+        p, x_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dxp_ref[0, :, :] = jax.lax.dot_general(
+        p, w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ni == nn - 1)
+    def _():
+        dw_ref[:, :] = acc_sc[:, :]
+
+
+def _ce_bwd_pallas_fused(x, W, labels, lse, coef, bn: int, bv: int):
+    bv = min(bv, 2048)
+    N, E = x.shape
+    V = W.shape[0]
+    Wp, Vp = _pad_rows(W, bv)
+    Np = ((N + bn - 1) // bn) * bn
+    pad_n = Np != N
+    xp = jnp.pad(x, ((0, Np - N), (0, 0))) if pad_n else x
+    lblp = jnp.pad(labels, (0, Np - N), constant_values=-1) if pad_n else labels
+    lsep = jnp.pad(lse, (0, Np - N)) if pad_n else lse
+    coefp = jnp.pad(coef, (0, Np - N)) if pad_n else coef
+
+    nv = Vp // bv
+    dW, dxp = pl.pallas_call(
+        _ce_bwd_fused_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nv, Np // bn),  # V outer, N inner
+            in_specs=[
+                pl.BlockSpec((bn, E), lambda j, i, *_: (i, 0)),
+                pl.BlockSpec((bv, E), lambda j, i, *_: (j, 0)),
+                pl.BlockSpec((bn, 1), lambda j, i, *_: (i, 0)),
+                pl.BlockSpec((bn, 1), lambda j, i, *_: (i, 0)),
+                pl.BlockSpec((bn, 1), lambda j, i, *_: (i, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((bv, E), lambda j, i, *_: (j, 0)),
+                pl.BlockSpec((1, bn, E), lambda j, i, *_: (j, i, 0)),
+            ],
+            scratch_shapes=[pltpu.VMEM((bv, E), jnp.float32)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((Vp, E), jnp.float32),
+            jax.ShapeDtypeStruct((nv, Np, E), jnp.float32),
+        ],
+    )(
+        jnp.asarray([V], jnp.int32),
+        xp.astype(jnp.bfloat16),
+        Wp.astype(jnp.bfloat16),
+        lblp[:, None].astype(jnp.int32),
+        lsep[:, None].astype(jnp.float32),
+        coefp[:, None].astype(jnp.float32),
+    )
+    dx = dxp.sum(axis=0)
+    return dx[:N], dW[:V]
+
+
 def _ce_bwd_pallas(x, W, labels, lse, coef, bn: int, bv: int):
     # backward tiles carry an (bv, E) f32 accumulator + (bn, bv) probs in VMEM;
     # cap bv so the kernel stays under the 16MB VMEM budget
@@ -352,7 +439,7 @@ def _fused_ce_bwd(block_n, block_v, use_pallas, res, g):
     coef = g * w / wsum  # (N,)
     on_tpu = _on_tpu() if use_pallas is None else use_pallas
     if on_tpu:
-        dx, dW = _ce_bwd_pallas(x, W, labels, lse, coef, block_n, block_v)
+        dx, dW = _ce_bwd_pallas_fused(x, W, labels, lse, coef, block_n, block_v)
     else:
         dx, dW = _ce_bwd_scan(x, W, labels, lse, coef, block_v)
     return dx.astype(x.dtype), dW.astype(W.dtype), None, None
