@@ -161,3 +161,29 @@ def test_multi_device_train_consistency(tmp_path, ecommerce_schema):
     m = trainer.train()
     hist = [h["loss"] for h in trainer.state.log_history if "loss" in h]
     assert hist[-1] < hist[0]
+
+
+def test_json_metrics_log(tmp_path, ecommerce_schema):
+    """metrics.jsonl stream (dllogger analog, reference exp_outputs.py)."""
+    import json as _json
+
+    trainer = _make_trainer(tmp_path, ecommerce_schema, log_json=True)
+    trainer.train()
+    trainer.evaluate()
+    path = os.path.join(tmp_path, "metrics.jsonl")
+    assert os.path.exists(path)
+    records = [_json.loads(l) for l in open(path)]
+    assert any("train_loss" in r for r in records)
+    assert any("eval_loss" in r for r in records)
+
+
+def test_profiler_hook(tmp_path, ecommerce_schema):
+    """jax.profiler trace written for the configured step range
+    (SURVEY.md §5 tracing parity)."""
+    trainer = _make_trainer(
+        tmp_path, ecommerce_schema, profile_steps="1,3", num_train_epochs=1
+    )
+    trainer.train()
+    prof_dir = os.path.join(tmp_path, "profile")
+    assert os.path.isdir(prof_dir)
+    assert any(os.listdir(prof_dir))

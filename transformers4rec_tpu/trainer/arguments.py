@@ -58,6 +58,10 @@ class T4RecTrainingArguments:
     save_total_limit: Optional[int] = None
     report_to: str = "none"
     disable_tqdm: bool = True
+    # observability (SURVEY.md §5): device trace + JSONL metrics stream
+    profile_steps: Optional[str] = None  # "start,stop" step range to trace
+    profile_dir: Optional[str] = None  # default: {output_dir}/profile
+    log_json: bool = False  # append train/eval metrics to metrics.jsonl
 
     # distribution
     mesh_model_axis: int = 1

@@ -271,6 +271,11 @@ class Trainer:
         # incremental logging: resume global_step from past runs
         self.state.past_global_steps = self.state.global_step
 
+        profile_range = None
+        if a.profile_steps:
+            lo, hi = (int(x) for x in a.profile_steps.split(","))
+            profile_range = (lo, hi)
+
         start = time.time()
         losses = []
         step_in_run = 0
@@ -280,6 +285,10 @@ class Trainer:
         n_examples = 0
         while not done and epoch < epochs:
             for batch in loader:
+                if profile_range and step_in_run == profile_range[0]:
+                    jax.profiler.start_trace(
+                        a.profile_dir or os.path.join(a.output_dir, "profile")
+                    )
                 sb = shard_batch(
                     {k: jnp.asarray(v) for k, v in batch.items()}, self.mesh
                 )
@@ -287,6 +296,10 @@ class Trainer:
                 step_in_run += 1
                 self.state.global_step = self.state.past_global_steps + step_in_run
                 n_examples += next(iter(batch.values())).shape[0]
+                if profile_range and step_in_run == profile_range[1]:
+                    jax.block_until_ready(loss)
+                    jax.profiler.stop_trace()
+                    profile_range = None
                 if step_in_run % a.logging_steps == 0 or step_in_run == num_steps:
                     l = float(loss)
                     losses.append(l)
@@ -310,7 +323,18 @@ class Trainer:
             "global_step": self.state.global_step,
         }
         self.state.log_history.append(metrics)
+        self._log_json(metrics)
         return metrics
+
+    def _log_json(self, record: Dict[str, Any]) -> None:
+        """Append a metrics record to metrics.jsonl (the paper driver's
+        dllogger analog — reference exp_outputs.py)."""
+        if not self.args.log_json:
+            return
+        os.makedirs(self.args.output_dir, exist_ok=True)
+        with open(os.path.join(self.args.output_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(
+                {"global_step": self.state.global_step, **record}) + "\n")
 
     # ------------------------------------------------------------------- eval
     def evaluate(
@@ -370,6 +394,7 @@ class Trainer:
                 # (trainer.py:683-689, process_metrics :836-845)
                 results[f"{metric_key_prefix}_/{name}"] = float(val)
         self.state.log_history.append(results)
+        self._log_json(results)
         if self.args.log_predictions and not on_train_set:
             self.log_predictions(eval_dataset, metric_key_prefix=metric_key_prefix)
         return results
