@@ -116,3 +116,33 @@ def test_predict_top_k_precedence(tmp_path, ecommerce_schema):
     assert ids.shape[1] == 12
     scores2, ids2 = trainer.predict(top_k=5)   # explicit wins over both
     assert ids2.shape[1] == 5
+
+
+def test_two_heads_model(ecommerce_schema):
+    """Multi-head composition with head weights (reference test_head.py /
+    Model multi-head loss reduction model/base.py:544-598)."""
+    from transformers4rec_tpu.data.synthetic import synthetic_data
+
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_data(ecommerce_schema, num_rows=8,
+                                   max_session_length=20, seed=2).items()
+    }
+    im1 = tr.TabularSequenceFeatures.from_schema(
+        ecommerce_schema, d_output=24, masking="clm", aggregation="concat")
+    im2 = tr.TabularSequenceFeatures.from_schema(
+        ecommerce_schema, d_output=24, masking="mlm", aggregation="concat")
+    h1 = tr.Head.from_body(
+        input_module=im1, transformer=tr.GPT2Config.build(24, 2, 1, 20),
+        tasks=[tr.NextItemPredictionTask(weight_tying=True)])
+    h2 = tr.Head.from_body(
+        input_module=im2, transformer=tr.BertConfig.build(24, 2, 1, 20),
+        tasks=[tr.NextItemPredictionTask(weight_tying=True, task_name="next-item-2")])
+    model = tr.Model(heads=(h1, h2), head_weights=(0.7, 0.3))
+    params = model.init(RNGS, batch, training=True)
+    loss, outs = model.apply(params, batch, training=True, rngs=APPLY)
+    assert np.isfinite(float(loss))
+    assert set(outs) == {"next-item", "next-item-2"}
+    # inference over multiple heads returns a list
+    preds = model.apply(params, batch)
+    assert isinstance(preds, list) and len(preds) == 2
