@@ -215,3 +215,30 @@ def test_plm_perm_mask_properties():
             else:
                 # masked position cannot attend itself
                 assert pm[b, j, j] == 1
+
+
+def test_rtd_sample_from_batch():
+    """RTD in-batch replacement sampling (reference sample_from_batch flag)."""
+    import jax
+    import jax.numpy as jnp
+
+    from transformers4rec_tpu.masking import ReplacementLanguageModeling
+
+    rtd = ReplacementLanguageModeling(hidden_size=8, sample_from_batch=True)
+    ids = jnp.asarray(np.random.default_rng(0).integers(1, 50, (8, 10)))
+    ids = ids.at[:, 7:].set(0)  # padded tail
+    targets = jnp.where(jnp.asarray(np.random.default_rng(1).uniform(size=(8, 10))) < 0.4, ids, 0)
+    corrupted, disc_labels, samples = rtd.get_fake_tokens(
+        jax.random.PRNGKey(0), ids, targets
+    )
+    batch_vocab = set(np.asarray(ids).reshape(-1)) - {0}
+    # every sampled replacement comes from the batch's own items
+    assert set(np.asarray(samples).reshape(-1)) <= batch_vocab
+    # non-target positions unchanged
+    np.testing.assert_array_equal(
+        np.asarray(corrupted)[np.asarray(targets) == 0],
+        np.asarray(ids)[np.asarray(targets) == 0],
+    )
+    # discriminator labels only where the item actually changed
+    changed = np.asarray(corrupted) != np.asarray(ids)
+    np.testing.assert_array_equal(np.asarray(disc_labels), changed & (np.asarray(targets) != 0))

@@ -338,18 +338,36 @@ class ReplacementLanguageModeling(MaskedLanguageModeling):
         gumbel = -jnp.log(-jnp.log(uniform + 1e-9) + 1e-9)
         return jnp.argmax(logits + gumbel, axis=-1)
 
-    def get_fake_tokens(self, rng, item_ids, targets, logits):
+    def get_fake_tokens(self, rng, item_ids, targets, logits=None):
         """Build corrupted inputs + discriminator labels (reference :787-848).
 
         jit-friendly full-shape redesign: the generator's ``logits`` are given at
         every position ``(B, S, V)``; sampling happens everywhere but replaces
         only masked positions, which matches the reference's masked_select/scatter.
+        With ``sample_from_batch=True`` (or ``logits=None``) replacements are
+        drawn uniformly from the batch's own non-pad item ids instead of the
+        generator distribution (reference sample_from_batch flag,
+        masking.py:807-820).
 
         Returns (corrupted_inputs (B,S), discriminator_labels (B,S) bool, samples).
         """
         mask = targets != self.padding_idx
-        samples = self.sample_from_softmax(rng, logits)  # (B, S)
+        if self.sample_from_batch or logits is None:
+            samples = self.sample_from_batch_ids(rng, item_ids)
+        else:
+            samples = self.sample_from_softmax(rng, logits)  # (B, S)
         corrupted = jnp.where(mask, samples.astype(item_ids.dtype), item_ids)
         # positions where the sampled item equals the true one stay "real"
         disc_labels = (corrupted != item_ids) & mask
         return corrupted, disc_labels, samples
+
+    def sample_from_batch_ids(self, rng, item_ids: jnp.ndarray) -> jnp.ndarray:
+        """Uniformly sample replacement ids from the batch's non-pad items
+        (implicitly popularity-weighted, like in-batch negatives)."""
+        B, S = item_ids.shape
+        flat = item_ids.reshape(-1)
+        non_pad = flat != self.padding_idx
+        # sample flat indices weighted toward non-pad entries
+        logits = jnp.where(non_pad, 0.0, -jnp.inf)
+        idx = jax.random.categorical(rng, logits[None, :], shape=(B * S,))
+        return flat[idx].reshape(B, S)
