@@ -1,0 +1,82 @@
+"""Serving latency/throughput benchmark.
+
+Measures the exported StableHLO artifact (the production serving path) on the
+available device: p50/p95 latency and QPS for top-k next-item scoring at the
+REES46-scale vocabulary, across batch sizes.
+
+  python benchmarks/serving_latency.py [--cpu] [--vocab 390000] [--top-k 100]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--vocab", type=int, default=390_000)
+    ap.add_argument("--d-model", type=int, default=192)
+    ap.add_argument("--top-k", type=int, default=100)
+    ap.add_argument("--batch-sizes", default="1,32,128")
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import transformers4rec_tpu as tr
+    from transformers4rec_tpu.data.synthetic import (
+        synthetic_data,
+        synthetic_ecommerce_data_schema,
+    )
+    from transformers4rec_tpu.serving import export_model, load_runner
+
+    schema = synthetic_ecommerce_data_schema(num_items=args.vocab)
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=args.d_model, masking="mlm", aggregation="concat"
+    )
+    model = tr.XLNetConfig.build(args.d_model, 16, 3, 20).to_model(
+        im, tr.NextItemPredictionTask(weight_tying=True)
+    )
+    rngs = {k: jax.random.PRNGKey(i)
+            for i, k in enumerate(["params", "masking", "dropout", "sampling"])}
+    example = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_data(schema, num_rows=8, max_session_length=20, seed=0).items()
+    }
+    params = model.init(rngs, example, training=True)
+    path = export_model(model, params, example, "/tmp/t4r_latency_artifact",
+                        top_k=args.top_k)
+    runner = load_runner(path)
+
+    for bs in (int(b) for b in args.batch_sizes.split(",")):
+        req = synthetic_data(schema, num_rows=bs, max_session_length=20, seed=bs)
+        runner.predict(req)  # compile
+        lat = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            scores, ids = runner.predict(req)
+            _ = ids[0][0]  # force host materialization
+            lat.append((time.perf_counter() - t0) * 1000)
+        lat = np.asarray(lat)
+        print(json.dumps({
+            "benchmark": "serving_latency",
+            "batch_size": bs,
+            "top_k": args.top_k,
+            "vocab": args.vocab,
+            "p50_ms": round(float(np.percentile(lat, 50)), 2),
+            "p95_ms": round(float(np.percentile(lat, 95)), 2),
+            "qps": round(bs * 1000.0 / float(np.mean(lat)), 1),
+        }))
+
+
+if __name__ == "__main__":
+    main()
