@@ -273,3 +273,26 @@ def test_mlm_inference_uses_extended_position(jbatch):
     scores = model.apply(params, batch)
     assert scores.shape == (16, 1001)
     assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_model_save_load_roundtrip(jbatch, tmp_path):
+    """reference Model.save/load (model/base.py:839-922): params persisted,
+    architecture rebuilt by the caller."""
+    schema, batch = jbatch
+    model = _build(schema)
+    params = model.init(RNGS, batch, training=True)
+    model.save(str(tmp_path / "m"), params)
+
+    model2 = _build(schema)
+    fresh = model2.init(
+        {**RNGS, "params": jax.random.PRNGKey(42)}, batch, training=True
+    )
+    restored = model2.load(str(tmp_path / "m"), fresh)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        jax.device_get(params), jax.device_get(restored),
+    )
+    # restored params produce identical eval loss
+    l1, _ = model.apply(params, batch, testing=True)
+    l2, _ = model2.apply(restored, batch, testing=True)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)

@@ -210,6 +210,32 @@ class Model(nn.Module):
         total = total / sum(weights)
         return total, all_outputs
 
+    # ----------------------------------------------------------- persistence
+    def save(self, path: str, params) -> None:
+        """Write params (msgpack) + input schema (reference Model.save,
+        model/base.py:839-875 — state dict only; architecture rebuilt by the
+        caller, same contract here)."""
+        import os
+
+        from flax import serialization
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "params.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(jax.device_get(params)))
+        self.input_schema.to_json_file(os.path.join(path, "input_schema.json"))
+
+    def load(self, path: str, params_template):
+        """Restore params into the structure of ``params_template``
+        (reference Model.load, model/base.py:877-922)."""
+        import os
+
+        from flax import serialization
+
+        with open(os.path.join(path, "params.msgpack"), "rb") as f:
+            return serialization.from_bytes(
+                jax.device_get(params_template), f.read()
+            )
+
     # ------------------------------------------------------------ serving I/O
     @property
     def input_schema(self) -> Schema:
