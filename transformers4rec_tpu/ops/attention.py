@@ -61,6 +61,28 @@ def reference_attention(q, k, v, bias=None, pad_mask=None, causal=False):
     return ctx.astype(q.dtype)
 
 
+def _tile_logits(q, k, qi, ki, block_q, block_k, seq_len, causal,
+                 pad_ref, bias_ref):
+    """Recompute one (BQ, BK) scaled+masked logits tile — shared by the
+    forward and both backward kernels so masking semantics stay identical."""
+    Dh = q.shape[-1]
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * (Dh ** -0.5)
+    col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    if causal:
+        row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
+        logits = jnp.where(col > row, NEG, logits)
+    if seq_len % block_k:
+        logits = jnp.where(col >= seq_len, 2.0 * NEG, logits)
+    if pad_ref is not None:
+        logits = logits + pad_ref[0]
+    if bias_ref is not None:
+        logits = logits + bias_ref[0].astype(jnp.float32)
+    return logits
+
+
 def _make_kernel(causal: bool, has_pad: bool, has_bias: bool, H: int,
                  block_q: int, block_k: int, seq_len: int):
     def kernel(*refs):
@@ -72,7 +94,8 @@ def _make_kernel(causal: bool, has_pad: bool, has_bias: bool, H: int,
         i += 1 if has_pad else 0
         bias_ref = refs[i] if has_bias else None
         i += 1 if has_bias else 0
-        o_ref = refs[i]; m_sc = refs[i + 1]; s_sc = refs[i + 2]; acc_sc = refs[i + 3]
+        o_ref = refs[i]; lse_ref = refs[i + 1]
+        m_sc = refs[i + 2]; s_sc = refs[i + 3]; acc_sc = refs[i + 4]
 
         qi = pl.program_id(1)
         ki = pl.program_id(2)
@@ -94,21 +117,8 @@ def _make_kernel(causal: bool, has_pad: bool, has_bias: bool, H: int,
             q = q_ref[0]
             k = k_ref[0]
             v = v_ref[0]
-            Dh = q.shape[-1]
-            logits = jax.lax.dot_general(
-                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * (Dh ** -0.5)
-            col = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-            if causal:
-                row = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)
-                logits = jnp.where(col > row, NEG, logits)
-            if seq_len % block_k:  # padded tail keys
-                logits = jnp.where(col >= seq_len, 2.0 * NEG, logits)
-            if has_pad:
-                logits = logits + pad_ref[0]  # (1, BK) broadcasts over rows
-            if has_bias:
-                logits = logits + bias_ref[0].astype(jnp.float32)
+            logits = _tile_logits(q, k, qi, ki, block_q, block_k, seq_len,
+                                  causal, pad_ref, bias_ref)
 
             m_prev = m_sc[:, 0]
             m_new = jnp.maximum(m_prev, logits.max(axis=1))
@@ -130,11 +140,144 @@ def _make_kernel(causal: bool, has_pad: bool, has_bias: bool, H: int,
             o_ref[0, :, :] = jnp.where(
                 row_ok[:, None], acc_sc[:, :] / denom[:, None], 0.0
             ).astype(o_ref.dtype)
+            # saved for the fused backward; masked rows get a +sentinel so
+            # exp(logits - lse) = exp(NEG - 2|NEG|) underflows to 0
+            lse_ref[0, :, 0] = jnp.where(
+                row_ok, m_sc[:, 0] + jnp.log(denom), -2.0 * NEG
+            )
 
     return kernel
 
 
-def _flash_forward(q, k, v, bias, pad_mask, causal, block_q, block_k, interpret):
+def _make_bwd_dq_kernel(causal: bool, has_pad: bool, has_bias: bool, H: int,
+                        block_q: int, block_k: int, seq_len: int):
+    """Grid (B*H, nQ, nK), K minor: dq tile accumulated in scratch.
+    ds = p * (dp - delta);  dq += scale * ds @ K."""
+
+    def kernel(*refs):
+        i = 0
+        q_ref = refs[i]; i += 1
+        k_ref = refs[i]; i += 1
+        v_ref = refs[i]; i += 1
+        do_ref = refs[i]; i += 1
+        lse_ref = refs[i]; i += 1
+        delta_ref = refs[i]; i += 1
+        pad_ref = refs[i] if has_pad else None
+        i += 1 if has_pad else 0
+        bias_ref = refs[i] if has_bias else None
+        i += 1 if has_bias else 0
+        dq_ref = refs[i]; acc_sc = refs[i + 1]
+
+        qi = pl.program_id(1)
+        ki = pl.program_id(2)
+        nk = pl.num_programs(2)
+
+        @pl.when(ki == 0)
+        def _():
+            acc_sc[:] = jnp.zeros_like(acc_sc)
+
+        run = True
+        if causal:
+            run = ki * block_k <= qi * block_q + (block_q - 1)
+
+        @pl.when(run)
+        def _():
+            q = q_ref[0]
+            k = k_ref[0]
+            v = v_ref[0]
+            do = do_ref[0]
+            logits = _tile_logits(q, k, qi, ki, block_q, block_k, seq_len,
+                                  causal, pad_ref, bias_ref)
+            p = jnp.exp(logits - lse_ref[0])  # 0 on fully-masked rows
+            dp = jax.lax.dot_general(
+                do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - delta_ref[0])
+            Dh = q.shape[-1]
+            acc_sc[:, :] += jax.lax.dot_general(
+                ds.astype(k.dtype), k,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (Dh ** -0.5)
+
+        @pl.when(ki == nk - 1)
+        def _():
+            dq_ref[0, :, :] = acc_sc[:, :].astype(dq_ref.dtype)
+
+    return kernel
+
+
+def _make_bwd_dkv_kernel(causal: bool, has_pad: bool, has_bias: bool, H: int,
+                         block_q: int, block_k: int, seq_len: int):
+    """Grid (B*H, nK, nQ), Q minor: dk/dv tiles accumulated in scratch.
+    dv += pᵀ @ dO;  dk += scale * dsᵀ @ Q."""
+
+    def kernel(*refs):
+        i = 0
+        q_ref = refs[i]; i += 1
+        k_ref = refs[i]; i += 1
+        v_ref = refs[i]; i += 1
+        do_ref = refs[i]; i += 1
+        lse_ref = refs[i]; i += 1
+        delta_ref = refs[i]; i += 1
+        pad_ref = refs[i] if has_pad else None
+        i += 1 if has_pad else 0
+        bias_ref = refs[i] if has_bias else None
+        i += 1 if has_bias else 0
+        dk_ref = refs[i]; dv_ref = refs[i + 1]
+        dk_sc = refs[i + 2]; dv_sc = refs[i + 3]
+
+        ki = pl.program_id(1)
+        qi = pl.program_id(2)
+        nq = pl.num_programs(2)
+
+        @pl.when(qi == 0)
+        def _():
+            dk_sc[:] = jnp.zeros_like(dk_sc)
+            dv_sc[:] = jnp.zeros_like(dv_sc)
+
+        run = True
+        if causal:
+            run = ki * block_k <= qi * block_q + (block_q - 1)
+
+        @pl.when(run)
+        def _():
+            q = q_ref[0]
+            k = k_ref[0]
+            v = v_ref[0]
+            do = do_ref[0]
+            logits = _tile_logits(q, k, qi, ki, block_q, block_k, seq_len,
+                                  causal, pad_ref, bias_ref)
+            p = jnp.exp(logits - lse_ref[0])
+            dv_sc[:, :] += jax.lax.dot_general(
+                p.astype(do.dtype), do,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - delta_ref[0])
+            Dh = q.shape[-1]
+            dk_sc[:, :] += jax.lax.dot_general(
+                ds.astype(q.dtype), q,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * (Dh ** -0.5)
+
+        @pl.when(qi == nq - 1)
+        def _():
+            dk_ref[0, :, :] = dk_sc[:, :].astype(dk_ref.dtype)
+            dv_ref[0, :, :] = dv_sc[:, :].astype(dv_ref.dtype)
+
+    return kernel
+
+
+def _prep(q, k, v, bias, pad_mask, block_q, block_k):
+    """Shared fwd/bwd input prep: pad to tile multiples, flatten heads, and
+    build the pad/bias block specs (broadcast-aware, never materialized)."""
     B, S, H, Dh = q.shape
     # clamp blocks to the 128-rounded sequence so short sequences don't pad
     # up to a full oversized tile (block sweep on v5e: 512/1024 optimal at
@@ -144,33 +287,27 @@ def _flash_forward(q, k, v, bias, pad_mask, causal, block_q, block_k, interpret)
     block_k = min(block_k, s128)
     Sq = ((S + block_q - 1) // block_q) * block_q
     Sk = ((S + block_k - 1) // block_k) * block_k
-    if Sq != S:
-        q = jnp.pad(q, ((0, 0), (0, Sq - S), (0, 0), (0, 0)))
-    if Sk != S:
-        k = jnp.pad(k, ((0, 0), (0, Sk - S), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, Sk - S), (0, 0), (0, 0)))
+    qp = jnp.pad(q, ((0, 0), (0, Sq - S), (0, 0), (0, 0))) if Sq != S else q
+    kp = jnp.pad(k, ((0, 0), (0, Sk - S), (0, 0), (0, 0))) if Sk != S else k
+    vp = jnp.pad(v, ((0, 0), (0, Sk - S), (0, 0), (0, 0))) if Sk != S else v
 
-    qh = q.transpose(0, 2, 1, 3).reshape(B * H, Sq, Dh)
-    kh = k.transpose(0, 2, 1, 3).reshape(B * H, Sk, Dh)
-    vh = v.transpose(0, 2, 1, 3).reshape(B * H, Sk, Dh)
+    # bf16 tiles: the MXU's native precision (f32 inputs would run the slow
+    # multi-pass f32 matmul path inside Mosaic); accumulation stays f32
+    qh = qp.transpose(0, 2, 1, 3).reshape(B * H, Sq, Dh).astype(jnp.bfloat16)
+    kh = kp.transpose(0, 2, 1, 3).reshape(B * H, Sk, Dh).astype(jnp.bfloat16)
+    vh = vp.transpose(0, 2, 1, 3).reshape(B * H, Sk, Dh).astype(jnp.bfloat16)
 
-    in_specs = [
-        pl.BlockSpec((1, block_q, Dh), lambda b, i, j: (b, i, 0)),
-        pl.BlockSpec((1, block_k, Dh), lambda b, i, j: (b, j, 0)),
-        pl.BlockSpec((1, block_k, Dh), lambda b, i, j: (b, j, 0)),
-    ]
-    args = [qh, kh, vh]
-
+    extra_specs, extra_args = [], []
     has_pad = pad_mask is not None
     if has_pad:
         pad_add = jnp.where(pad_mask, 0.0, NEG).astype(jnp.float32)  # (B, S)
         if Sk != S:
             pad_add = jnp.pad(pad_add, ((0, 0), (0, Sk - S)), constant_values=2.0 * NEG)
         # (B, 1, Sk) so the (1, 1, block_k) tile satisfies TPU tiling rules
-        in_specs.append(
+        extra_specs.append(
             pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b // H, 0, j))
         )
-        args.append(pad_add[:, None, :])
+        extra_args.append(pad_add[:, None, :])
 
     has_bias = bias is not None
     if has_bias:
@@ -190,25 +327,134 @@ def _flash_forward(q, k, v, bias, pad_mask, causal, block_q, block_k, interpret)
             bmap = lambda b, i, j: (b // H, i, j)  # noqa: E731
         else:
             bmap = lambda b, i, j: (b, i, j)  # noqa: E731
-        in_specs.append(pl.BlockSpec((1, block_q, block_k), bmap))
-        args.append(bias_f)
+        extra_specs.append(pl.BlockSpec((1, block_q, block_k), bmap))
+        extra_args.append(bias_f)
 
-    kernel = _make_kernel(causal, has_pad, has_bias, H, block_q, block_k, S)
-    out = pl.pallas_call(
+    return dict(
+        B=B, S=S, H=H, Dh=Dh, Sq=Sq, Sk=Sk,
+        block_q=block_q, block_k=block_k,
+        qh=qh, kh=kh, vh=vh,
+        has_pad=has_pad, has_bias=has_bias,
+        extra_specs=extra_specs, extra_args=extra_args,
+    )
+
+
+def _flash_forward(q, k, v, bias, pad_mask, causal, block_q, block_k, interpret,
+                   want_lse=False):
+    P_ = _prep(q, k, v, bias, pad_mask, block_q, block_k)
+    B, S, H, Dh = P_["B"], P_["S"], P_["H"], P_["Dh"]
+    Sq, Sk = P_["Sq"], P_["Sk"]
+    block_q, block_k = P_["block_q"], P_["block_k"]
+
+    in_specs = [
+        pl.BlockSpec((1, block_q, Dh), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, block_k, Dh), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, block_k, Dh), lambda b, i, j: (b, j, 0)),
+        *P_["extra_specs"],
+    ]
+    args = [P_["qh"], P_["kh"], P_["vh"], *P_["extra_args"]]
+
+    kernel = _make_kernel(causal, P_["has_pad"], P_["has_bias"], H,
+                          block_q, block_k, S)
+    out, lse = pl.pallas_call(
         kernel,
         grid=(B * H, Sq // block_q, Sk // block_k),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, Dh), lambda b, i, j: (b, i, 0)),
+        out_specs=[
+            pl.BlockSpec((1, block_q, Dh), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, Dh), jnp.float32),
         ],
-        out_shape=jax.ShapeDtypeStruct((B * H, Sq, Dh), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Sq, Dh), q.dtype),
+            jax.ShapeDtypeStruct((B * H, Sq, 1), jnp.float32),
+        ],
         interpret=interpret,
     )(*args)
-    out = out.reshape(B, H, Sq, Dh).transpose(0, 2, 1, 3)
-    return out[:, :S]
+    out4 = out.reshape(B, H, Sq, Dh).transpose(0, 2, 1, 3)[:, :S]
+    if want_lse:
+        return out4, out, lse  # out kept flat for the bwd delta computation
+    return out4
+
+
+def _flash_backward(q, k, v, bias, pad_mask, causal, block_q, block_k,
+                    interpret, o_flat, lse, g):
+    """Fully-fused flash backward: two Pallas kernels sharing the forward's
+    logits recomputation; delta = rowsum(dO ⊙ O) computed in XLA."""
+    P_ = _prep(q, k, v, bias, pad_mask, block_q, block_k)
+    B, S, H, Dh = P_["B"], P_["S"], P_["H"], P_["Dh"]
+    Sq, Sk = P_["Sq"], P_["Sk"]
+    block_q, block_k = P_["block_q"], P_["block_k"]
+
+    gp = jnp.pad(g, ((0, 0), (0, Sq - S), (0, 0), (0, 0))) if Sq != S else g
+    doh32 = gp.transpose(0, 2, 1, 3).reshape(B * H, Sq, Dh).astype(jnp.float32)
+    delta = (doh32 * o_flat.astype(jnp.float32)).sum(-1, keepdims=True)  # (BH,Sq,1)
+    doh = doh32.astype(jnp.bfloat16)
+
+    qspec = pl.BlockSpec((1, block_q, Dh), lambda b, i, j: (b, i, 0))
+    kspec = pl.BlockSpec((1, block_k, Dh), lambda b, i, j: (b, j, 0))
+    rowspec = pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0))
+    common_args = [P_["qh"], P_["kh"], P_["vh"], doh, lse, delta,
+                   *P_["extra_args"]]
+
+    dq_kernel = _make_bwd_dq_kernel(causal, P_["has_pad"], P_["has_bias"], H,
+                                    block_q, block_k, S)
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(B * H, Sq // block_q, Sk // block_k),
+        in_specs=[qspec, kspec, kspec, qspec, rowspec, rowspec,
+                  *P_["extra_specs"]],
+        out_specs=pl.BlockSpec((1, block_q, Dh), lambda b, i, j: (b, i, 0)),
+        scratch_shapes=[pltpu.VMEM((block_q, Dh), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((B * H, Sq, Dh), jnp.float32),
+        interpret=interpret,
+    )(*common_args)
+
+    # dk/dv: Q minor — pad/bias specs must be re-indexed for the (b, ki, qi)
+    # grid order
+    def _reorder(spec_list):
+        out = []
+        for sp in spec_list:
+            f = sp.index_map
+            out.append(pl.BlockSpec(sp.block_shape,
+                                    lambda b, kk, qq, f=f: f(b, qq, kk)))
+        return out
+
+    dkv_kernel = _make_bwd_dkv_kernel(causal, P_["has_pad"], P_["has_bias"], H,
+                                      block_q, block_k, S)
+    qspec2 = pl.BlockSpec((1, block_q, Dh), lambda b, kk, qq: (b, qq, 0))
+    kspec2 = pl.BlockSpec((1, block_k, Dh), lambda b, kk, qq: (b, kk, 0))
+    rowspec2 = pl.BlockSpec((1, block_q, 1), lambda b, kk, qq: (b, qq, 0))
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(B * H, Sk // block_k, Sq // block_q),
+        in_specs=[qspec2, kspec2, kspec2, qspec2, rowspec2, rowspec2,
+                  *_reorder(P_["extra_specs"])],
+        out_specs=[
+            pl.BlockSpec((1, block_k, Dh), lambda b, kk, qq: (b, kk, 0)),
+            pl.BlockSpec((1, block_k, Dh), lambda b, kk, qq: (b, kk, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, Dh), jnp.float32),
+            pltpu.VMEM((block_k, Dh), jnp.float32),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Sk, Dh), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, Sk, Dh), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*common_args)
+
+    def unflatten(x, Sp):
+        return x.reshape(B, H, Sp, Dh).transpose(0, 2, 1, 3)[:, :S]
+
+    return (unflatten(dq, Sq).astype(q.dtype),
+            unflatten(dk, Sk).astype(k.dtype),
+            unflatten(dv, Sk).astype(v.dtype))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
@@ -230,19 +476,36 @@ def flash_attention(
 
 
 def _flash_fwd(q, k, v, bias, pad_mask, causal, block_q, block_k, interpret):
-    out = _flash_forward(q, k, v, bias, pad_mask, causal, block_q, block_k, interpret)
-    return out, (q, k, v, bias, pad_mask)
+    out, o_flat, lse = _flash_forward(
+        q, k, v, bias, pad_mask, causal, block_q, block_k, interpret,
+        want_lse=True,
+    )
+    return out, (q, k, v, bias, pad_mask, o_flat, lse)
+
+
+# Below this sequence length the backward re-runs through XLA (materializing
+# the (B,H,S,S) probabilities is cheap and XLA's bwd is faster); above it the
+# O(S) fused kernels are the only thing that fits in HBM. Tests set this to 0
+# to force the kernel path.
+FUSED_BWD_MIN_SEQ = 4096
 
 
 def _flash_bwd(causal, block_q, block_k, interpret, res, g):
-    q, k, v, bias, pad_mask = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: reference_attention(
-            q_, k_, v_, bias=bias, pad_mask=pad_mask, causal=causal
-        ),
-        q, k, v,
+    q, k, v, bias, pad_mask, o_flat, lse = res
+    S = q.shape[1]
+    if S < FUSED_BWD_MIN_SEQ and not interpret:
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: reference_attention(
+                q_, k_, v_, bias=bias, pad_mask=pad_mask, causal=causal
+            ),
+            q, k, v,
+        )
+        dq, dk, dv = vjp(g)
+        return dq, dk, dv, None, None
+    dq, dk, dv = _flash_backward(
+        q, k, v, bias, pad_mask, causal, block_q, block_k, interpret,
+        o_flat, lse, g,
     )
-    dq, dk, dv = vjp(g)
     return dq, dk, dv, None, None
 
 
