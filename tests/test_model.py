@@ -296,3 +296,30 @@ def test_model_save_load_roundtrip(jbatch, tmp_path):
     l1, _ = model.apply(params, batch, testing=True)
     l2, _ = model2.apply(restored, batch, testing=True)
     np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
+def test_model_fit_evaluate_self_contained(jbatch):
+    """reference Model.fit/evaluate self-contained loops (model/base.py:669-739):
+    trainer-free path — fit reduces loss across epochs, evaluate returns
+    flattened metric keys."""
+    from transformers4rec_tpu.data.loader import SyntheticDataLoader
+
+    schema, _ = jbatch
+    model = _build(schema, masking="clm", arch="gpt2")
+    loader = SyntheticDataLoader.from_schema(
+        schema, batch_size=16, max_sequence_length=20, num_rows=64, seed=5
+    )
+    params, losses = model.fit(loader, num_epochs=4, rng=jax.random.PRNGKey(7))
+    assert len(losses) == 4
+    assert losses[-1] < losses[0]
+
+    # continue training from returned params: loss keeps going down
+    params2, losses2 = model.fit(
+        loader, num_epochs=1, params=params, rng=jax.random.PRNGKey(8)
+    )
+    assert losses2[-1] <= losses[0]
+
+    results = model.evaluate(loader, params2)
+    assert "eval_loss" in results and np.isfinite(results["eval_loss"])
+    assert any("ndcg_at_10" in k for k in results)
+    assert any("recall_at_10" in k for k in results)

@@ -210,6 +210,131 @@ class Model(nn.Module):
         total = total / sum(weights)
         return total, all_outputs
 
+    # -------------------------------------------------- self-contained loops
+    def fit(
+        self,
+        dataloader,
+        optimizer=None,
+        num_epochs: int = 1,
+        params=None,
+        rng=None,
+        verbose: bool = False,
+        max_steps: Optional[int] = None,
+    ):
+        """Self-contained training loop (reference Model.fit,
+        model/base.py:669-707) — the no-Trainer path. Pure-functional: returns
+        ``(params, losses)`` instead of mutating module state; pass ``params``
+        back in to continue training. ``optimizer`` is any optax
+        GradientTransformation (default adam 1e-3, matching the reference's
+        ``torch.optim.Adam(self.parameters())`` default)."""
+        import optax
+
+        optimizer = optimizer or optax.adam(1e-3)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+        first = None
+        if params is None:
+            first = next(iter(dataloader))
+            batch = {k: jnp.asarray(v) for k, v in first.items()}
+            init_rngs = {
+                "params": jax.random.fold_in(rng, 0),
+                "masking": jax.random.fold_in(rng, 1),
+                "dropout": jax.random.fold_in(rng, 2),
+                "sampling": jax.random.fold_in(rng, 3),
+            }
+            params = self.init(init_rngs, batch, targets=batch, training=True)
+        opt_state = optimizer.init(params)
+
+        model = self
+
+        @jax.jit
+        def train_step(params, opt_state, step_rng, batch):
+            r = {
+                "masking": jax.random.fold_in(step_rng, 0),
+                "dropout": jax.random.fold_in(step_rng, 1),
+                "sampling": jax.random.fold_in(step_rng, 2),
+            }
+
+            def loss_fn(p):
+                loss, _ = model.apply(
+                    p, batch, targets=batch, training=True,
+                    compute_metrics=False, rngs=r,
+                )
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        losses: List[float] = []
+        step = 0
+        for epoch in range(num_epochs):
+            epoch_loss, n = jnp.zeros(()), 0
+            for batch in dataloader:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                rng, step_rng = jax.random.split(rng)
+                params, opt_state, loss = train_step(
+                    params, opt_state, step_rng, batch
+                )
+                epoch_loss = epoch_loss + loss
+                n += 1
+                step += 1
+                if max_steps is not None and step >= max_steps:
+                    break
+            losses.append(float(epoch_loss) / max(n, 1))
+            if verbose:
+                print(f"[epoch {epoch}] loss {losses[-1]:.5f}")
+            if max_steps is not None and step >= max_steps:
+                break
+        return params, losses
+
+    def evaluate(
+        self,
+        dataloader,
+        params,
+        mode: str = "eval",
+        max_steps: Optional[int] = None,
+    ) -> Dict[str, float]:
+        """Self-contained eval loop (reference Model.evaluate,
+        model/base.py:709-739): streams batches, accumulates (sum,count)
+        metric states on device, returns flattened ``{task/metric_at_k: v}``."""
+        from .ranking_metric import finalize_metrics, update_metric_state
+
+        model = self
+
+        @jax.jit
+        def eval_step(params, batch):
+            loss, outs = model.apply(
+                params, batch, targets=batch, testing=True, compute_metrics=True
+            )
+            metrics = {}
+            for task_name, out in outs.items():
+                if out.metrics:
+                    for k, v in out.metrics.items():
+                        metrics[f"{task_name}/{k}"] = v
+            return loss, metrics
+
+        metric_state: Dict[str, Any] = {}
+        loss_sum = jnp.zeros(())
+        n = 0
+        for i, batch in enumerate(dataloader):
+            if max_steps is not None and i >= max_steps:
+                break
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            loss, metrics = eval_step(params, batch)
+            loss_sum = loss_sum + loss
+            n += 1
+            metric_state = (
+                update_metric_state(metric_state, metrics)
+                if metric_state
+                else metrics
+            )
+        results = {f"{mode}_loss": float(loss_sum) / max(n, 1)}
+        if metric_state:
+            for name, val in finalize_metrics(metric_state).items():
+                results[f"{mode}_/{name}"] = float(val)
+        return results
+
     # ----------------------------------------------------------- persistence
     def save(self, path: str, params) -> None:
         """Write params (msgpack) + input schema (reference Model.save,
