@@ -26,6 +26,12 @@ def main():
     ap.add_argument("--model-axis", type=int, default=2)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--n-samples", type=int, default=8192)
+    ap.add_argument(
+        "--optimizer", choices=["adagrad", "sparse_adam"], default="sparse_adam",
+        help="adagrad = dense update over the whole table each step; "
+        "sparse_adam = gather rows outside autodiff + O(N*E) scatter update "
+        "(ops/sparse_update.py) — the only viable mode at 100M rows",
+    )
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -63,15 +69,9 @@ def main():
     # session embedding (a real signal, unlike uniform-random labels)
     labels = jax.device_put(ids[:, -1], batch_sharding(mesh))
     sampler = LogUniformSampler(args.n_samples, V, min_id=1)
-    tx = optax.adagrad(0.5)
-    opt = tx.init(table)
 
-    def loss_fn(table, rng):
-        emb = sharded_embedding_lookup(table, ids, mesh)  # (B, S, E) via psum
+    def scores_loss(emb, pos_w, neg_w, neg):
         hidden = emb.mean(axis=1)  # stand-in tower: mean-pool session
-        neg = sampler.sample(rng)
-        pos_w = sharded_embedding_lookup(table, labels, mesh)
-        neg_w = sharded_embedding_lookup(table, neg, mesh)
         pos = (hidden * pos_w).sum(-1, keepdims=True)
         negs = hidden @ neg_w.T
         eps = 1e-16
@@ -81,11 +81,49 @@ def main():
         logits = jnp.concatenate([pos, negs], axis=1)
         return -jax.nn.log_softmax(logits)[:, 0].mean()
 
-    @jax.jit
-    def step(table, opt, rng):
-        loss, g = jax.value_and_grad(loss_fn)(table, rng)
-        updates, opt = tx.update(g, opt, table)
-        return optax.apply_updates(table, updates), opt, loss
+    def loss_fn(table, rng):
+        emb = sharded_embedding_lookup(table, ids, mesh)  # (B, S, E) via psum
+        neg = sampler.sample(rng)
+        pos_w = sharded_embedding_lookup(table, labels, mesh)
+        neg_w = sharded_embedding_lookup(table, neg, mesh)
+        return scores_loss(emb, pos_w, neg_w, neg)
+
+    if args.optimizer == "adagrad":
+        tx = optax.adagrad(0.5)
+        opt = tx.init(table)
+
+        @jax.jit
+        def step(table, opt, rng):
+            loss, g = jax.value_and_grad(loss_fn)(table, rng)
+            updates, opt = tx.update(g, opt, table)
+            return optax.apply_updates(table, updates), opt, loss
+
+    else:  # sparse_adam: rows gathered OUTSIDE autodiff; no dense (V,E) grad
+        from transformers4rec_tpu.ops.sparse_update import (
+            sharded_rows_adam_update,
+            sparse_rows_adam_init,
+        )
+
+        opt = sparse_rows_adam_init(table)
+        n_in, n_lab = B * S, B
+
+        def rows_loss(rows, neg):
+            emb = rows[:n_in].reshape(B, S, args.dim)
+            pos_w = rows[n_in:n_in + n_lab]
+            neg_w = rows[n_in + n_lab:]
+            return scores_loss(emb, pos_w, neg_w, neg)
+
+        @jax.jit
+        def step(table, opt, rng):
+            neg = sampler.sample(rng)
+            all_ids = jnp.concatenate([ids.reshape(-1), labels, neg])
+            rows = sharded_embedding_lookup(table, all_ids, mesh,
+                                            data_axis=None)
+            loss, g_rows = jax.value_and_grad(rows_loss)(rows, neg)
+            table, opt = sharded_rows_adam_update(
+                table, opt, all_ids, g_rows, 0.05, mesh
+            )
+            return table, opt, loss
 
     rng = jax.random.PRNGKey(7)
     eval_rng = jax.random.PRNGKey(99)  # fixed negatives: comparable eval loss

@@ -1,4 +1,11 @@
 from .attention import flash_attention, reference_attention, use_flash
+from .sparse_update import (
+    label_embedding_params,
+    lazy_adam,
+    sharded_rows_adam_update,
+    sparse_rows_adam_init,
+    sparse_rows_adam_update,
+)
 from .vocab import fused_label_rank, fused_softmax_ce, fused_topk
 
 __all__ = [
@@ -6,6 +13,11 @@ __all__ = [
     "fused_label_rank",
     "fused_softmax_ce",
     "fused_topk",
+    "label_embedding_params",
+    "lazy_adam",
     "reference_attention",
+    "sharded_rows_adam_update",
+    "sparse_rows_adam_init",
+    "sparse_rows_adam_update",
     "use_flash",
 ]

@@ -38,6 +38,10 @@ class T4RecTrainingArguments:
     adam_beta2: float = 0.999
     adam_epsilon: float = 1e-8
     max_grad_norm: float = 1.0
+    # 'dense' = AdamW everywhere; 'lazy_adam' routes *_table params through a
+    # lazy row-wise Adam (ops/sparse_update.py) — rare-item moments only
+    # advance on steps that touch the row
+    embedding_optimizer: str = "dense"
     lr_scheduler_type: str = "linear"  # linear|cosine|cosine_with_restarts|constant|constant_with_warmup|polynomial
     warmup_steps: int = 0
     num_train_epochs: float = 1.0

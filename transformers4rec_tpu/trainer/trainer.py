@@ -159,15 +159,32 @@ class Trainer:
         chain = []
         if a.max_grad_norm and a.max_grad_norm > 0:
             chain.append(optax.clip_by_global_norm(a.max_grad_norm))
-        chain.append(
-            optax.adamw(
-                self._schedule,
-                b1=a.adam_beta1,
-                b2=a.adam_beta2,
-                eps=a.adam_epsilon,
-                weight_decay=a.weight_decay,
-            )
+        dense_tx = optax.adamw(
+            self._schedule,
+            b1=a.adam_beta1,
+            b2=a.adam_beta2,
+            eps=a.adam_epsilon,
+            weight_decay=a.weight_decay,
         )
+        if a.embedding_optimizer == "lazy_adam":
+            from ..ops.sparse_update import label_embedding_params, lazy_adam
+
+            chain.append(
+                optax.multi_transform(
+                    {
+                        "dense": dense_tx,
+                        "table": lazy_adam(
+                            self._schedule,
+                            b1=a.adam_beta1,
+                            b2=a.adam_beta2,
+                            eps=a.adam_epsilon,
+                        ),
+                    },
+                    label_embedding_params,
+                )
+            )
+        else:
+            chain.append(dense_tx)
         tx = optax.chain(*chain)
         if a.gradient_accumulation_steps > 1:
             tx = optax.MultiSteps(tx, a.gradient_accumulation_steps)
