@@ -81,3 +81,64 @@ def test_export_schemas_written(trained, tmp_path):
     runner = load_runner(path)
     assert "item_id" in runner.input_schema.column_names
     assert set(runner.output_schema.column_names) == {"item_id_scores", "item_ids"}
+
+
+# ------------------------------------------------------- serving daemon
+def test_serving_server_batches_requests(trained, tmp_path):
+    """Triton-analog daemon (serving/server.py): concurrent single-session
+    HTTP requests are dynamically batched, results match the live model."""
+    import concurrent.futures
+    import json as _json
+    import urllib.request
+
+    from transformers4rec_tpu.serving import ServingServer
+
+    schema, model, params, batch = trained
+    path = export_model(model, params, batch, str(tmp_path / "srv"), top_k=4)
+    server = ServingServer(path, port=0, max_batch_size=8, max_delay_ms=30.0).start()
+    try:
+        base = f"http://{server.host}:{server.port}"
+        with urllib.request.urlopen(f"{base}/v2/health") as r:
+            health = _json.loads(r.read())
+        assert health["status"] == "ok" and health["metadata"]["top_k"] == 4
+
+        live_scores, live_ids = model.apply(params, batch, top_k=4)
+
+        def one(i):
+            inputs = {k: np.asarray(v)[i:i + 1].tolist() for k, v in batch.items()}
+            req = urllib.request.Request(
+                f"{base}/v2/predict",
+                data=_json.dumps({"inputs": inputs}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as r:
+                return i, _json.loads(r.read())
+
+        with concurrent.futures.ThreadPoolExecutor(8) as ex:
+            results = list(ex.map(one, range(8)))
+        for i, out in results:
+            np.testing.assert_array_equal(
+                np.asarray(out["item_ids"][0]), np.asarray(live_ids)[i]
+            )
+            np.testing.assert_allclose(
+                np.asarray(out["item_id_scores"][0]),
+                np.asarray(live_scores)[i], rtol=1e-4, atol=1e-5,
+            )
+
+        with urllib.request.urlopen(f"{base}/v2/stats") as r:
+            stats = _json.loads(r.read())
+        assert stats["requests"] == 8
+        assert stats["batches"] < 8, f"no coalescing happened: {stats}"
+
+        # malformed request → 400 with an error body
+        req = urllib.request.Request(
+            f"{base}/v2/predict", data=b'{"inputs": {}}',
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.stop()

@@ -82,6 +82,7 @@ def export_model(
                 "features": {k: list(np.asarray(v).shape[1:]) for k, v in example.items()},
                 "dtypes": {k: str(np.asarray(v).dtype) for k, v in example.items()},
                 "batch_polymorphic": batch_polymorphic,
+                "example_batch_size": int(next(iter(example.values())).shape[0]),
             },
             f,
         )
