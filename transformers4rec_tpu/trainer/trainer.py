@@ -101,10 +101,13 @@ class Trainer:
     def _make_loader(self, dataset, batch_size: int, shuffle: bool, **kwargs):
         engine = self.args.data_loader_engine
         cls = dataloader_registry.parse("parquet" if engine == "merlin" else engine)
+        # batch_size is GLOBAL; each process loads its 1/process_count shard
+        # and shard_batch assembles the global array
+        # (jax.make_array_from_process_local_data — parallel/mesh.py)
         return cls.from_schema(
             self.schema,
             dataset,
-            batch_size=batch_size,
+            batch_size=batch_size // jax.process_count(),
             max_sequence_length=self.args.max_sequence_length,
             shuffle=shuffle,
             global_rank=jax.process_index(),
