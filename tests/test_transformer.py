@@ -134,3 +134,67 @@ def test_all_registered_archs_forward(arch):
     params = enc.init(RNGS, x, pad)
     out = enc.apply(params, x, pad)
     assert out.shape == (2, 10, 32)
+
+
+# ------------------------------------------------- mem_len segment recurrence
+def test_mem_recurrence_matches_full_causal_forward():
+    """TransfoXL-style recurrence (reference config/transformer.py:638
+    ``mem_len``): with causal attention + relative positions and mem_len >=
+    past length, processing [first half] then [second half | mems] must
+    reproduce the full-sequence forward's second half EXACTLY (causality ⇒
+    the cached layer inputs equal the full forward's)."""
+    S, H = 16, 8
+    enc = _encoder(causal=True, pos_encoding="relative_bias", mem_len=H,
+                   n_layer=3)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, S, 32))
+    params = enc.init(RNGS, x[:, :H], mems=enc.init_mems(2), return_mems=True)
+
+    full = enc.apply(params, x)
+    out1, mems = enc.apply(params, x[:, :H], mems=enc.init_mems(2),
+                           return_mems=True)
+    out2, _ = enc.apply(params, x[:, H:], mems=mems, return_mems=True)
+
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(full[:, :H]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(full[:, H:]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_zero_mems_equal_memless_forward():
+    """All-invalid memory (init_mems) must not perturb the forward."""
+    enc = _encoder(causal=True, pos_encoding="relative_bias", mem_len=4)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 6, 32))
+    params = enc.init(RNGS, x, mems=enc.init_mems(2), return_mems=True)
+    plain = enc.apply(params, x)
+    with_zero, mems = enc.apply(params, x, mems=enc.init_mems(2),
+                                return_mems=True)
+    np.testing.assert_allclose(np.asarray(with_zero), np.asarray(plain),
+                               rtol=1e-5, atol=1e-6)
+    # collected memory = last mem_len layer inputs, all valid
+    assert mems["states"].shape == (2, 2, 4, 32)
+    assert bool(mems["pad"].all())
+
+
+def test_mem_recurrence_two_stream_xlnet():
+    """XLNet two-stream + mems: memory keys stay visible to both streams."""
+    B, S = 2, 8
+    enc = _encoder(causal=False, pos_encoding="relative_bias", two_stream=True,
+                   mem_len=S)
+    x = jax.random.normal(jax.random.PRNGKey(5), (B, S, 32))
+    perm = jnp.zeros((B, S, S))
+    params = enc.init(RNGS, x, perm_mask=perm, mems=enc.init_mems(B),
+                      return_mems=True)
+    out1, mems = enc.apply(params, x, perm_mask=perm, mems=enc.init_mems(B),
+                           return_mems=True)
+    out2, _ = enc.apply(params, x, perm_mask=perm, mems=mems, return_mems=True)
+    assert out2.shape == (B, S, 32)
+    # the second segment actually used the memory: outputs differ from a
+    # memory-free forward
+    assert np.abs(np.asarray(out2) - np.asarray(out1)).max() > 1e-4
+
+
+def test_config_mem_len_plumbs_to_encoder():
+    cfg = transformer_registry.parse("transfoxl").build(
+        d_model=32, n_head=4, n_layer=2, total_seq_length=20, mem_len=16
+    )
+    assert cfg.to_encoder().mem_len == 16

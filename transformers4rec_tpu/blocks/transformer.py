@@ -45,8 +45,10 @@ def make_attention_bias(
     local_window: Optional[int] = None,
     dtype: Any = jnp.float32,
     query_stream: bool = False,
+    mem_len: int = 0,
+    mem_pad: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Compose every masking variant into one additive (B|1, 1, S, S) bias.
+    """Compose every masking variant into one additive (B|1, 1, S, M+S) bias.
 
     pad_mask:   (B, S) bool — True at valid (non-pad) positions.
     perm_mask:  (B, S, S) float/bool — 1 where query i must NOT attend key j
@@ -54,16 +56,35 @@ def make_attention_bias(
     local_window: each query attends keys within ±window (Longformer/Reformer).
     query_stream: for two-stream attention, additionally block the diagonal
                 (the query stream must not see its own content).
+    mem_len/mem_pad: segment-recurrence memory (TransfoXL/XLNet ``mem_len`` —
+                reference config/transformer.py:454-460, 638): M cached keys
+                prepended at positions -M..-1, valid where ``mem_pad`` True.
     """
-    bias = jnp.zeros((1, 1, seq_len, seq_len), dtype)
-    idx = jnp.arange(seq_len)
+    total_k = mem_len + seq_len
+    bias = jnp.zeros((1, 1, seq_len, total_k), dtype)
+    q_pos = jnp.arange(seq_len)
+    k_pos = jnp.arange(-mem_len, seq_len)
     if causal:
-        causal_block = idx[None, :] > idx[:, None]  # key after query
+        causal_block = k_pos[None, :] > q_pos[:, None]  # key after query
         bias = bias + jnp.where(causal_block, NEG_INF, 0.0).astype(dtype)[None, None]
+    keys_ok = None
     if pad_mask is not None:
-        key_pad = jnp.where(pad_mask[:, None, None, :], 0.0, NEG_INF).astype(dtype)
-        bias = bias + key_pad
-    extra = make_extra_bias(seq_len, perm_mask, local_window, query_stream, dtype)
+        keys_ok = pad_mask
+        if mem_len:
+            mp = (
+                mem_pad if mem_pad is not None
+                else jnp.ones((pad_mask.shape[0], mem_len), bool)
+            )
+            keys_ok = jnp.concatenate([mp, pad_mask], axis=1)
+    elif mem_len and mem_pad is not None:
+        keys_ok = jnp.concatenate(
+            [mem_pad, jnp.ones((mem_pad.shape[0], seq_len), bool)], axis=1
+        )
+    if keys_ok is not None:
+        bias = bias + jnp.where(keys_ok[:, None, None, :], 0.0, NEG_INF).astype(dtype)
+    extra = make_extra_bias(
+        seq_len, perm_mask, local_window, query_stream, dtype, mem_len=mem_len
+    )
     if extra is not None:
         bias = bias + extra
     return bias
@@ -75,16 +96,20 @@ def make_extra_bias(
     local_window: Optional[int] = None,
     query_stream: bool = False,
     dtype: Any = jnp.float32,
+    mem_len: int = 0,
 ) -> Optional[jnp.ndarray]:
     """The non-causal, non-padding additive components (perm mask + local
     window). Kept separate so the flash kernel can take causal/pad inline and
     only read a materialized bias when these exist."""
     extra = None
-    idx = jnp.arange(seq_len)
+    q_pos = jnp.arange(seq_len)
+    k_pos = jnp.arange(-mem_len, seq_len)
     if local_window is not None:
-        far = jnp.abs(idx[None, :] - idx[:, None]) > local_window
+        far = jnp.abs(k_pos[None, :] - q_pos[:, None]) > local_window
         extra = jnp.where(far, NEG_INF, 0.0).astype(dtype)[None, None]
     if perm_mask is not None:
+        # perm restrictions apply within the current segment only; memory keys
+        # are attendable by both streams (XLNet semantics)
         block = perm_mask.astype(bool)
         eye = jnp.eye(seq_len, dtype=bool)[None]
         if not query_stream:
@@ -92,6 +117,10 @@ def make_extra_bias(
             block = block & ~eye
         else:
             block = block | eye
+        if mem_len:
+            block = jnp.concatenate(
+                [jnp.zeros((*block.shape[:2], mem_len), bool), block], axis=2
+            )
         perm_bias = jnp.where(block, NEG_INF, 0.0).astype(dtype)[:, None]
         extra = perm_bias if extra is None else extra + perm_bias
     return extra
@@ -131,15 +160,16 @@ class RelativePositionBias(nn.Module):
         return ret + jnp.where(is_small, n, val_large)
 
     @nn.compact
-    def __call__(self, seq_len: int) -> jnp.ndarray:
+    def __call__(self, seq_len: int, mem_len: int = 0) -> jnp.ndarray:
         table = self.param(
             "rel_bias", nn.initializers.normal(0.02), (self.num_buckets, self.num_heads)
         )
-        pos = jnp.arange(seq_len)
-        rel = pos[None, :] - pos[:, None]  # key - query
+        q_pos = jnp.arange(seq_len)
+        k_pos = jnp.arange(-mem_len, seq_len)  # memory keys sit in the past
+        rel = k_pos[None, :] - q_pos[:, None]  # key - query
         buckets = self._bucket(rel, self.bidirectional, self.num_buckets, self.max_distance)
-        bias = table[buckets]  # (S, S, H)
-        return jnp.transpose(bias, (2, 0, 1))[None]  # (1, H, S, S)
+        bias = table[buckets]  # (S, M+S, H)
+        return jnp.transpose(bias, (2, 0, 1))[None]  # (1, H, S, M+S)
 
 
 class MultiHeadAttention(nn.Module):
@@ -228,6 +258,7 @@ class TransformerLayer(nn.Module):
         query_bias: Optional[jnp.ndarray] = None,
         flash_ctx: Optional[tuple] = None,
         query_flash_ctx: Optional[tuple] = None,
+        mem: Optional[jnp.ndarray] = None,
     ):
         attn = MultiHeadAttention(
             self.d_model, self.n_head, self.attn_dropout, causal=self.causal,
@@ -246,8 +277,15 @@ class TransformerLayer(nn.Module):
             return ffn_out(h)
 
         normed = ln1(hidden)
+        if mem is not None:
+            # segment recurrence: cached (stop-gradient) states prepend to the
+            # K/V source; LN is positionwise so ln1(concat) rows == ln1 rows
+            kv_normed = jnp.concatenate([ln1(mem.astype(self.dtype)), normed], axis=1)
+            flash_ctx = None  # memory path uses the XLA attention (S is small)
+        else:
+            kv_normed = normed
         ctx, kv = attn(
-            normed, normed, bias, deterministic=deterministic, flash_ctx=flash_ctx
+            normed, kv_normed, bias, deterministic=deterministic, flash_ctx=flash_ctx
         )
         hidden = hidden + drop(ctx, deterministic=deterministic)
         hidden = hidden + drop(ffn(ln2(hidden)), deterministic=deterministic)
@@ -287,7 +325,21 @@ class TransformerEncoder(nn.Module):
     local_window: Optional[int] = None  # Longformer/Reformer local attention
     two_stream: bool = False  # XLNet PLM (activates when perm_mask given)
     remat: bool = False  # rematerialize layer activations (jax.checkpoint)
+    mem_len: int = 0  # TransfoXL/XLNet segment recurrence cache length
     dtype: Any = jnp.float32
+
+    def init_mems(self, batch_size: int):
+        """Zero segment-recurrence state: (L, B, M, D) cached layer inputs +
+        (B, M) validity (all False → memory keys fully masked, so the first
+        segment behaves exactly like a mem-free forward). Thread the returned
+        dict through successive ``__call__(..., mems=..., return_mems=True)``
+        segments (e.g. under ``lax.scan``)."""
+        return {
+            "states": jnp.zeros(
+                (self.n_layer, batch_size, self.mem_len, self.d_model), self.dtype
+            ),
+            "pad": jnp.zeros((batch_size, self.mem_len), bool),
+        }
 
     @nn.compact
     def __call__(
@@ -296,10 +348,14 @@ class TransformerEncoder(nn.Module):
         pad_mask: Optional[jnp.ndarray] = None,
         perm_mask: Optional[jnp.ndarray] = None,
         training: bool = False,
-    ) -> jnp.ndarray:
+        mems: Optional[dict] = None,
+        return_mems: bool = False,
+    ):
         B, S, _ = inputs_embeds.shape
         deterministic = not training
         d_ff = self.d_ff or 4 * self.d_model
+        M = int(mems["states"].shape[2]) if mems is not None else 0
+        mem_pad = mems["pad"] if mems is not None else None
 
         hidden = inputs_embeds.astype(self.dtype)
         if self.pos_encoding == "learned_absolute":
@@ -313,23 +369,26 @@ class TransformerEncoder(nn.Module):
         if self.pos_encoding == "relative_bias":
             rel_bias = RelativePositionBias(
                 num_heads=self.n_head, bidirectional=not self.causal, name="rel_pos"
-            )(S)
+            )(S, mem_len=M)
 
         use_two_stream = self.two_stream and perm_mask is not None
         bias = make_attention_bias(
             pad_mask, S, causal=self.causal, perm_mask=perm_mask,
             local_window=self.local_window, query_stream=False,
+            mem_len=M, mem_pad=mem_pad,
         )
         if rel_bias is not None:
             bias = bias + rel_bias
 
         # un-composed components for the flash kernel (ops/attention.py):
         # only the perm/local/rel parts are materialized; causal and padding
-        # are handled inline by the kernel
-        extra = make_extra_bias(S, perm_mask, self.local_window, query_stream=False)
+        # are handled inline by the kernel. The memory path always takes the
+        # XLA attention (layer disables flash when mem is present).
+        extra = make_extra_bias(S, perm_mask, self.local_window,
+                                query_stream=False, mem_len=M)
         if rel_bias is not None:
             extra = rel_bias if extra is None else extra + rel_bias
-        flash_ctx = (extra, pad_mask)
+        flash_ctx = (extra, pad_mask) if M == 0 else None
 
         query_hidden = None
         query_bias = None
@@ -346,13 +405,15 @@ class TransformerEncoder(nn.Module):
             query_bias = make_attention_bias(
                 pad_mask, S, causal=self.causal, perm_mask=perm_mask,
                 local_window=self.local_window, query_stream=True,
+                mem_len=M, mem_pad=mem_pad,
             )
             if rel_bias is not None:
                 query_bias = query_bias + rel_bias
-            q_extra = make_extra_bias(S, perm_mask, self.local_window, query_stream=True)
+            q_extra = make_extra_bias(S, perm_mask, self.local_window,
+                                      query_stream=True, mem_len=M)
             if rel_bias is not None:
                 q_extra = rel_bias if q_extra is None else q_extra + rel_bias
-            query_flash_ctx = (q_extra, pad_mask)
+            query_flash_ctx = (q_extra, pad_mask) if M == 0 else None
 
         hidden = nn.Dropout(self.dropout)(hidden, deterministic=deterministic)
         if query_hidden is not None:
@@ -371,15 +432,48 @@ class TransformerEncoder(nn.Module):
             causal=self.causal, dtype=self.dtype, name=f"layer_{i}",
         )
         shared = make_layer("shared") if self.share_layers else None
+        collect = return_mems and self.mem_len > 0
+        new_states = []
+        cur_ok = (
+            pad_mask if pad_mask is not None else jnp.ones((B, S), bool)
+        )
         for i in range(self.n_layer):
             layer = shared if shared is not None else make_layer(i)
+            mem_i = mems["states"][i] if mems is not None else None
+            if collect:
+                ext = (
+                    jnp.concatenate([mem_i, hidden], axis=1)
+                    if mem_i is not None else hidden
+                )
+                if ext.shape[1] >= self.mem_len:
+                    nm = ext[:, -self.mem_len:]
+                else:  # left-pad; validity lives in the pad mask
+                    nm = jnp.concatenate(
+                        [jnp.zeros((B, self.mem_len - ext.shape[1],
+                                    self.d_model), ext.dtype), ext], axis=1
+                    )
+                new_states.append(jax.lax.stop_gradient(nm))
             # positional call: under nn.remat, `deterministic` must stay a
             # static argument (static_argnums=(3,), counting self as 0)
             hidden, query_hidden = layer(
                 hidden, bias, deterministic, query_hidden, query_bias,
-                flash_ctx, query_flash_ctx,
+                flash_ctx, query_flash_ctx, mem_i,
             )
 
         out = query_hidden if query_hidden is not None else hidden
         out = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="ln_f")(out)
-        return out.astype(jnp.float32)
+        out = out.astype(jnp.float32)
+        if collect:
+            ext_ok = (
+                jnp.concatenate([mem_pad, cur_ok], axis=1)
+                if mem_pad is not None else cur_ok
+            )
+            if ext_ok.shape[1] >= self.mem_len:
+                new_pad = ext_ok[:, -self.mem_len:]
+            else:
+                new_pad = jnp.concatenate(
+                    [jnp.zeros((B, self.mem_len - ext_ok.shape[1]), bool), ext_ok],
+                    axis=1,
+                )
+            return out, {"states": jnp.stack(new_states), "pad": new_pad}
+        return out

@@ -48,6 +48,10 @@ class T4RecConfig:
     local_window: Optional[int] = None
     two_stream: bool = False
     remat: bool = False  # gradient checkpointing (jax.checkpoint per layer)
+    # XLNet/TransfoXL segment-recurrence cache (reference
+    # config/transformer.py:454-460, 638): encoder caches mem_len past
+    # positions per layer; thread via __call__(mems=..., return_mems=True)
+    mem_len: int = 0
     # masking scheme this arch was built for (informational; compat-checked in
     # TransformerBlock like the reference block/transformer.py:109-134)
     masking: Optional[str] = None
@@ -81,6 +85,7 @@ class T4RecConfig:
             local_window=self.local_window,
             two_stream=self.two_stream,
             remat=self.remat,
+            mem_len=self.mem_len,
             dtype=self.dtype or jnp.float32,
         )
 
