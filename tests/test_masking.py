@@ -242,3 +242,67 @@ def test_rtd_sample_from_batch():
     # discriminator labels only where the item actually changed
     changed = np.asarray(corrupted) != np.asarray(ids)
     np.testing.assert_array_equal(np.asarray(disc_labels), changed & (np.asarray(targets) != 0))
+
+
+def test_plm_span_sampler_golden_vs_reference_semantics():
+    """Golden distribution compare of the fixed-trip scan span sampler against
+    a numpy oracle implementing the reference's EXACT per-row while loop
+    (reference masking.py:599-627: span ~ U[1,max_span], context =
+    int(span/p), start = cur + U[0, context-span], advance by context; ≥1
+    mask guarantee :617-627). Statistics compared: mean masked fraction and
+    the per-position masking profile."""
+    import numpy as np
+
+    def oracle(rng, max_lens, S, p, max_span):
+        B = len(max_lens)
+        mask = np.zeros((B, S), bool)
+        for i in range(B):
+            cur = 0
+            max_len = max_lens[i]
+            while cur < max_len:
+                span = rng.integers(1, max_span + 1)
+                context = int(span / p)
+                start = cur + rng.integers(0, context - span + 1)
+                if start < max_len:
+                    mask[i, start:start + span] = True
+                cur += context
+            if not mask[i, :max_len].any():
+                mask[i, rng.integers(0, max_len)] = True
+        # clip to non-padded region (labels at pad positions are no-ops)
+        for i in range(B):
+            mask[i, max_lens[i]:] = False
+        return mask
+
+    for p, max_span in [(1 / 6, 5), (0.3, 3)]:
+        B, S = 4096, 20
+        rng_np = np.random.default_rng(0)
+        max_lens = rng_np.integers(4, S + 1, B)
+        ref_mask = oracle(rng_np, max_lens, S, p, max_span)
+
+        plm = masking_registry.parse("plm")(
+            hidden_size=16, plm_probability=p, max_span_length=max_span
+        )
+        item_ids = np.zeros((B, S), np.int32)
+        for i in range(B):
+            item_ids[i, :max_lens[i]] = 1 + np.arange(max_lens[i])
+        info = plm.compute_masked_targets(
+            jax.random.PRNGKey(1), jnp.asarray(item_ids), training=True
+        )
+        got_mask = np.asarray(info.mask)
+
+        ref_frac = ref_mask.sum() / max_lens.sum()
+        got_frac = got_mask.sum() / max_lens.sum()
+        assert abs(ref_frac - got_frac) < 0.02, (p, ref_frac, got_frac)
+
+        # per-position profile over rows long enough to include the position
+        for pos in range(S):
+            rows = max_lens > pos
+            if rows.sum() < 500:
+                continue
+            r = ref_mask[rows, pos].mean()
+            g = got_mask[rows, pos].mean()
+            assert abs(r - g) < 0.04, (p, pos, r, g)
+
+        # ≥1 masked per session in both
+        assert (got_mask.sum(axis=1) >= 1).all()
+        assert (ref_mask.sum(axis=1) >= 1).all()
