@@ -152,3 +152,36 @@ def test_head_sets_mlm_loss_budget():
     )
     head2 = tr.Head.from_body(input_module=im2, transformer="gpt2")
     assert head2.tasks[0].loss_budget is None
+
+
+def test_fused_ce_and_rank_matches_separate_ops(data):
+    """Single-pass eval op == fused_softmax_ce + fused_label_rank."""
+    from transformers4rec_tpu.ops import (
+        fused_ce_and_rank,
+        fused_label_rank,
+        fused_softmax_ce,
+    )
+
+    x, W, labels, weights = data
+    loss, rank = fused_ce_and_rank(x, W, labels, weights)
+    ref_loss = fused_softmax_ce(x, W, labels, weights)
+    ref_rank = fused_label_rank(x, W, labels)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=5e-3)
+    np.testing.assert_array_equal(np.asarray(rank), np.asarray(ref_rank))
+
+
+def test_fused_ce_and_rank_vs_dense_reference(data):
+    """Ranks/loss vs an explicit dense softmax + sort."""
+    from transformers4rec_tpu.ops import fused_ce_and_rank
+
+    x, W, labels, weights = data
+    loss, rank = fused_ce_and_rank(x, W, labels, weights)
+    logits = _ref_logits(x, W)
+    dense_rank = (logits > jnp.take_along_axis(
+        logits, labels[:, None], axis=1)).sum(axis=1)
+    # exclude self-column semantics match: label column never counted
+    np.testing.assert_array_equal(np.asarray(rank), np.asarray(dense_rank))
+    lp = jax.nn.log_softmax(logits)
+    dense_loss = -(jnp.take_along_axis(lp, labels[:, None], 1)[:, 0] * weights
+                   ).sum() / weights.sum()
+    np.testing.assert_allclose(float(loss), float(dense_loss), rtol=5e-3)

@@ -303,14 +303,22 @@ class NextItemPredictionTask(PredictionTask):
                 xg = jnp.take_along_axis(x, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
                 labels = jnp.take_along_axis(targets, idx[:, None].astype(jnp.int32), axis=1)[:, 0]
                 if fused:
-                    from ..ops.vocab import fused_label_rank, fused_softmax_ce
+                    from ..ops.vocab import fused_ce_and_rank, fused_softmax_ce
 
                     xs = xg / temp
-                    loss = fused_softmax_ce(xs, W, labels.astype(jnp.int32), row_valid)
                     metrics = None
                     if compute_metrics:
-                        rank = fused_label_rank(xs, W, labels.astype(jnp.int32))
+                        # ONE streamed vocab pass for loss + ranks (eval was
+                        # 3 (N,V) GEMM passes before: CE fwd + rank's label
+                        # logit + rank count)
+                        loss, rank = fused_ce_and_rank(
+                            xs, W, labels.astype(jnp.int32), row_valid
+                        )
                         metrics = metrics_from_ranks(rank, self.metrics, weights=row_valid)
+                    else:
+                        loss = fused_softmax_ce(
+                            xs, W, labels.astype(jnp.int32), row_valid
+                        )
                     return TaskOutput(loss=loss, labels=labels, predictions=None,
                                       weights=row_valid, metrics=metrics)
                 logits = jnp.einsum("be,ve->bv", xg, W,
@@ -331,7 +339,7 @@ class NextItemPredictionTask(PredictionTask):
             flat_labels = targets.reshape(N)
             flat_mask = mask.reshape(N)
             if fused:
-                from ..ops.vocab import fused_label_rank, fused_softmax_ce
+                from ..ops.vocab import fused_ce_and_rank, fused_softmax_ce
 
                 x2d = x.reshape(N, -1) / temp
                 if training and self.loss_budget is not None and self.loss_budget < 1.0:
@@ -345,13 +353,17 @@ class NextItemPredictionTask(PredictionTask):
                     loss = fused_softmax_ce(xb, W, lb, wb)
                     return TaskOutput(loss=loss, labels=lb, predictions=None,
                                       weights=wb)
-                loss = fused_softmax_ce(
-                    x2d, W, flat_labels.astype(jnp.int32), flat_mask
-                )
                 metrics = None
                 if compute_metrics and testing:
-                    rank = fused_label_rank(x2d, W, flat_labels.astype(jnp.int32))
+                    # full-position eval: single streamed pass for loss+ranks
+                    loss, rank = fused_ce_and_rank(
+                        x2d, W, flat_labels.astype(jnp.int32), flat_mask
+                    )
                     metrics = metrics_from_ranks(rank, self.metrics, weights=flat_mask)
+                else:
+                    loss = fused_softmax_ce(
+                        x2d, W, flat_labels.astype(jnp.int32), flat_mask
+                    )
                 return TaskOutput(loss=loss, labels=flat_labels, predictions=None,
                                   weights=flat_mask, metrics=metrics)
             logits = jnp.einsum("bse,ve->bsv", x, W,

@@ -6,10 +6,11 @@ from .sparse_update import (
     sparse_rows_adam_init,
     sparse_rows_adam_update,
 )
-from .vocab import fused_label_rank, fused_softmax_ce, fused_topk
+from .vocab import fused_ce_and_rank, fused_label_rank, fused_softmax_ce, fused_topk
 
 __all__ = [
     "flash_attention",
+    "fused_ce_and_rank",
     "fused_label_rank",
     "fused_softmax_ce",
     "fused_topk",

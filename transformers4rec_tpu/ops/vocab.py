@@ -89,7 +89,107 @@ def _ce_fwd_kernel(v_total_ref, x_ref, w_ref, lbl_ref, lse_ref, ll_ref, m_sc, s_
         ll_ref[:, 0] = ll_sc[:, 0]
 
 
+def _ce_fwd_kernel_vmajor(v_total_ref, x_ref, w_ref, lbl_ref, lse_ref, ll_ref,
+                          m_sc, s_sc, ll_sc):
+    """Grid (nV, nN), N minor: the (V, E) table streams through VMEM ONCE for
+    the whole pass (vs once per N-block with a V-minor grid — at the REES46
+    config that was 7×150MB = 1GB of HBM reads per forward). Online-softmax
+    accumulators for ALL row blocks live in a (Np, 1) VMEM scratch, sliced per
+    N block."""
+    vi, ni = pl.program_id(0), pl.program_id(1)
+    nv = pl.num_programs(0)
+    BN = x_ref.shape[0]
+    BV = w_ref.shape[0]
+    sl = pl.ds(ni * BN, BN)
+
+    @pl.when(vi == 0)
+    def _():
+        m_sc[sl, :] = jnp.full((BN, 1), NEG, jnp.float32)
+        s_sc[sl, :] = jnp.zeros((BN, 1), jnp.float32)
+        ll_sc[sl, :] = jnp.zeros((BN, 1), jnp.float32)
+
+    logits = jax.lax.dot_general(
+        x_ref[:], w_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BN, BV)
+    col = vi * BV + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    valid = col < v_total_ref[0]
+    logits = jnp.where(valid, logits, NEG)
+
+    m_prev = m_sc[sl, :][:, 0]
+    m_new = jnp.maximum(m_prev, logits.max(axis=1))
+    s_new = s_sc[sl, :][:, 0] * jnp.exp(m_prev - m_new) + jnp.exp(
+        logits - m_new[:, None]
+    ).sum(axis=1)
+    m_sc[sl, :] = m_new[:, None]
+    s_sc[sl, :] = s_new[:, None]
+
+    is_label = col == lbl_ref[:]
+    ll_sc[sl, :] = ll_sc[sl, :] + jnp.where(is_label, logits, 0.0).sum(
+        axis=1
+    )[:, None]
+
+    @pl.when(vi == nv - 1)
+    def _():
+        lse_ref[:, :] = m_sc[sl, :] + jnp.log(s_sc[sl, :])
+        ll_ref[:, :] = ll_sc[sl, :]
+
+
+def _ce_fwd_pallas_vmajor(x, W, labels, bn: int, bv: int):
+    N, E = x.shape
+    V = W.shape[0]
+    Wp, Vp = _pad_rows(W, bv)
+    Np = ((N + bn - 1) // bn) * bn
+    xp = jnp.pad(x, ((0, Np - N), (0, 0))) if Np != N else x
+    lblp = jnp.pad(labels, (0, Np - N)) if Np != N else labels
+
+    grid = (Vp // bv, Np // bn)  # V MAJOR: table streamed once
+    lse, ll = pl.pallas_call(
+        _ce_fwd_kernel_vmajor,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bn, E), lambda j, i, *_: (i, 0)),
+                pl.BlockSpec((bv, E), lambda j, i, *_: (j, 0)),
+                pl.BlockSpec((bn, 1), lambda j, i, *_: (i, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((bn, 1), lambda j, i, *_: (i, 0)),
+                pl.BlockSpec((bn, 1), lambda j, i, *_: (i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((Np, 1), jnp.float32),
+                pltpu.VMEM((Np, 1), jnp.float32),
+                pltpu.VMEM((Np, 1), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+        ],
+    )(
+        jnp.asarray([V], jnp.int32),
+        xp.astype(jnp.bfloat16),
+        Wp.astype(jnp.bfloat16),
+        lblp[:, None].astype(jnp.int32),
+    )
+    return lse[:N, 0], ll[:N, 0]
+
+
+# full-row scratch caps: stay well under the ~16MB VMEM budget
+_FWD_SCRATCH_MAX_ROWS = 1 << 20
+_BWD_DX_SCRATCH_MAX_BYTES = 8 << 20
+
+
 def _ce_fwd_pallas(x, W, labels, bn: int, bv: int):
+    if x.shape[0] <= _FWD_SCRATCH_MAX_ROWS:
+        return _ce_fwd_pallas_vmajor(x, W, labels, bn, bv)
+    return _ce_fwd_pallas_nmajor(x, W, labels, bn, bv)
+
+
+def _ce_fwd_pallas_nmajor(x, W, labels, bn: int, bv: int):
     N, E = x.shape
     V = W.shape[0]
     Wp, Vp = _pad_rows(W, bv)
@@ -264,7 +364,114 @@ def _ce_bwd_fused_kernel(v_total_ref, x_ref, w_ref, lbl_ref, lse_ref, coef_ref,
         dw_ref[:, :] = acc_sc[:, :]
 
 
+def _ce_bwd_fused_kernel_dxsc(v_total_ref, x_ref, w_ref, lbl_ref, lse_ref,
+                              coef_ref, dw_ref, dx_ref, dw_sc, dx_sc):
+    """Like _ce_bwd_fused_kernel but dx accumulates in a full-N (Np, E) VMEM
+    scratch instead of writing per-V-tile partials to HBM (which cost ~0.5GB
+    of round-trip traffic per step at the REES46 config)."""
+    vi, ni = pl.program_id(0), pl.program_id(1)
+    nn = pl.num_programs(1)
+    nv = pl.num_programs(0)
+    BN = x_ref.shape[0]
+    BV = w_ref.shape[0]
+    sl = pl.ds(ni * BN, BN)
+
+    @pl.when(ni == 0)
+    def _():
+        dw_sc[:] = jnp.zeros_like(dw_sc)
+
+    @pl.when(vi == 0)
+    def _():
+        dx_sc[sl, :] = jnp.zeros((BN, dx_sc.shape[1]), jnp.float32)
+
+    logits = jax.lax.dot_general(
+        x_ref[:], w_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    col = vi * BV + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    valid = col < v_total_ref[0]
+    p = jnp.where(valid, jnp.exp(logits - lse_ref[:]), 0.0)
+    p = p - jnp.where(col == lbl_ref[:], 1.0, 0.0)
+    p = (p * coef_ref[:]).astype(jnp.bfloat16)
+    dw_sc[:, :] += jax.lax.dot_general(
+        p, x_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx_sc[sl, :] += jax.lax.dot_general(
+        p, w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ni == nn - 1)
+    def _():
+        dw_ref[:, :] = dw_sc[:, :]
+
+    @pl.when(vi == nv - 1)
+    def _():
+        dx_ref[:, :] = dx_sc[sl, :]
+
+
+def _ce_bwd_pallas_dxsc(x, W, labels, lse, coef, bn: int, bv: int):
+    bv = min(bv, 2048)
+    N, E = x.shape
+    V = W.shape[0]
+    Wp, Vp = _pad_rows(W, bv)
+    Np = ((N + bn - 1) // bn) * bn
+    pad_n = Np != N
+    xp = jnp.pad(x, ((0, Np - N), (0, 0))) if pad_n else x
+    lblp = jnp.pad(labels, (0, Np - N), constant_values=-1) if pad_n else labels
+    lsep = jnp.pad(lse, (0, Np - N)) if pad_n else lse
+    coefp = jnp.pad(coef, (0, Np - N)) if pad_n else coef
+
+    nv = Vp // bv
+    dW, dx = pl.pallas_call(
+        _ce_bwd_fused_kernel_dxsc,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nv, Np // bn),  # V outer, N inner: W streamed once
+            in_specs=[
+                pl.BlockSpec((bn, E), lambda j, i, *_: (i, 0)),
+                pl.BlockSpec((bv, E), lambda j, i, *_: (j, 0)),
+                pl.BlockSpec((bn, 1), lambda j, i, *_: (i, 0)),
+                pl.BlockSpec((bn, 1), lambda j, i, *_: (i, 0)),
+                pl.BlockSpec((bn, 1), lambda j, i, *_: (i, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((bv, E), lambda j, i, *_: (j, 0)),
+                pl.BlockSpec((bn, E), lambda j, i, *_: (i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bv, E), jnp.float32),
+                pltpu.VMEM((Np, E), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((Vp, E), jnp.float32),
+            jax.ShapeDtypeStruct((Np, E), jnp.float32),
+        ],
+    )(
+        jnp.asarray([V], jnp.int32),
+        xp.astype(jnp.bfloat16),
+        Wp.astype(jnp.bfloat16),
+        lblp[:, None].astype(jnp.int32),
+        lsep[:, None].astype(jnp.float32),
+        coefp[:, None].astype(jnp.float32),
+    )
+    return dx[:N], dW[:V]
+
+
 def _ce_bwd_pallas_fused(x, W, labels, lse, coef, bn: int, bv: int):
+    N, E = x.shape
+    Np = ((N + bn - 1) // bn) * bn
+    if Np * E * 4 <= _BWD_DX_SCRATCH_MAX_BYTES:
+        return _ce_bwd_pallas_dxsc(x, W, labels, lse, coef, bn, bv)
+    return _ce_bwd_pallas_fused_partials(x, W, labels, lse, coef, bn, bv)
+
+
+def _ce_bwd_pallas_fused_partials(x, W, labels, lse, coef, bn: int, bv: int):
     bv = min(bv, 2048)
     N, E = x.shape
     V = W.shape[0]
@@ -538,6 +745,151 @@ def fused_label_rank(
     idxs = jnp.arange(Vp // block_v) * block_v
     rank, _ = jax.lax.scan(body, jnp.zeros((N,), jnp.int32), (Wb, idxs))
     return rank
+
+
+# =========================================================================
+# fused eval: CE + label rank in ONE vocab pass
+# =========================================================================
+
+
+def _ce_rank_kernel(v_total_ref, x_ref, w_ref, lbl_ref, ll_ref,
+                    lse_ref, rank_ref, m_sc, s_sc, cnt_sc):
+    """Grid (nV, nN), V MAJOR (table streamed once). The label logit arrives
+    precomputed (an O(N·E) gather-dot outside the kernel), so ONE streaming
+    pass yields both the online logsumexp and the count-of-greater rank —
+    eval previously needed three (N, V) GEMM passes (CE fwd, rank's
+    label-logit pass, rank pass). Accumulators for all row blocks live in
+    (Np, 1) VMEM scratch."""
+    vi, ni = pl.program_id(0), pl.program_id(1)
+    nv = pl.num_programs(0)
+    BN = x_ref.shape[0]
+    BV = w_ref.shape[0]
+    sl = pl.ds(ni * BN, BN)
+
+    @pl.when(vi == 0)
+    def _():
+        m_sc[sl, :] = jnp.full((BN, 1), NEG, jnp.float32)
+        s_sc[sl, :] = jnp.zeros((BN, 1), jnp.float32)
+        cnt_sc[sl, :] = jnp.zeros((BN, 1), jnp.float32)
+
+    logits = jax.lax.dot_general(
+        x_ref[:], w_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BN, BV)
+    col = vi * BV + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    valid = col < v_total_ref[0]
+    masked = jnp.where(valid, logits, NEG)
+
+    m_prev = m_sc[sl, :][:, 0]
+    m_new = jnp.maximum(m_prev, masked.max(axis=1))
+    s_new = s_sc[sl, :][:, 0] * jnp.exp(m_prev - m_new) + jnp.exp(
+        masked - m_new[:, None]
+    ).sum(axis=1)
+    m_sc[sl, :] = m_new[:, None]
+    s_sc[sl, :] = s_new[:, None]
+
+    # exclude the label's own column: its gathered logit may differ from the
+    # MXU tile value in the last ulp, which would off-by-one the rank
+    greater = valid & (col != lbl_ref[:]) & (logits > ll_ref[:])
+    cnt_sc[sl, :] = cnt_sc[sl, :] + greater.sum(axis=1).astype(
+        jnp.float32
+    )[:, None]
+
+    @pl.when(vi == nv - 1)
+    def _():
+        lse_ref[:, :] = m_sc[sl, :] + jnp.log(s_sc[sl, :])
+        rank_ref[:, :] = cnt_sc[sl, :].astype(jnp.int32)
+
+
+def fused_ce_and_rank(
+    x: jnp.ndarray,
+    W: jnp.ndarray,
+    labels: jnp.ndarray,
+    weights: jnp.ndarray,
+    block_n: int = 256,
+    block_v: int = 4096,
+    use_pallas: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Eval-fused weighted-mean CE **and** exact label ranks in a single
+    streamed vocab pass (eval-only: not differentiable). Returns
+    ``(loss, ranks)`` with ranks 0-based counts of strictly-greater logits.
+    """
+    labels = labels.astype(jnp.int32)
+    xb = x.astype(jnp.bfloat16)
+    # O(N·E) label logit: gather label rows, elementwise dot (f32 accum)
+    lrows = jnp.take(W, labels, axis=0).astype(jnp.bfloat16)
+    ll = jnp.einsum("ne,ne->n", xb, lrows, preferred_element_type=jnp.float32)
+
+    on_tpu = _on_tpu() if use_pallas is None else use_pallas
+    N, E = x.shape
+    V = W.shape[0]
+    if on_tpu:
+        Wp, Vp = _pad_rows(W, block_v)
+        Np = ((N + block_n - 1) // block_n) * block_n
+        xp = jnp.pad(x, ((0, Np - N), (0, 0))) if Np != N else x
+        lblp = jnp.pad(labels, (0, Np - N)) if Np != N else labels
+        llp = jnp.pad(ll, (0, Np - N)) if Np != N else ll
+        lse, rank = pl.pallas_call(
+            _ce_rank_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(Vp // block_v, Np // block_n),  # V major
+                in_specs=[
+                    pl.BlockSpec((block_n, E), lambda j, i, *_: (i, 0)),
+                    pl.BlockSpec((block_v, E), lambda j, i, *_: (j, 0)),
+                    pl.BlockSpec((block_n, 1), lambda j, i, *_: (i, 0)),
+                    pl.BlockSpec((block_n, 1), lambda j, i, *_: (i, 0)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((block_n, 1), lambda j, i, *_: (i, 0)),
+                    pl.BlockSpec((block_n, 1), lambda j, i, *_: (i, 0)),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((Np, 1), jnp.float32),
+                    pltpu.VMEM((Np, 1), jnp.float32),
+                    pltpu.VMEM((Np, 1), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+                jax.ShapeDtypeStruct((Np, 1), jnp.int32),
+            ],
+        )(
+            jnp.asarray([V], jnp.int32),
+            xp.astype(jnp.bfloat16),
+            Wp.astype(jnp.bfloat16),
+            lblp[:, None].astype(jnp.int32),
+            llp[:, None].astype(jnp.float32),
+        )
+        lse, rank = lse[:N, 0], rank[:N, 0]
+    else:
+        Wp, Vp = _pad_rows(W, block_v)
+        Wb = Wp.astype(jnp.bfloat16).reshape(Vp // block_v, block_v, E)
+
+        def body(carry, args):
+            m, s, cnt = carry
+            Wc, idx0 = args
+            logits = jnp.einsum("ne,ce->nc", xb, Wc,
+                                preferred_element_type=jnp.float32)
+            col = idx0 + jnp.arange(block_v)
+            valid = (col < V)[None, :]
+            masked = jnp.where(valid, logits, NEG)
+            m_new = jnp.maximum(m, masked.max(-1))
+            s = s * jnp.exp(m - m_new) + jnp.exp(masked - m_new[:, None]).sum(-1)
+            greater = valid & (col[None, :] != labels[:, None]) & (
+                logits > ll[:, None]
+            )
+            return (m_new, s, cnt + greater.sum(-1).astype(jnp.int32)), None
+
+        init = (jnp.full((N,), NEG), jnp.zeros((N,)), jnp.zeros((N,), jnp.int32))
+        idxs = jnp.arange(Vp // block_v) * block_v
+        (m, s, rank), _ = jax.lax.scan(body, init, (Wb, idxs))
+        lse = m + jnp.log(s)
+
+    w = weights.astype(jnp.float32)
+    loss = ((lse - ll) * w).sum() / jnp.maximum(w.sum(), 1.0)
+    return jax.lax.stop_gradient(loss), rank
 
 
 # =========================================================================
