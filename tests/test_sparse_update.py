@@ -160,3 +160,35 @@ def test_trainer_lazy_adam_trains():
     hist = [h["loss"] for h in trainer.state.log_history if "loss" in h]
     assert hist[-1] < hist[0]
     assert np.isfinite(metrics["train_loss"])
+
+
+def test_trainer_adafactor_embedding_trains():
+    import transformers4rec_tpu as tr
+    from transformers4rec_tpu.data.synthetic import (
+        synthetic_ecommerce_data_schema,
+    )
+
+    schema = synthetic_ecommerce_data_schema(
+        num_items=500, num_categories=20, max_session_length=10
+    )
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=32, masking="clm", aggregation="concat"
+    )
+    cfg = tr.transformer_registry.parse("gpt2").build(
+        d_model=32, n_head=2, n_layer=1, total_seq_length=10
+    )
+    model = cfg.to_model(im, tr.NextItemPredictionTask(weight_tying=True))
+    args = tr.T4RecTrainingArguments(
+        output_dir="/tmp/t4r_adafactor",
+        data_loader_engine="synthetic",
+        max_sequence_length=10,
+        per_device_train_batch_size=16,
+        max_steps=12,
+        learning_rate=1e-2,
+        logging_steps=1,
+        embedding_optimizer="adafactor",
+    )
+    trainer = tr.Trainer(model=model, args=args, schema=schema)
+    trainer.train()
+    hist = [h["loss"] for h in trainer.state.log_history if "loss" in h]
+    assert hist[-1] < hist[0]

@@ -70,17 +70,22 @@ class Head(nn.Module):
         configured = []
         for t in tasks:
             if isinstance(t, NextItemPredictionTask) and masking is not None:
-                budget = t.loss_budget
-                if budget is None and masking_name in ("mlm", "rtd"):
-                    # MLM targets ≈ p of positions: budget 2p+0.1 drops ~nothing
-                    p = float(getattr(masking, "mlm_probability", 0.15))
-                    budget = min(1.0, 2.0 * p + 0.1)
+                target_prob = t.budget_target_prob
+                if (
+                    t.loss_budget is None
+                    and target_prob is None
+                    and masking_name in ("mlm", "rtd")
+                ):
+                    # adaptive loss budget: a ≥6σ binomial bound on the
+                    # target count, resolved at trace time from B*S
+                    # (NextItemPredictionTask._budget_rows)
+                    target_prob = float(getattr(masking, "mlm_probability", 0.15))
                 t = t.clone(
                     eval_single_target=bool(
                         getattr(masking, "eval_on_last_item_seq_only", True)
                     ),
                     padding_idx=getattr(masking, "padding_idx", 0),
-                    loss_budget=budget,
+                    budget_target_prob=target_prob,
                 )
             configured.append(t)
         return cls(body=body, tasks=tuple(configured), task_weights=task_weights)

@@ -206,11 +206,28 @@ class NextItemPredictionTask(PredictionTask):
     # Disabled automatically when label_smoothing > 0 (unfused path supports it).
     use_fused_ops: bool = True
     # loss-position budget: at train time gather the masked (target-carrying)
-    # positions into ceil(B*S*budget) static rows before the vocab CE — under
-    # MLM p=0.3 only ~30% of positions carry loss, so budget 0.5 halves the
-    # dominant GEMM with negligible target loss. None = all positions.
-    # Set automatically by Head.from_body for MLM/RTD maskings.
+    # positions into M static rows before the vocab CE — under MLM p=0.3 only
+    # ~30% of VALID positions carry loss, so budgeting halves+ the dominant
+    # N×V work with negligible target drop. Explicit fraction of B*S, or None.
     loss_budget: Optional[float] = None
+    # adaptive budget (set by Head.from_body from the masking's mlm/rtd
+    # probability): M = N·p + 6·sqrt(N·p·(1−p)) + 8, a ≥6σ binomial bound on
+    # the target count — targets beyond M (probability < 1e-9) drop; measured
+    # 1792 → ~915 rows at the REES46 bench config vs the fixed 2p+0.1 rule.
+    budget_target_prob: Optional[float] = None
+
+    def _budget_rows(self, N: int) -> Optional[int]:
+        if self.loss_budget is not None:
+            if self.loss_budget >= 1.0:
+                return None
+            return max(int(N * self.loss_budget), 1)
+        p = self.budget_target_prob
+        if p is None or p <= 0 or p >= 0.5:
+            return None
+        import math
+
+        m = int(N * p + 6.0 * math.sqrt(N * p * (1.0 - p))) + 8
+        return m if m < N else None
 
     def _output_weights(self, info: MaskingInfo, d_in: int):
         if self.weight_tying:
@@ -342,10 +359,10 @@ class NextItemPredictionTask(PredictionTask):
                 from ..ops.vocab import fused_ce_and_rank, fused_softmax_ce
 
                 x2d = x.reshape(N, -1) / temp
-                if training and self.loss_budget is not None and self.loss_budget < 1.0:
-                    M = max(int(N * self.loss_budget), 1)
+                M = self._budget_rows(N) if training else None
+                if M is not None:
                     # stable argsort puts target positions first; overflow
-                    # beyond M (rare at budget ≥ 2·p) drops a few targets
+                    # beyond M (≥6σ margin) drops a few targets
                     order = jnp.argsort(flat_mask <= 0.0, stable=True)[:M]
                     xb = jnp.take(x2d, order, axis=0)
                     lb = jnp.take(flat_labels, order).astype(jnp.int32)

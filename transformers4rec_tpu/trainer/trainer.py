@@ -169,20 +169,26 @@ class Trainer:
             eps=a.adam_epsilon,
             weight_decay=a.weight_decay,
         )
-        if a.embedding_optimizer == "lazy_adam":
+        if a.embedding_optimizer in ("lazy_adam", "adafactor"):
             from ..ops.sparse_update import label_embedding_params, lazy_adam
 
+            if a.embedding_optimizer == "lazy_adam":
+                table_tx = lazy_adam(
+                    self._schedule,
+                    b1=a.adam_beta1,
+                    b2=a.adam_beta2,
+                    eps=a.adam_epsilon,
+                )
+            else:
+                # factored second moments: O(V+E) optimizer state/traffic for
+                # a (V, E) table instead of adam's O(2·V·E) — the standard
+                # choice for 100M-row embedding tables
+                table_tx = optax.adafactor(
+                    learning_rate=self._schedule, multiply_by_parameter_scale=False
+                )
             chain.append(
                 optax.multi_transform(
-                    {
-                        "dense": dense_tx,
-                        "table": lazy_adam(
-                            self._schedule,
-                            b1=a.adam_beta1,
-                            b2=a.adam_beta2,
-                            eps=a.adam_epsilon,
-                        ),
-                    },
+                    {"dense": dense_tx, "table": table_tx},
                     label_embedding_params,
                 )
             )
