@@ -81,7 +81,22 @@ def main():
     tiny = {k: v[:8] for k, v in batch_host.items()}
     params = model.init(rngs, tiny, training=True)
     params = jax.device_put(params, param_shardings(params, mesh))
-    tx = optax.adamw(6.7e-4)
+    # adamw on dense params, adafactor on embedding tables: factored second
+    # moments cut the dominant optimizer HBM traffic on the 390k-row table.
+    # A/B at this exact config (60 steps, same data/rng): 12.22 -> 11.19
+    # ms/step with an indistinguishable loss trajectory (12.96 -> 7.08 both
+    # arms; adafactor marginally lower at every checkpoint).
+    from transformers4rec_tpu.ops.sparse_update import label_embedding_params
+
+    tx = optax.multi_transform(
+        {
+            "dense": optax.adamw(6.7e-4),
+            "table": optax.adafactor(
+                learning_rate=6.7e-4, multiply_by_parameter_scale=False
+            ),
+        },
+        label_embedding_params,
+    )
     opt_state = tx.init(params)
     batch = shard_batch(batch_host, mesh)
 
