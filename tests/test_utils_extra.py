@@ -121,3 +121,22 @@ def test_fit_and_evaluate_time_windows(tmp_path, ecommerce_schema):
     results = fit_and_evaluate(trainer, 1, 2, str(tmp_path))
     key = "indexed_by_time_eval_/next-item/ndcg@10"
     assert key in results and len(results[key]) == 2
+
+
+def test_end_to_end_example_runs():
+    """examples/end_to_end.py: raw events → ETL → incremental train → export
+    → live daemon (the reference's end-to-end notebook flow)."""
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(
+        os.path.dirname(__file__), "..", "examples", "end_to_end.py"
+    )
+    out = subprocess.run(
+        [sys.executable, script, "--cpu", "--days", "2", "--steps-per-day", "5"],
+        capture_output=True, text=True, timeout=420,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-3000:]
+    assert "END-TO-END OK" in out.stdout
