@@ -27,6 +27,8 @@ def build_parser() -> argparse.ArgumentParser:
     # data
     p.add_argument("--data_path", default=None)
     p.add_argument("--feature_config", default=None, help="schema pbtxt/json path")
+    p.add_argument("--features_schema_path", default=None,
+                   help="alias of --feature_config (reference arg name)")
     p.add_argument("--use_synthetic", action="store_true")
     p.add_argument("--use_side_information_features", action="store_true")
     p.add_argument("--start_time_window_index", type=int, default=1)
@@ -49,12 +51,47 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--stochastic_shared_embeddings_replacement_prob", type=float, default=0.0)
     p.add_argument("--layer_norm_featurewise", action="store_true")
     p.add_argument("--input_dropout", type=float, default=0.0)
+    p.add_argument("--layer_norm_eps", type=float, default=1e-12)
+    p.add_argument("--initializer_range", type=float, default=0.01)
+    p.add_argument("--hidden_act", default="gelu")
+    p.add_argument("--attn_type", default=None, choices=[None, "bi", "uni"],
+                   help="override attention direction (bi/uni, XLNet arg)")
+    p.add_argument("--item_id_embeddings_init_std", type=float, default=None)
+    p.add_argument("--other_embeddings_init_std", type=float, default=None)
+    p.add_argument("--numeric_features_project_to_embedding_dim", type=int, default=0)
+    p.add_argument("--numeric_features_soft_one_hot_encoding_num_embeddings",
+                   type=int, default=0)
     # masking / training scheme
     p.add_argument("--masking", default="mlm", choices=["clm", "mlm", "plm", "rtd"])
     p.add_argument("--mlm_probability", type=float, default=0.3)
     p.add_argument("--plm_probability", type=float, default=0.25)
     p.add_argument("--plm_max_span_length", type=int, default=5)
+    p.add_argument("--plm_permute_all", action="store_true")
+    p.add_argument("--rtd_sample_from_batch", action="store_true")
+    p.add_argument("--train_on_last_item_seq_only", action="store_true")
     p.add_argument("--eval_on_last_item_seq_only", action="store_true", default=True)
+    # accepted for reference-CLI compatibility; the reference declares these
+    # but never reads them in transf_exp_main.py (transf_exp_args.py:405-423:
+    # "here just to accept the same arguments, but are not really used")
+    for flag, kw in [
+        ("--loss_type", dict(default="cross_entropy")),
+        ("--similarity_type", dict(default="concat_mlp")),
+        ("--inp_merge", dict(default="mlp")),
+        ("--tf_out_activation", dict(default="tanh")),
+        ("--plm_mask_input", dict(action="store_true")),
+        ("--summary_type", dict(default="last")),
+        ("--avg_session_length", dict(type=int, default=None)),
+        ("--training_time_window_size", dict(type=int, default=0)),
+        ("--validate_every", dict(type=int, default=-1)),
+        ("--rtd_use_batch_interaction", dict(action="store_true")),
+        ("--rtd_discriminator_loss_weight", dict(type=float, default=1.0)),
+        ("--rtd_generator_loss_weight", dict(type=float, default=1.0)),
+        ("--rtd_tied_generator", dict(action="store_true")),
+        ("--electra_generator_hidden_size", dict(type=float, default=0.4)),
+        ("--num_hidden_groups", dict(type=int, default=-1)),
+        ("--inner_group_num", dict(type=int, default=1)),
+    ]:
+        p.add_argument(flag, **kw)
     # output layer
     p.add_argument("--mf_constrained_embeddings", action="store_true", default=True,
                    help="weight tying (reference flag name)")
@@ -97,6 +134,12 @@ def get_model(args, schema):
     elif args.masking == "plm":
         masking_kwargs["plm_probability"] = args.plm_probability
         masking_kwargs["max_span_length"] = args.plm_max_span_length
+        masking_kwargs["permute_all"] = args.plm_permute_all
+    elif args.masking == "rtd":
+        masking_kwargs["mlm_probability"] = args.mlm_probability
+        masking_kwargs["sample_from_batch"] = args.rtd_sample_from_batch
+    elif args.masking == "clm":
+        masking_kwargs["train_on_last_item_seq_only"] = args.train_on_last_item_seq_only
 
     agg = ("elementwise-sum-item-multi"
            if args.input_features_aggregation == "elementwise_sum_multiply_item_embedding"
@@ -112,6 +155,29 @@ def get_model(args, schema):
     if args.item_embedding_dim:
         embedding_dims = {schema.item_id_column_name: args.item_embedding_dim}
 
+    import flax.linen as fnn
+
+    embeddings_initializers = None
+    if args.item_id_embeddings_init_std or args.other_embeddings_init_std:
+        item_col = schema.item_id_column_name
+        embeddings_initializers = {}
+        for col in schema.select_by_tag(["categorical"]):
+            std = (args.item_id_embeddings_init_std if col.name == item_col
+                   else args.other_embeddings_init_std)
+            if std:
+                embeddings_initializers[col.name] = fnn.initializers.normal(std)
+
+    extra_feature_kwargs = {}
+    if args.numeric_features_project_to_embedding_dim:
+        extra_feature_kwargs["continuous_projection"] = (
+            args.numeric_features_project_to_embedding_dim
+        )
+    if args.numeric_features_soft_one_hot_encoding_num_embeddings:
+        extra_feature_kwargs["continuous_soft_embeddings"] = True
+        extra_feature_kwargs["soft_embedding_cardinality_default"] = (
+            args.numeric_features_soft_one_hot_encoding_num_embeddings
+        )
+
     input_module = tr.TabularSequenceFeatures.from_schema(
         schema,
         d_output=args.d_model,
@@ -121,13 +187,21 @@ def get_model(args, schema):
         embedding_dims=embedding_dims,
         infer_embedding_sizes=args.item_embedding_dim is None,
         infer_embedding_sizes_multiplier=args.embedding_dim_from_cardinality_multiplier,
+        embeddings_initializers=embeddings_initializers,
         pre=pre or None,
         post=post or None,
+        **extra_feature_kwargs,
     )
-    cfg = tr.transformer_registry.parse(args.model_type).build(
+    build_kwargs = dict(
         d_model=args.d_model, n_head=args.n_head, n_layer=args.n_layer,
         total_seq_length=args.session_seq_length_max, dropout=args.dropout,
+        layer_norm_eps=args.layer_norm_eps,
+        initializer_range=args.initializer_range,
+        hidden_act=args.hidden_act,
     )
+    if args.attn_type is not None:
+        build_kwargs["causal"] = args.attn_type == "uni"
+    cfg = tr.transformer_registry.parse(args.model_type).build(**build_kwargs)
     task = tr.NextItemPredictionTask(
         weight_tying=args.mf_constrained_embeddings,
         sampled_softmax=args.sampled_softmax,
@@ -181,6 +255,8 @@ def main(argv=None):
     import transformers4rec_tpu as tr
     from transformers4rec_tpu.data.synthetic import synthetic_ecommerce_data_schema
 
+    if args.features_schema_path and not args.feature_config:
+        args.feature_config = args.features_schema_path
     if args.feature_config:
         schema = tr.Schema.load(args.feature_config)
     elif args.use_synthetic:
