@@ -145,13 +145,18 @@ def test_head_sets_mlm_loss_budget():
     )
     head = tr.Head.from_body(input_module=im, transformer="bert")
     task = head.tasks[0]
-    np.testing.assert_allclose(task.loss_budget, 0.7, rtol=1e-6)
+    # adaptive 6-sigma budget: target prob propagated, resolved per-N at
+    # trace time (prediction_task._budget_rows)
+    np.testing.assert_allclose(task.budget_target_prob, 0.3, rtol=1e-6)
+    assert task.loss_budget is None
+    assert task._budget_rows(2560) < int(2560 * 0.7)
     # CLM: no budget
     im2 = tr.TabularSequenceFeatures.from_schema(
         schema, d_output=16, masking="clm", aggregation="concat"
     )
     head2 = tr.Head.from_body(input_module=im2, transformer="gpt2")
     assert head2.tasks[0].loss_budget is None
+    assert head2.tasks[0].budget_target_prob is None
 
 
 def test_fused_ce_and_rank_matches_separate_ops(data):
@@ -185,3 +190,81 @@ def test_fused_ce_and_rank_vs_dense_reference(data):
     dense_loss = -(jnp.take_along_axis(lp, labels[:, None], 1)[:, 0] * weights
                    ).sum() / weights.sum()
     np.testing.assert_allclose(float(loss), float(dense_loss), rtol=5e-3)
+
+
+def test_vocab_size_bound_masks_padded_table_rows(data):
+    """Shard-padded tables (features/embedding.py vocab_padding_multiple):
+    ops with vocab_size=V over a padded (V+pad, E) table must equal the ops
+    over the unpadded table — loss, grads, ranks, and top-k ids."""
+    from transformers4rec_tpu.ops import fused_ce_and_rank
+
+    x, W, labels, weights = data
+    Wpad = jnp.concatenate(
+        [W, 10.0 * jnp.ones((7, W.shape[1]))], axis=0  # large junk rows
+    )
+
+    ref = fused_softmax_ce(x, W, labels, weights, 64, 256)
+    got = fused_softmax_ce(x, Wpad, labels, weights, 64, 256, None, V)
+    np.testing.assert_allclose(float(ref), float(got), rtol=1e-6)
+
+    g_ref = jax.grad(lambda w_: fused_softmax_ce(x, w_, labels, weights, 64, 256))(W)
+    g_pad = jax.grad(
+        lambda w_: fused_softmax_ce(x, w_, labels, weights, 64, 256, None, V)
+    )(Wpad)
+    np.testing.assert_allclose(np.asarray(g_pad[:V]), np.asarray(g_ref), atol=1e-7)
+    assert float(jnp.abs(g_pad[V:]).max()) == 0.0  # padded rows: zero grad
+
+    r_ref = fused_label_rank(x, W, labels, 64, 256)
+    r_pad = fused_label_rank(x, Wpad, labels, 64, 256, vocab_size=V)
+    np.testing.assert_array_equal(np.asarray(r_ref), np.asarray(r_pad))
+
+    _, cr_pad = fused_ce_and_rank(x, Wpad, labels, weights, 64, 256, vocab_size=V)
+    np.testing.assert_array_equal(np.asarray(r_ref), np.asarray(cr_pad))
+
+    ts, ti = fused_topk(x, W, 5, chunk=256)
+    ps, pi = fused_topk(x, Wpad, 5, chunk=256, vocab_size=V)
+    np.testing.assert_array_equal(np.asarray(ti), np.asarray(pi))
+    assert int(np.asarray(pi).max()) < V
+
+
+def test_model_topk_never_returns_padded_ids():
+    """End-to-end: padded item table (vocab_padding_multiple=8) must never
+    surface a padded id in top-k predictions, and target_dim reflects the
+    true vocab."""
+    import transformers4rec_tpu as tr
+    from transformers4rec_tpu.data.synthetic import (
+        synthetic_data,
+        synthetic_ecommerce_data_schema,
+    )
+
+    num_items = 333  # true vocab 334; padded table 336
+    schema = synthetic_ecommerce_data_schema(
+        num_items=num_items, num_categories=10, max_session_length=8
+    )
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_data(schema, num_rows=8, max_session_length=8, seed=0).items()
+    }
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=16, masking="clm", aggregation="concat"
+    )
+    cfg = tr.transformer_registry.parse("gpt2").build(16, 2, 1, 8)
+    model = cfg.to_model(im, tr.NextItemPredictionTask(weight_tying=True))
+    assert model.heads[0].tasks[0].target_dim == num_items + 1
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "masking": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+        "sampling": jax.random.PRNGKey(3),
+    }
+    params = model.init(rngs, batch, training=True)
+    table = [
+        l for p, l in jax.tree_util.tree_leaves_with_path(params)
+        if "item_id_table" in jax.tree_util.keystr(p)
+    ][0]
+    assert table.shape[0] == 336 and table.shape[0] % 8 == 0
+
+    scores = model.apply(params, batch)
+    assert scores.shape == (8, num_items + 1)  # true vocab, not padded
+    s, ids = model.apply(params, batch, top_k=20)
+    assert int(np.asarray(ids).max()) < num_items + 1

@@ -187,3 +187,49 @@ def test_profiler_hook(tmp_path, ecommerce_schema):
     prof_dir = os.path.join(tmp_path, "profile")
     assert os.path.isdir(prof_dir)
     assert any(os.listdir(prof_dir))
+
+
+def test_trainer_model_parallel_sharded_table():
+    """mesh_model_axis=2: the big item table must row-shard over 'model' and
+    the trainer must train normally (XLA inserts the collectives)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    import transformers4rec_tpu as tr
+    from transformers4rec_tpu.data.synthetic import (
+        synthetic_ecommerce_data_schema,
+    )
+
+    schema = synthetic_ecommerce_data_schema(
+        num_items=32768, num_categories=20, max_session_length=10
+    )
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=32, masking="clm", aggregation="concat",
+        embedding_dims={schema.item_id_column_name: 16},
+    )
+    cfg = tr.transformer_registry.parse("gpt2").build(
+        d_model=32, n_head=2, n_layer=1, total_seq_length=10
+    )
+    model = cfg.to_model(im, tr.NextItemPredictionTask(weight_tying=True))
+    args = tr.T4RecTrainingArguments(
+        output_dir="/tmp/t4r_mp_trainer",
+        data_loader_engine="synthetic",
+        max_sequence_length=10,
+        per_device_train_batch_size=4,
+        max_steps=6,
+        learning_rate=1e-2,
+        logging_steps=1,
+        mesh_model_axis=2,
+    )
+    trainer = tr.Trainer(model=model, args=args, schema=schema)
+    trainer.train()
+    hist = [h["loss"] for h in trainer.state.log_history if "loss" in h]
+    assert hist[-1] < hist[0]
+
+    flat = jax.tree_util.tree_leaves_with_path(trainer.params)
+    specs = {
+        jax.tree_util.keystr(p): leaf.sharding.spec
+        for p, leaf in flat if hasattr(leaf, "sharding")
+    }
+    table_specs = [s for k, s in specs.items() if "item_id_table" in k]
+    assert table_specs and table_specs[0][0] == "model", table_specs

@@ -115,6 +115,8 @@ class EmbeddingFeatures(TabularBlock):
     item_id: Optional[str] = None
     mask_padding: bool = True
     table_dtype: Any = jnp.float32
+    # round table rows up so they divide any 'model' mesh axis ≤ this value
+    vocab_padding_multiple: int = 8
 
     @classmethod
     def from_schema(
@@ -151,13 +153,21 @@ class EmbeddingFeatures(TabularBlock):
         # Tables are created in setup (not compact) so weight tying can reach
         # them through ``item_embedding_table()`` from the prediction head's
         # scope — the flax multi-method shared-param pattern.
+        # Rows are rounded up to ``vocab_padding_multiple`` so real vocab
+        # sizes (num_items + 1, almost never divisible) can row-shard over a
+        # 'model' mesh axis (jax.device_put rejects uneven shardings —
+        # parallel/mesh.py). Padded rows are never looked up (ids < true
+        # vocab) and the prediction head masks them out of softmax/top-k via
+        # its true-vocab bound (NextItemPredictionTask.target_dim).
         tables = {}
+        m = max(int(self.vocab_padding_multiple), 1)
         for name, fc in self.feature_configs.items():
             cfg = fc.table
             init = cfg.initializer or _default_initializer()
+            rows = ((cfg.vocabulary_size + m - 1) // m) * m
             tables[name] = self.param(
                 f"{cfg.name or name}_table", init,
-                (cfg.vocabulary_size, cfg.dim), self.table_dtype,
+                (rows, cfg.dim), self.table_dtype,
             )
         self._tables = tables
 

@@ -69,6 +69,16 @@ class Head(nn.Module):
         tasks = list(tasks or [NextItemPredictionTask(weight_tying=True)])
         configured = []
         for t in tasks:
+            if isinstance(t, NextItemPredictionTask):
+                # true item vocab (tables may be padded to a shardable row
+                # count — features/embedding.py vocab_padding_multiple)
+                target_dim = t.target_dim
+                if target_dim is None:
+                    schema_ = getattr(input_module, "schema", None)
+                    item_col = getattr(input_module, "item_id", None)
+                    if schema_ is not None and item_col is not None:
+                        target_dim = schema_.categorical_cardinalities().get(item_col)
+                t = t.clone(target_dim=target_dim)
             if isinstance(t, NextItemPredictionTask) and masking is not None:
                 target_prob = t.budget_target_prob
                 if (

@@ -257,7 +257,9 @@ class NextItemPredictionTask(PredictionTask):
     def _sampled_logits(self, rng, x2d, labels, weights_table):
         """Sampled-softmax logits + zero labels (reference sampled() :673-696)."""
         sampler = LogUniformSampler(
-            self.max_n_samples, weights_table.shape[0], self.min_id
+            self.max_n_samples,
+            self.target_dim or weights_table.shape[0],
+            self.min_id,
         )
         neg_ids = sampler.sample(rng)  # (n,)
         pos_w = weights_table[labels]  # (N, E)
@@ -295,6 +297,11 @@ class NextItemPredictionTask(PredictionTask):
         W = self._output_weights(info, x.shape[-1])
         x = self._project(x, W.shape[-1])
         temp = self.softmax_temperature or 1.0
+        # true vocab when the table carries shard-padding rows
+        # (features/embedding.py vocab_padding_multiple)
+        vsz = self.target_dim if (
+            self.target_dim and self.target_dim != W.shape[0]
+        ) else None
 
         fused = self.use_fused_ops and self.label_smoothing == 0.0
         if training or testing:
@@ -329,17 +336,21 @@ class NextItemPredictionTask(PredictionTask):
                         # 3 (N,V) GEMM passes before: CE fwd + rank's label
                         # logit + rank count)
                         loss, rank = fused_ce_and_rank(
-                            xs, W, labels.astype(jnp.int32), row_valid
+                            xs, W, labels.astype(jnp.int32), row_valid,
+                            vocab_size=vsz,
                         )
                         metrics = metrics_from_ranks(rank, self.metrics, weights=row_valid)
                     else:
                         loss = fused_softmax_ce(
-                            xs, W, labels.astype(jnp.int32), row_valid
+                            xs, W, labels.astype(jnp.int32), row_valid,
+                            vocab_size=vsz,
                         )
                     return TaskOutput(loss=loss, labels=labels, predictions=None,
                                       weights=row_valid, metrics=metrics)
                 logits = jnp.einsum("be,ve->bv", xg, W,
                                     preferred_element_type=jnp.float32) / temp
+                if vsz is not None:
+                    logits = logits[:, :vsz]
                 loss = cross_entropy_with_logits(
                     logits, labels, weights=row_valid,
                     label_smoothing=self.label_smoothing,
@@ -367,24 +378,28 @@ class NextItemPredictionTask(PredictionTask):
                     xb = jnp.take(x2d, order, axis=0)
                     lb = jnp.take(flat_labels, order).astype(jnp.int32)
                     wb = jnp.take(flat_mask, order)
-                    loss = fused_softmax_ce(xb, W, lb, wb)
+                    loss = fused_softmax_ce(xb, W, lb, wb, vocab_size=vsz)
                     return TaskOutput(loss=loss, labels=lb, predictions=None,
                                       weights=wb)
                 metrics = None
                 if compute_metrics and testing:
                     # full-position eval: single streamed pass for loss+ranks
                     loss, rank = fused_ce_and_rank(
-                        x2d, W, flat_labels.astype(jnp.int32), flat_mask
+                        x2d, W, flat_labels.astype(jnp.int32), flat_mask,
+                        vocab_size=vsz,
                     )
                     metrics = metrics_from_ranks(rank, self.metrics, weights=flat_mask)
                 else:
                     loss = fused_softmax_ce(
-                        x2d, W, flat_labels.astype(jnp.int32), flat_mask
+                        x2d, W, flat_labels.astype(jnp.int32), flat_mask,
+                        vocab_size=vsz,
                     )
                 return TaskOutput(loss=loss, labels=flat_labels, predictions=None,
                                   weights=flat_mask, metrics=metrics)
             logits = jnp.einsum("bse,ve->bsv", x, W,
                                 preferred_element_type=jnp.float32) / temp
+            if vsz is not None:
+                logits = logits[..., :vsz]
             loss = cross_entropy_with_logits(
                 logits, targets, weights=mask, label_smoothing=self.label_smoothing
             )
@@ -413,9 +428,11 @@ class NextItemPredictionTask(PredictionTask):
             # huge N×V: streamed top-k merge (peak memory O(N·chunk))
             from ..ops.vocab import fused_topk
 
-            return fused_topk(xg / temp, W, top_k)
+            return fused_topk(xg / temp, W, top_k, vocab_size=vsz)
         scores = jnp.einsum("be,ve->bv", xg, W,
                             preferred_element_type=jnp.float32) / temp
+        if vsz is not None:
+            scores = scores[:, :vsz]
         if top_k is None:
             return scores
         return jax.lax.top_k(scores, top_k)

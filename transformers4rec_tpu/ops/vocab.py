@@ -136,9 +136,9 @@ def _ce_fwd_kernel_vmajor(v_total_ref, x_ref, w_ref, lbl_ref, lse_ref, ll_ref,
         ll_ref[:, :] = ll_sc[sl, :]
 
 
-def _ce_fwd_pallas_vmajor(x, W, labels, bn: int, bv: int):
+def _ce_fwd_pallas_vmajor(x, W, labels, bn: int, bv: int, vocab_size=None):
     N, E = x.shape
-    V = W.shape[0]
+    V = vocab_size or W.shape[0]
     Wp, Vp = _pad_rows(W, bv)
     Np = ((N + bn - 1) // bn) * bn
     xp = jnp.pad(x, ((0, Np - N), (0, 0))) if Np != N else x
@@ -183,15 +183,15 @@ _FWD_SCRATCH_MAX_ROWS = 1 << 20
 _BWD_DX_SCRATCH_MAX_BYTES = 8 << 20
 
 
-def _ce_fwd_pallas(x, W, labels, bn: int, bv: int):
+def _ce_fwd_pallas(x, W, labels, bn: int, bv: int, vocab_size=None):
     if x.shape[0] <= _FWD_SCRATCH_MAX_ROWS:
-        return _ce_fwd_pallas_vmajor(x, W, labels, bn, bv)
-    return _ce_fwd_pallas_nmajor(x, W, labels, bn, bv)
+        return _ce_fwd_pallas_vmajor(x, W, labels, bn, bv, vocab_size)
+    return _ce_fwd_pallas_nmajor(x, W, labels, bn, bv, vocab_size)
 
 
-def _ce_fwd_pallas_nmajor(x, W, labels, bn: int, bv: int):
+def _ce_fwd_pallas_nmajor(x, W, labels, bn: int, bv: int, vocab_size=None):
     N, E = x.shape
-    V = W.shape[0]
+    V = vocab_size or W.shape[0]
     Wp, Vp = _pad_rows(W, bv)
     Np = ((N + bn - 1) // bn) * bn
     xp = jnp.pad(x, ((0, Np - N), (0, 0))) if Np != N else x
@@ -231,9 +231,9 @@ def _ce_fwd_pallas_nmajor(x, W, labels, bn: int, bv: int):
     return lse[:N, 0], ll[:N, 0]
 
 
-def _ce_fwd_scan(x, W, labels, chunk: int):
+def _ce_fwd_scan(x, W, labels, chunk: int, vocab_size=None):
     N, E = x.shape
-    V = W.shape[0]
+    V = vocab_size or W.shape[0]
     Wp, Vp = _pad_rows(W, chunk)
     xb = x.astype(jnp.bfloat16)
     Wb = Wp.astype(jnp.bfloat16).reshape(Vp // chunk, chunk, E)
@@ -414,10 +414,10 @@ def _ce_bwd_fused_kernel_dxsc(v_total_ref, x_ref, w_ref, lbl_ref, lse_ref,
         dx_ref[:, :] = dx_sc[sl, :]
 
 
-def _ce_bwd_pallas_dxsc(x, W, labels, lse, coef, bn: int, bv: int):
+def _ce_bwd_pallas_dxsc(x, W, labels, lse, coef, bn: int, bv: int, vocab_size=None):
     bv = min(bv, 2048)
     N, E = x.shape
-    V = W.shape[0]
+    V = vocab_size or W.shape[0]
     Wp, Vp = _pad_rows(W, bv)
     Np = ((N + bn - 1) // bn) * bn
     pad_n = Np != N
@@ -460,21 +460,21 @@ def _ce_bwd_pallas_dxsc(x, W, labels, lse, coef, bn: int, bv: int):
         lsep[:, None].astype(jnp.float32),
         coefp[:, None].astype(jnp.float32),
     )
-    return dx[:N], dW[:V]
+    return dx[:N], dW[:W.shape[0]]
 
 
-def _ce_bwd_pallas_fused(x, W, labels, lse, coef, bn: int, bv: int):
+def _ce_bwd_pallas_fused(x, W, labels, lse, coef, bn: int, bv: int, vocab_size=None):
     N, E = x.shape
     Np = ((N + bn - 1) // bn) * bn
     if Np * E * 4 <= _BWD_DX_SCRATCH_MAX_BYTES:
-        return _ce_bwd_pallas_dxsc(x, W, labels, lse, coef, bn, bv)
-    return _ce_bwd_pallas_fused_partials(x, W, labels, lse, coef, bn, bv)
+        return _ce_bwd_pallas_dxsc(x, W, labels, lse, coef, bn, bv, vocab_size)
+    return _ce_bwd_pallas_fused_partials(x, W, labels, lse, coef, bn, bv, vocab_size)
 
 
-def _ce_bwd_pallas_fused_partials(x, W, labels, lse, coef, bn: int, bv: int):
+def _ce_bwd_pallas_fused_partials(x, W, labels, lse, coef, bn: int, bv: int, vocab_size=None):
     bv = min(bv, 2048)
     N, E = x.shape
-    V = W.shape[0]
+    V = vocab_size or W.shape[0]
     Wp, Vp = _pad_rows(W, bv)
     Np = ((N + bn - 1) // bn) * bn
     pad_n = Np != N
@@ -515,7 +515,7 @@ def _ce_bwd_pallas_fused_partials(x, W, labels, lse, coef, bn: int, bv: int):
         coefp[:, None].astype(jnp.float32),
     )
     dx = dxp.sum(axis=0)
-    return dx[:N], dW[:V]
+    return dx[:N], dW[:W.shape[0]]
 
 
 def _ce_bwd_pallas(x, W, labels, lse, coef, bn: int, bv: int):
@@ -575,12 +575,12 @@ def _ce_bwd_pallas(x, W, labels, lse, coef, bn: int, bv: int):
         out_shape=jax.ShapeDtypeStruct((Vp, E), jnp.float32),
     )(v_arg, xb, Wb, lbl2, lse2, coef2)
 
-    return dx[:N], dW[:V]
+    return dx[:N], dW[:W.shape[0]]
 
 
-def _ce_bwd_scan(x, W, labels, lse, coef, chunk: int):
+def _ce_bwd_scan(x, W, labels, lse, coef, chunk: int, vocab_size=None):
     N, E = x.shape
-    V = W.shape[0]
+    V = vocab_size or W.shape[0]
     Wp, Vp = _pad_rows(W, chunk)
     xb = x.astype(jnp.bfloat16)
     Wb = Wp.astype(jnp.bfloat16).reshape(Vp // chunk, chunk, E)
@@ -600,7 +600,7 @@ def _ce_bwd_scan(x, W, labels, lse, coef, chunk: int):
 
     idxs = jnp.arange(Vp // chunk) * chunk
     dx, dWs = jax.lax.scan(body, jnp.zeros((N, E), jnp.float32), (Wb, idxs))
-    dW = dWs.reshape(Vp, E)[:V]
+    dW = dWs.reshape(Vp, E)[:W.shape[0]]
     return dx, dW
 
 
@@ -609,7 +609,7 @@ def _ce_bwd_scan(x, W, labels, lse, coef, chunk: int):
 # =========================================================================
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def fused_softmax_ce(
     x: jnp.ndarray,
     W: jnp.ndarray,
@@ -618,37 +618,46 @@ def fused_softmax_ce(
     block_n: int = 256,
     block_v: int = 4096,
     use_pallas: Optional[bool] = None,
+    vocab_size: Optional[int] = None,
 ) -> jnp.ndarray:
     """Weighted-mean CE of ``x @ W.T`` vs ``labels`` without materializing
-    logits. x: (N, E); W: (V, E); labels: (N,) int; weights: (N,) float."""
-    lse, ll = _ce_forward_dispatch(x, W, labels, block_n, block_v, use_pallas)
+    logits. x: (N, E); W: (V, E); labels: (N,) int; weights: (N,) float.
+    ``vocab_size`` bounds the true vocab when W carries padded rows
+    (features/embedding.py vocab_padding_multiple) — rows ≥ vocab_size are
+    excluded from the softmax and receive zero gradient."""
+    lse, ll = _ce_forward_dispatch(x, W, labels, block_n, block_v, use_pallas,
+                                   vocab_size)
     w = weights.astype(jnp.float32)
     return ((lse - ll) * w).sum() / jnp.maximum(w.sum(), 1.0)
 
 
-def _ce_forward_dispatch(x, W, labels, block_n, block_v, use_pallas):
+def _ce_forward_dispatch(x, W, labels, block_n, block_v, use_pallas,
+                         vocab_size=None):
     on_tpu = _on_tpu() if use_pallas is None else use_pallas
     if on_tpu:
-        return _ce_fwd_pallas(x, W, labels, block_n, block_v)
-    return _ce_fwd_scan(x, W, labels, block_v)
+        return _ce_fwd_pallas(x, W, labels, block_n, block_v, vocab_size)
+    return _ce_fwd_scan(x, W, labels, block_v, vocab_size)
 
 
-def _fused_ce_fwd(x, W, labels, weights, block_n, block_v, use_pallas):
-    lse, ll = _ce_forward_dispatch(x, W, labels, block_n, block_v, use_pallas)
+def _fused_ce_fwd(x, W, labels, weights, block_n, block_v, use_pallas,
+                  vocab_size):
+    lse, ll = _ce_forward_dispatch(x, W, labels, block_n, block_v, use_pallas,
+                                   vocab_size)
     w = weights.astype(jnp.float32)
     wsum = jnp.maximum(w.sum(), 1.0)
     loss = ((lse - ll) * w).sum() / wsum
     return loss, (x, W, labels, w, wsum, lse)
 
 
-def _fused_ce_bwd(block_n, block_v, use_pallas, res, g):
+def _fused_ce_bwd(block_n, block_v, use_pallas, vocab_size, res, g):
     x, W, labels, w, wsum, lse = res
     coef = g * w / wsum  # (N,)
     on_tpu = _on_tpu() if use_pallas is None else use_pallas
     if on_tpu:
-        dx, dW = _ce_bwd_pallas_fused(x, W, labels, lse, coef, block_n, block_v)
+        dx, dW = _ce_bwd_pallas_fused(x, W, labels, lse, coef, block_n, block_v,
+                                      vocab_size)
     else:
-        dx, dW = _ce_bwd_scan(x, W, labels, lse, coef, block_v)
+        dx, dW = _ce_bwd_scan(x, W, labels, lse, coef, block_v, vocab_size)
     return dx.astype(x.dtype), dW.astype(W.dtype), None, None
 
 
@@ -691,16 +700,17 @@ def fused_label_rank(
     block_n: int = 256,
     block_v: int = 4096,
     use_pallas: Optional[bool] = None,
+    vocab_size: Optional[int] = None,
 ) -> jnp.ndarray:
     """Exact 0-based rank of each label's logit among all V logits
     (count of strictly-greater logits). Never materializes (N, V) nor sorts.
     Equivalent to ``label_ranks(scores, labels, max_k)`` for rank < max_k."""
     on_tpu = _on_tpu() if use_pallas is None else use_pallas
     N, E = x.shape
-    V = W.shape[0]
+    V = vocab_size or W.shape[0]
     # label logit first (reuse CE forward machinery)
     if on_tpu:
-        _, ll = _ce_fwd_pallas(x, W, labels, block_n, block_v)
+        _, ll = _ce_fwd_pallas(x, W, labels, block_n, block_v, vocab_size)
         Wp, Vp = _pad_rows(W, block_v)
         Np = ((N + block_n - 1) // block_n) * block_n
         xp = jnp.pad(x, ((0, Np - N), (0, 0))) if Np != N else x
@@ -730,7 +740,7 @@ def fused_label_rank(
         )
         return rank[:N, 0]
     # scan fallback
-    _, ll = _ce_fwd_scan(x, W, labels, block_v)
+    _, ll = _ce_fwd_scan(x, W, labels, block_v, vocab_size)
     Wp, Vp = _pad_rows(W, block_v)
     xb = x.astype(jnp.bfloat16)
     Wb = Wp.astype(jnp.bfloat16).reshape(Vp // block_v, block_v, E)
@@ -810,6 +820,7 @@ def fused_ce_and_rank(
     block_n: int = 256,
     block_v: int = 4096,
     use_pallas: Optional[bool] = None,
+    vocab_size: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Eval-fused weighted-mean CE **and** exact label ranks in a single
     streamed vocab pass (eval-only: not differentiable). Returns
@@ -823,7 +834,7 @@ def fused_ce_and_rank(
 
     on_tpu = _on_tpu() if use_pallas is None else use_pallas
     N, E = x.shape
-    V = W.shape[0]
+    V = vocab_size or W.shape[0]
     if on_tpu:
         Wp, Vp = _pad_rows(W, block_v)
         Np = ((N + block_n - 1) // block_n) * block_n
@@ -902,12 +913,13 @@ def fused_topk(
     W: jnp.ndarray,
     k: int,
     chunk: int = 32768,
+    vocab_size: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k of ``x @ W.T`` via per-chunk top-k + running merge — peak memory
     O(N*chunk) instead of O(N*V). Pure-JAX (the per-chunk top_k is already a
     fused XLA sort over VMEM-sized tiles)."""
     N, E = x.shape
-    V = W.shape[0]
+    V = vocab_size or W.shape[0]
     Wp, Vp = _pad_rows(W, chunk)
     xb = x.astype(jnp.bfloat16)
     Wb = Wp.astype(jnp.bfloat16).reshape(Vp // chunk, chunk, E)

@@ -92,8 +92,12 @@ def param_shardings(
 ):
     """Map every param leaf to a NamedSharding by path-regex rules.
 
-    A table is only sharded when (a) a rule matches, (b) its leading dim is
-    ≥ min_rows_to_shard, and (c) it divides the 'model' axis size.
+    A table is sharded when (a) a rule matches, (b) its leading dim is
+    ≥ min_rows_to_shard, and (c) it divides the 'model' axis size —
+    jax.device_put rejects uneven shardings. Embedding tables are padded to
+    ``EmbeddingFeatures.vocab_padding_multiple`` rows at creation
+    (features/embedding.py) precisely so real vocabs (num_items + 1, almost
+    never divisible) satisfy (c).
     """
     if rules is None:
         rules = default_sharding_rules()
