@@ -61,13 +61,16 @@ def test_flash_grads_match_reference(qkv):
     q, k, v = qkv
     pad = jnp.arange(S)[None, :] < jnp.asarray([S, 100])[:, None]
 
-    def f_flash(q_):
-        return flash_attention(q_, k, v, pad_mask=pad, causal=True,
+    def f_flash(q_, k_, v_):
+        return flash_attention(q_, k_, v_, pad_mask=pad, causal=True,
                                interpret=True, block_q=128, block_k=128).sum()
 
-    def f_ref(q_):
-        return reference_attention(q_, k, v, pad_mask=pad, causal=True).sum()
+    def f_ref(q_, k_, v_):
+        return reference_attention(q_, k_, v_, pad_mask=pad, causal=True).sum()
 
-    g1 = jax.grad(f_flash)(q)
-    g2 = jax.grad(f_ref)(q)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=3e-2, rtol=5e-2)
+    # exercises the single-pass fused backward (dq/dk/dv from one kernel)
+    g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-2, rtol=5e-2)

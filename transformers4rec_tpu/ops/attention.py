@@ -275,6 +275,90 @@ def _make_bwd_dkv_kernel(causal: bool, has_pad: bool, has_bias: bool, H: int,
     return kernel
 
 
+def _make_bwd_fused_kernel(causal: bool, has_pad: bool, has_bias: bool, H: int,
+                           block_q: int, block_k: int, seq_len: int):
+    """Single-pass fused backward: grid (B*H, nK, nQ). ONE logits
+    recomputation feeds all three gradients — dk/dv tiles accumulate in
+    per-K-tile scratch (Q minor), dq accumulates in a full-Sq VMEM scratch
+    sliced per Q block (the CE-dx-scratch pattern). 5 S²-GEMMs per tile vs 7
+    for the split dq/dkv kernels (logits+dp recomputed twice there)."""
+
+    def kernel(*refs):
+        i = 0
+        q_ref = refs[i]; i += 1
+        k_ref = refs[i]; i += 1
+        v_ref = refs[i]; i += 1
+        do_ref = refs[i]; i += 1
+        lse_ref = refs[i]; i += 1
+        delta_ref = refs[i]; i += 1
+        pad_ref = refs[i] if has_pad else None
+        i += 1 if has_pad else 0
+        bias_ref = refs[i] if has_bias else None
+        i += 1 if has_bias else 0
+        dq_ref = refs[i]; dk_ref = refs[i + 1]; dv_ref = refs[i + 2]
+        dk_sc = refs[i + 3]; dv_sc = refs[i + 4]; dq_sc = refs[i + 5]
+
+        ki = pl.program_id(1)
+        qi = pl.program_id(2)
+        nk = pl.num_programs(1)
+        nq = pl.num_programs(2)
+        Dh = q_ref.shape[-1]
+        sl = pl.ds(qi * block_q, block_q)
+
+        @pl.when(qi == 0)
+        def _():
+            dk_sc[:] = jnp.zeros_like(dk_sc)
+            dv_sc[:] = jnp.zeros_like(dv_sc)
+
+        @pl.when(ki == 0)
+        def _():
+            dq_sc[sl, :] = jnp.zeros((block_q, Dh), jnp.float32)
+
+        run = True
+        if causal:
+            run = ki * block_k <= qi * block_q + (block_q - 1)
+
+        @pl.when(run)
+        def _():
+            q = q_ref[0]
+            k = k_ref[0]
+            v = v_ref[0]
+            do = do_ref[0]
+            logits = _tile_logits(q, k, qi, ki, block_q, block_k, seq_len,
+                                  causal, pad_ref, bias_ref)
+            p = jnp.exp(logits - lse_ref[0])  # 0 on fully-masked rows
+            dv_sc[:, :] += jax.lax.dot_general(
+                p.astype(do.dtype), do,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = (p * (dp - delta_ref[0])).astype(q.dtype)
+            scale = Dh ** -0.5
+            dk_sc[:, :] += jax.lax.dot_general(
+                ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dq_sc[sl, :] += jax.lax.dot_general(
+                ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+
+        @pl.when(qi == nq - 1)
+        def _():
+            dk_ref[0, :, :] = dk_sc[:, :].astype(dk_ref.dtype)
+            dv_ref[0, :, :] = dv_sc[:, :].astype(dv_ref.dtype)
+
+        @pl.when(ki == nk - 1)
+        def _():
+            dq_ref[0, :, :] = dq_sc[sl, :].astype(dq_ref.dtype)
+
+    return kernel
+
+
 def _prep(q, k, v, bias, pad_mask, block_q, block_k):
     """Shared fwd/bwd input prep: pad to tile multiples, flatten heads, and
     build the pad/bias block specs (broadcast-aware, never materialized)."""
@@ -381,10 +465,19 @@ def _flash_forward(q, k, v, bias, pad_mask, causal, block_q, block_k, interpret,
     return out4
 
 
+# dq full-sequence scratch cap for the single-pass backward (f32 bytes).
+# Measured (v5e, B=4 H=8 Dh=64, causal, bf16): single-pass vs split kernels
+# 2.20 vs 2.24 ms @S=1024, 3.21 vs 4.45 ms @S=2048, 23.0 vs 351.9 ms @S=8192
+# (split's dq kernel degrades badly at long S; XLA's materialized bwd OOMs).
+_BWD_DQ_SCRATCH_MAX_BYTES = 8 << 20
+
+
 def _flash_backward(q, k, v, bias, pad_mask, causal, block_q, block_k,
                     interpret, o_flat, lse, g):
-    """Fully-fused flash backward: two Pallas kernels sharing the forward's
-    logits recomputation; delta = rowsum(dO ⊙ O) computed in XLA."""
+    """Fused flash backward. Preferred path: ONE kernel producing dq/dk/dv
+    from a single logits recomputation (dq in full-Sq VMEM scratch); falls
+    back to split dq + dkv kernels when Sq·Dh exceeds the scratch budget.
+    delta = rowsum(dO ⊙ O) computed in XLA."""
     P_ = _prep(q, k, v, bias, pad_mask, block_q, block_k)
     B, S, H, Dh = P_["B"], P_["S"], P_["H"], P_["Dh"]
     Sq, Sk = P_["Sq"], P_["Sk"]
@@ -400,6 +493,53 @@ def _flash_backward(q, k, v, bias, pad_mask, causal, block_q, block_k,
     rowspec = pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0))
     common_args = [P_["qh"], P_["kh"], P_["vh"], doh, lse, delta,
                    *P_["extra_args"]]
+
+    # single-pass kernel when the full-Sq dq scratch fits in VMEM: one logits
+    # recompute for all three grads (5 S²-GEMMs/tile vs 7 split)
+    if Sq * Dh * 4 <= _BWD_DQ_SCRATCH_MAX_BYTES:
+        def _reorder2(spec_list):
+            out = []
+            for sp in spec_list:
+                f = sp.index_map
+                out.append(pl.BlockSpec(sp.block_shape,
+                                        lambda b, kk, qq, f=f: f(b, qq, kk)))
+            return out
+
+        fused_kernel = _make_bwd_fused_kernel(
+            causal, P_["has_pad"], P_["has_bias"], H, block_q, block_k, S
+        )
+        qspecF = pl.BlockSpec((1, block_q, Dh), lambda b, kk, qq: (b, qq, 0))
+        kspecF = pl.BlockSpec((1, block_k, Dh), lambda b, kk, qq: (b, kk, 0))
+        rowspecF = pl.BlockSpec((1, block_q, 1), lambda b, kk, qq: (b, qq, 0))
+        dq, dk, dv = pl.pallas_call(
+            fused_kernel,
+            grid=(B * H, Sk // block_k, Sq // block_q),
+            in_specs=[qspecF, kspecF, kspecF, qspecF, rowspecF, rowspecF,
+                      *_reorder2(P_["extra_specs"])],
+            out_specs=[
+                pl.BlockSpec((1, block_q, Dh), lambda b, kk, qq: (b, qq, 0)),
+                pl.BlockSpec((1, block_k, Dh), lambda b, kk, qq: (b, kk, 0)),
+                pl.BlockSpec((1, block_k, Dh), lambda b, kk, qq: (b, kk, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_k, Dh), jnp.float32),
+                pltpu.VMEM((block_k, Dh), jnp.float32),
+                pltpu.VMEM((Sq, Dh), jnp.float32),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B * H, Sq, Dh), jnp.float32),
+                jax.ShapeDtypeStruct((B * H, Sk, Dh), jnp.float32),
+                jax.ShapeDtypeStruct((B * H, Sk, Dh), jnp.float32),
+            ],
+            interpret=interpret,
+        )(*common_args)
+
+        def unflatten(x, Sp):
+            return x.reshape(B, H, Sp, Dh).transpose(0, 2, 1, 3)[:, :S]
+
+        return (unflatten(dq, Sq).astype(q.dtype),
+                unflatten(dk, Sk).astype(k.dtype),
+                unflatten(dv, Sk).astype(v.dtype))
 
     dq_kernel = _make_bwd_dq_kernel(causal, P_["has_pad"], P_["has_bias"], H,
                                     block_q, block_k, S)
