@@ -233,3 +233,96 @@ def test_trainer_model_parallel_sharded_table():
     }
     table_specs = [s for k, s in specs.items() if "item_id_table" in k]
     assert table_specs and table_specs[0][0] == "model", table_specs
+
+
+def test_orbax_sharded_checkpoint_roundtrip(tmp_path, ecommerce_schema):
+    """SURVEY.md §5 checkpoint/resume: sharded Orbax writes, auto-detected on
+    load, restoring with the original shardings (no host gather)."""
+    trainer = _make_trainer(
+        tmp_path, ecommerce_schema, checkpoint_format="orbax", max_steps=2
+    )
+    trainer.train()
+    path = trainer._save_checkpoint()
+    assert os.path.isdir(os.path.join(path, "state.orbax"))
+    assert not os.path.exists(os.path.join(path, "params.msgpack"))
+    want_p = jax.device_get(trainer._train_state.params)
+    want_o = jax.device_get(trainer._train_state.opt_state)
+
+    trainer2 = _make_trainer(tmp_path, ecommerce_schema, max_steps=2)
+    trainer2.evaluate()  # materialize param structure
+    trainer2.load(path)  # format auto-detect (args say msgpack)
+    got_p = jax.device_get(trainer2._train_state.params)
+    got_o = jax.device_get(trainer2._train_state.opt_state)
+    jax.tree_util.tree_map(np.testing.assert_allclose, want_p, got_p)
+    jax.tree_util.tree_map(np.testing.assert_allclose, want_o, got_o)
+
+
+def test_orbax_preserves_shardings(tmp_path):
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from transformers4rec_tpu.parallel import make_mesh
+    from transformers4rec_tpu.trainer.checkpoint import restore_sharded, save_sharded
+
+    mesh = make_mesh(model=2)
+    sh = NamedSharding(mesh, P("model", None))
+    table = jax.device_put(
+        jnp.arange(32 * 3, dtype=jnp.float32).reshape(32, 3), sh
+    )
+    tree = {"table": table, "step": jnp.asarray(5, jnp.int32)}
+    path = os.path.join(str(tmp_path), "state.orbax")
+    save_sharded(path, tree)
+    got = restore_sharded(path, tree)
+    assert got["table"].sharding == sh
+    np.testing.assert_allclose(np.asarray(got["table"]), np.asarray(table))
+    assert int(got["step"]) == 5
+
+
+def test_loader_set_state_mid_epoch():
+    """Loader position resume: set_state(epoch, k) replays epoch's order
+    minus the first k batches."""
+    from transformers4rec_tpu.data.loader import SyntheticDataLoader
+    from transformers4rec_tpu.data.synthetic import synthetic_ecommerce_data_schema
+
+    schema = synthetic_ecommerce_data_schema(num_items=100)
+    mk = lambda: SyntheticDataLoader.from_schema(
+        schema, None, batch_size=16, num_rows=96, seed=3, prefetch=0
+    )
+    full = [b["item_id"] for b in mk()]  # epoch 0
+    loader = mk()
+    loader.set_state(0, 3)
+    tail = [b["item_id"] for b in loader]
+    assert len(tail) == len(full) - 3
+    for a, b in zip(full[3:], tail):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_mid_epoch_resume_exact(tmp_path, ecommerce_schema):
+    """Interrupt + resume reproduces the uninterrupted run bit-for-bit:
+    orbax restores params/opt/rng; (loader_epoch, batches_in_epoch) replays
+    the exact remaining batches. Constant LR so the schedule doesn't depend
+    on each run's max_steps."""
+    common = dict(
+        checkpoint_format="orbax",
+        lr_scheduler_type="constant",
+        per_device_train_batch_size=8,
+        seed=11,
+    )
+    # uninterrupted run A: 7 steps (synthetic epoch = 4 batches, so this
+    # crosses an epoch boundary), checkpoint written at step 5
+    ta = _make_trainer(tmp_path / "a", ecommerce_schema, max_steps=7,
+                       save_steps=5, **common)
+    ta.train()
+    ckpt = os.path.join(str(tmp_path / "a"), "checkpoint-5")
+    assert os.path.isdir(ckpt), os.listdir(str(tmp_path / "a"))
+
+    # resumed run B: load the step-5 checkpoint, train 2 more steps
+    tb = _make_trainer(tmp_path / "b", ecommerce_schema, max_steps=2, **common)
+    tb.evaluate()
+    tb.load(ckpt)
+    assert tb.state.batches_in_epoch > 0  # genuinely mid-epoch
+    tb.train()
+
+    pa = jax.device_get(ta._train_state.params)
+    pb = jax.device_get(tb._train_state.params)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, pa, pb)

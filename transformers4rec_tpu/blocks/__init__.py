@@ -1,6 +1,8 @@
 from .base import (
     MASKING_COMPAT,
     Block,
+    BlockBase,
+    build_blocks,
     MLPBlock,
     SequentialBlock,
     TransformerBlock,
@@ -17,6 +19,8 @@ from .transformer import (
 
 __all__ = [
     "Block",
+    "BlockBase",
+    "build_blocks",
     "MLPBlock",
     "MASKING_COMPAT",
     "MultiHeadAttention",

@@ -196,3 +196,16 @@ def right_shift_block(right, left):
     left_blocks = left.blocks if isinstance(left, SequentialBlock) else (left,)
     right_blocks = right.blocks if isinstance(right, SequentialBlock) else (right,)
     return SequentialBlock(blocks=tuple(left_blocks) + tuple(right_blocks))
+
+
+# Reference-name compatibility (block/base.py:32-84, :356-368): the reference
+# splits an abstract BlockBase from Block; here Block is the base.
+BlockBase = Block
+
+
+def build_blocks(*modules) -> SequentialBlock:
+    """Build a SequentialBlock from a list of modules (reference
+    block/base.py:356-368)."""
+    if len(modules) == 1 and isinstance(modules[0], (list, tuple)):
+        modules = tuple(modules[0])
+    return SequentialBlock(blocks=tuple(modules))

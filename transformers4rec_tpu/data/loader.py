@@ -111,6 +111,7 @@ class ParquetDataLoader(T4RecDataLoader):
         self.drop_last = drop_last
         self.seed = seed
         self._epoch = 0
+        self._skip_batches = 0
         # per-host row striping
         n = len(next(iter(data.values())))
         idx = np.arange(global_rank, n, global_size)
@@ -172,13 +173,23 @@ class ParquetDataLoader(T4RecDataLoader):
             order = order[:total]
         return order
 
+    def set_state(self, epoch: int, batches_consumed: int) -> None:
+        """Position the loader for mid-epoch resume: the next iteration
+        replays epoch ``epoch``'s (deterministic) shuffle order and skips the
+        first ``batches_consumed`` batches (no row gathers for the skipped
+        prefix). Trainer checkpoints record this pair (SURVEY.md §5)."""
+        self._epoch = epoch
+        self._skip_batches = batches_consumed
+
     def _iter_batches(self) -> Iterator[NDArrayDict]:
         from .. import native
 
         order = self._epoch_order()
         self._epoch += 1
+        skip = self._skip_batches * self.batch_size
+        self._skip_batches = 0
         use_native = native.available()
-        for start in range(0, len(order), self.batch_size):
+        for start in range(skip, len(order), self.batch_size):
             sel = order[start : start + self.batch_size]
             if use_native:
                 yield {k: native.gather_rows(v, sel) for k, v in self.data.items()}

@@ -3,6 +3,7 @@ from .embedding import (
     EmbeddingFeatures,
     FeatureConfig,
     PretrainedEmbeddingFeatures,
+    PretrainedEmbeddingsInitializer,
     SequenceEmbeddingFeatures,
     SoftEmbedding,
     SoftEmbeddingFeatures,
@@ -17,6 +18,7 @@ __all__ = [
     "EmbeddingFeatures",
     "FeatureConfig",
     "PretrainedEmbeddingFeatures",
+    "PretrainedEmbeddingsInitializer",
     "SequenceEmbeddingFeatures",
     "SoftEmbedding",
     "SoftEmbeddingFeatures",

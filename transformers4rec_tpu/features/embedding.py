@@ -23,6 +23,7 @@ from typing import Any, Callable, Dict, Optional, Sequence, Tuple, Union
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..schema import Schema, Tags, get_embedding_size_from_cardinality
 from ..tabular.base import TabularBlock, TabularData
@@ -340,3 +341,34 @@ class PretrainedEmbeddingFeatures(TabularBlock):
             name: (self.projection_dim or m.shape[-1])
             for name, m in self.pretrained_embeddings.items()
         }
+
+
+class PretrainedEmbeddingsInitializer:
+    """Flax initializer loading pre-trained embedding weights (reference
+    embedding.py:559-596).
+
+    Callable as ``(key, shape, dtype)`` so it slots into ``TableConfig.
+    initializer`` / ``embeddings_initializers={...}``. The expected dims are
+    ``(embedding_cardinality, embedding_dim)``; row 0 is the padding item.
+    ``trainable=False`` is honored by ``EmbeddingFeatures`` /
+    ``PretrainedEmbeddingFeatures`` via ``stop_gradient`` on the table (a
+    frozen torch Parameter has no functional analog; alternatively mask the
+    rows out of the optimizer with ``optax.masked``).
+    """
+
+    def __init__(self, weight_matrix, trainable: bool = False):
+        self.weight_matrix = np.asarray(weight_matrix)
+        if self.weight_matrix.ndim != 2:
+            raise ValueError(
+                f"weight_matrix must be 2D (cardinality, dim), got "
+                f"{self.weight_matrix.shape}"
+            )
+        self.trainable = trainable
+
+    def __call__(self, key, shape, dtype=jnp.float32):
+        if tuple(shape) != self.weight_matrix.shape:
+            raise ValueError(
+                f"pretrained weights {self.weight_matrix.shape} do not match "
+                f"table shape {tuple(shape)}"
+            )
+        return jnp.asarray(self.weight_matrix, dtype)

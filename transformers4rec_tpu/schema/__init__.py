@@ -7,6 +7,7 @@ from .schema import (
     Schema,
     ValueCount,
     get_embedding_size_from_cardinality,
+    requires_schema,
 )
 from .tags import Tags
 
@@ -20,4 +21,5 @@ __all__ = [
     "Tags",
     "ValueCount",
     "get_embedding_size_from_cardinality",
+    "requires_schema",
 ]

@@ -584,3 +584,10 @@ def _schema_to_json_dict(schema: Schema) -> dict:
             f["annotation"] = {"tag": list(c.tags)}
         feats.append(f)
     return {"feature": feats}
+
+
+def requires_schema(module):
+    """Mark a class (or instance) as schema-requiring (reference
+    config/schema.py:69-72)."""
+    module.REQUIRES_SCHEMA = True
+    return module

@@ -192,3 +192,22 @@ class AsTabular(nn.Module):
 
     def __call__(self, inputs: jnp.ndarray, **kwargs) -> TabularData:
         return {self.output_name: inputs}
+
+
+# Reference-name compatibility (tabular/base.py:155-426): the reference splits
+# TabularModule (no shape plumbing) from TabularBlock; one class covers both
+# here since shapes are analytic from the schema.
+TabularModule = TabularBlock
+
+
+def SequentialTabularTransformations(*transformation) -> SequentialTransformation:
+    """Chain transformations in order (reference tabular/base.py:124-142).
+
+    Factory keeping the reference's ``*args`` calling convention (linen modules
+    are frozen dataclasses, so the chain itself takes ``transformations=``).
+    Accepts names, instances, or a single list of either.
+    """
+    if len(transformation) == 1 and isinstance(transformation[0], (list, tuple)):
+        transformation = tuple(transformation[0])
+    parsed = tuple(parse_transformation(t) for t in transformation)
+    return SequentialTransformation(transformations=parsed)

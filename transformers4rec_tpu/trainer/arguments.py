@@ -56,6 +56,10 @@ class T4RecTrainingArguments:
     gradient_checkpointing: bool = False
 
     # logging / eval / checkpointing
+    # 'msgpack' = host-gathered flax serialization (single-host friendly);
+    # 'orbax' = sharded per-device/per-host writes — required scale path for
+    # row-sharded tables (load() auto-detects either format)
+    checkpoint_format: str = "msgpack"
     logging_steps: int = 100
     eval_steps: Optional[int] = None
     save_steps: Optional[int] = None

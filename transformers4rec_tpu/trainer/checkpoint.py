@@ -1,0 +1,62 @@
+"""Sharded checkpointing via Orbax (SURVEY.md §5 checkpoint/resume).
+
+The msgpack path (``Trainer.save``) host-gathers every array — fine
+single-host, but a row-sharded 100M-row table would funnel through one
+process's memory. Orbax writes each shard from its owning device/host and
+restores with the original ``NamedSharding``s, so multi-host resume never
+materializes a full table anywhere. (Reference delegates checkpointing to HF
+``_save_checkpoint`` — trainer.py:701-723 — which has the same
+gather-to-rank-0 shape; this is the TPU-native redesign.)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
+def save_sharded(path: str, tree: Any) -> None:
+    """Write a pytree of (possibly sharded) jax.Arrays; each device/host
+    writes only its own shards. ``path`` must not already exist."""
+    ckptr = _checkpointer()
+    ckptr.save(os.path.abspath(path), tree)
+    ckptr.wait_until_finished()
+    ckptr.close()
+
+
+def restore_sharded(path: str, target: Any, mesh=None) -> Any:
+    """Restore a pytree saved by :func:`save_sharded`.
+
+    ``target`` supplies structure, dtypes, AND shardings (a pytree of live
+    jax.Arrays, e.g. the current train state): every restored array comes
+    back with ``target``'s sharding, placed shard-by-shard on its devices.
+
+    ``mesh``: arrays whose target sharding is not a ``NamedSharding`` (e.g.
+    uncommitted optimizer scalars from ``tx.init``) restore replicated over
+    this mesh — otherwise orbax would commit them to a single device, which
+    conflicts with mesh-committed params inside one jitted step.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def _abstract(x):
+        if isinstance(x, jax.Array):
+            sh = x.sharding
+            if mesh is not None and not isinstance(sh, NamedSharding):
+                sh = NamedSharding(mesh, PartitionSpec())
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sh)
+        return x
+
+    abstract = jax.tree.map(_abstract, target)
+    ckptr = _checkpointer()
+    try:
+        return ckptr.restore(os.path.abspath(path), abstract)
+    finally:
+        ckptr.close()

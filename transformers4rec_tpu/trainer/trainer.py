@@ -62,6 +62,11 @@ class TrainerState:
     past_global_steps: int = 0
     epoch: float = 0.0
     log_history: List[Dict[str, Any]] = dataclasses.field(default_factory=list)
+    # dataloader position for mid-epoch resume (SURVEY.md §5): the loader's
+    # shuffle is deterministic in (seed, epoch), so (epoch, batches consumed)
+    # pins the exact next batch
+    loader_epoch: int = 0
+    batches_in_epoch: int = 0
 
 
 class Trainer:
@@ -96,6 +101,9 @@ class Trainer:
         self._jit_train_step = None
         self._jit_eval_step = None
         self._jit_predict_step = None
+        # (loader_epoch, batches_in_epoch) staged by load() for the next
+        # train() call to fast-forward the loader to; consumed once
+        self._resume_position: Optional[tuple] = None
 
     # ------------------------------------------------------------ dataloaders
     def _make_loader(self, dataset, batch_size: int, shuffle: bool, **kwargs):
@@ -309,7 +317,21 @@ class Trainer:
         done = False
         epoch = 0
         n_examples = 0
+        # mid-epoch resume: restore the loader's (epoch, batch) position from
+        # a load()ed checkpoint (shuffle is deterministic in (seed, epoch)).
+        # Only a freshly loaded position fast-forwards — a later train() call
+        # (incremental window) starts its loader from the top.
+        pos = self._resume_position
+        self._resume_position = None
+        if pos and pos[1] > 0 and hasattr(loader, "set_state"):
+            loader.set_state(*pos)
+        else:
+            self.state.batches_in_epoch = 0
         while not done and epoch < epochs:
+            # record which (deterministic) shuffle order this epoch will use —
+            # the init-time batch peek advances the loader's internal epoch,
+            # so read it rather than counting locally
+            self.state.loader_epoch = getattr(loader, "_epoch", self.state.loader_epoch)
             for batch in loader:
                 if profile_range and step_in_run == profile_range[0]:
                     jax.profiler.start_trace(
@@ -321,6 +343,7 @@ class Trainer:
                 self._train_state, loss = self._jit_train_step(self._train_state, sb)
                 step_in_run += 1
                 self.state.global_step = self.state.past_global_steps + step_in_run
+                self.state.batches_in_epoch += 1
                 n_examples += next(iter(batch.values())).shape[0]
                 if profile_range and step_in_run == profile_range[1]:
                     jax.block_until_ready(loss)
@@ -332,13 +355,16 @@ class Trainer:
                     self.state.log_history.append(
                         {"loss": l, "step": self.state.global_step}
                     )
+                if a.save_steps and step_in_run % a.save_steps == 0:
+                    self._save_checkpoint()
                 if step_in_run >= num_steps:
                     done = True
                     break
+            else:
+                # full epoch consumed — position resets for the next order
+                self.state.batches_in_epoch = 0
             epoch += 1
             self.state.epoch = epoch
-            if a.save_steps and step_in_run % a.save_steps == 0:
-                self._save_checkpoint()
 
         runtime = time.time() - start
         metrics = {
@@ -500,14 +526,25 @@ class Trainer:
 
     def save(self, path: str) -> None:
         """Params + optimizer + trainer state (reference
-        _save_model_and_checkpoint trainer.py:701-723)."""
+        _save_model_and_checkpoint trainer.py:701-723).
+
+        ``args.checkpoint_format="orbax"`` writes the full train state as a
+        sharded Orbax checkpoint instead — each device/host writes only its
+        own shards, so row-sharded tables never gather to one host, and
+        restore places shards directly (trainer/checkpoint.py).
+        """
         os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, "params.msgpack"), "wb") as f:
-            f.write(serialization.to_bytes(
-                jax.device_get(self._train_state.params)))
-        with open(os.path.join(path, "opt_state.msgpack"), "wb") as f:
-            f.write(serialization.to_bytes(
-                jax.device_get(self._train_state.opt_state)))
+        if self.args.checkpoint_format == "orbax":
+            from .checkpoint import save_sharded
+
+            save_sharded(os.path.join(path, "state.orbax"), self._train_state)
+        else:
+            with open(os.path.join(path, "params.msgpack"), "wb") as f:
+                f.write(serialization.to_bytes(
+                    jax.device_get(self._train_state.params)))
+            with open(os.path.join(path, "opt_state.msgpack"), "wb") as f:
+                f.write(serialization.to_bytes(
+                    jax.device_get(self._train_state.opt_state)))
         with open(os.path.join(path, "trainer_state.json"), "w") as f:
             json.dump(
                 {
@@ -515,6 +552,8 @@ class Trainer:
                     "epoch": self.state.epoch,
                     "log_history": self.state.log_history,
                     "step": int(self._train_state.step),
+                    "loader_epoch": self.state.loader_epoch,
+                    "batches_in_epoch": self.state.batches_in_epoch,
                 },
                 f,
             )
@@ -527,23 +566,38 @@ class Trainer:
                 "Call train()/evaluate() once (or _ensure_state) before load() "
                 "so the parameter structure exists"
             )
-        with open(os.path.join(path, "params.msgpack"), "rb") as f:
-            params = serialization.from_bytes(
-                jax.device_get(self._train_state.params), f.read()
-            )
-        params = jax.device_put(params, param_shardings(params, self.mesh))
-        opt_state = self._train_state.opt_state
-        opt_path = os.path.join(path, "opt_state.msgpack")
-        if os.path.exists(opt_path):
-            with open(opt_path, "rb") as f:
-                opt_state = serialization.from_bytes(
-                    jax.device_get(self._train_state.opt_state), f.read()
+        orbax_path = os.path.join(path, "state.orbax")
+        if os.path.isdir(orbax_path):  # format auto-detected, not args-gated
+            from .checkpoint import restore_sharded
+
+            restored = restore_sharded(orbax_path, self._train_state, self.mesh)
+            params, opt_state = restored.params, restored.opt_state
+            # rng too: MLM/PLM masking draws from the train-state rng, so
+            # bit-exact resume needs the saved stream position
+            self._train_state = self._train_state.replace(rng=restored.rng)
+        else:
+            with open(os.path.join(path, "params.msgpack"), "rb") as f:
+                params = serialization.from_bytes(
+                    jax.device_get(self._train_state.params), f.read()
                 )
+            params = jax.device_put(params, param_shardings(params, self.mesh))
+            opt_state = self._train_state.opt_state
+            opt_path = os.path.join(path, "opt_state.msgpack")
+            if os.path.exists(opt_path):
+                with open(opt_path, "rb") as f:
+                    opt_state = serialization.from_bytes(
+                        jax.device_get(self._train_state.opt_state), f.read()
+                    )
         with open(os.path.join(path, "trainer_state.json")) as f:
             ts = json.load(f)
         self.state.global_step = ts["global_step"]
         self.state.epoch = ts.get("epoch", 0.0)
         self.state.log_history = ts.get("log_history", [])
+        self.state.loader_epoch = ts.get("loader_epoch", 0)
+        self.state.batches_in_epoch = ts.get("batches_in_epoch", 0)
+        self._resume_position = (
+            self.state.loader_epoch, self.state.batches_in_epoch
+        )
         self._train_state = self._train_state.replace(
             params=params,
             opt_state=opt_state,
