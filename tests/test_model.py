@@ -135,6 +135,22 @@ def test_log_uniform_sampler_distribution():
     assert float(ep.max()) <= 1.0 and float(ep[0]) > float(ep[-1])
 
 
+def test_log_uniform_sampler_large_vocab_f32_stable():
+    """Regression: at REES46 scale (390k ids) the naive log(r+2)-log(r+1)
+    cancels catastrophically in f32 and rounded NEGATIVE on TPU, sending
+    log(expected_probs) to NaN in the sampled-softmax loss. The log1p form
+    must stay strictly positive all the way to the last id."""
+    V = 390_000
+    s = LogUniformSampler(max_n_samples=8192, max_id=V, min_id=1)
+    # evaluate in f32 exactly as the model does, on the worst (largest) ids
+    ids = jnp.asarray([1, 1000, V // 2, V - 2, V - 1], jnp.int32)
+    p = s.probs(ids)
+    assert bool((p > 0).all()), np.asarray(p)
+    ep = s.expected_probs(ids)
+    assert bool((ep > 0).all()) and bool((ep <= 1.0).all()), np.asarray(ep)
+    assert not bool(jnp.isnan(jnp.log(ep)).any())
+
+
 # ------------------------------------------------------------- model paths
 def test_model_train_test_inference_shapes(jbatch):
     schema, batch = jbatch

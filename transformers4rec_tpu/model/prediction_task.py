@@ -67,9 +67,15 @@ class LogUniformSampler:
         self.range = max_id - min_id
 
     def probs(self, ids: jnp.ndarray) -> jnp.ndarray:
-        """Log-uniform pmf at the given (possibly offset) ids."""
+        """Log-uniform pmf at the given (possibly offset) ids.
+
+        ``log(r+2) - log(r+1)`` is rewritten as ``log1p(1/(r+1))``: the direct
+        difference cancels catastrophically in f32 for large ids (two ~13.0
+        values differing by ~3e-6) and can round NEGATIVE on TPU, which turns
+        the downstream ``log(expected_probs)`` into NaN.
+        """
         rel = jnp.clip(ids - self.min_id, 0, self.range - 1).astype(jnp.float32)
-        p = (jnp.log(rel + 2.0) - jnp.log(rel + 1.0)) / jnp.log(self.range + 1.0)
+        p = jnp.log1p(1.0 / (rel + 1.0)) / jnp.log(self.range + 1.0)
         return jnp.where(ids >= self.min_id, p, 0.0)
 
     def expected_probs(self, ids: jnp.ndarray) -> jnp.ndarray:
