@@ -30,6 +30,42 @@ def test_synthetic_sessions_aligned(ecommerce_schema):
     assert (item_mask == cat_mask).all()
 
 
+def test_synthetic_sessionized_locality():
+    """sessionized mode: items within a session cluster around an anchor
+    (sequential signal), while the anchors keep the long-tail marginal."""
+    from transformers4rec_tpu.data.synthetic import synthetic_ecommerce_data_schema
+
+    V = 100_000
+    schema = synthetic_ecommerce_data_schema(num_items=V, max_session_length=20)
+    data = synthetic_data(
+        schema, num_rows=200, max_session_length=20,
+        item_popularity="sessionized", seed=3,
+    )
+    ids = data["item_id"].astype(np.int64)
+    valid = ids > 0
+    # within-session spread is bounded by the walk window (<< vocab)
+    card = schema.categorical_cardinalities()["item_id"]
+    window = max(5, (card - 1) // 4000)
+    spreads = []
+    for r in range(ids.shape[0]):
+        row = ids[r][valid[r]]
+        spreads.append(row.max() - row.min())
+    assert max(spreads) <= 2 * window, (max(spreads), window)
+    # across sessions the anchors spread over a wide id range (long tail)
+    firsts = ids[:, 0]
+    assert firsts.max() - firsts.min() > 10 * window
+    # ragged mode keeps the same per-session property
+    rag = synthetic_data(
+        schema, num_rows=50, max_session_length=20, ragged=True,
+        item_popularity="sessionized", seed=3,
+    )
+    off = rag["item_id__offsets"]
+    vals = rag["item_id__values"].astype(np.int64)
+    for r in range(50):
+        row = vals[off[r]:off[r + 1]]
+        assert row.max() - row.min() <= 2 * window
+
+
 def test_synthetic_ragged(ecommerce_schema):
     data = synthetic_data(ecommerce_schema, num_rows=32, max_session_length=20, ragged=True)
     off = data["item_id__offsets"]

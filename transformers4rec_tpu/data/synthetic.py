@@ -104,7 +104,24 @@ def synthetic_data(
             card = col.cardinality or 2
             low = max(1, col.int_domain.min if col.int_domain else 1)
             high = max(low + 1, card)
-            if item_popularity == "lognormal":
+            is_item = Tags.ITEM_ID in col.tags
+            if item_popularity == "sessionized" and is_item and is_list:
+                # within-session locality: a popularity-drawn anchor item per
+                # session plus a local browsing walk around it — gives the
+                # sequence model a SEQUENTIAL signal to learn (the i.i.d.
+                # lognormal mode only rewards learning the global marginal),
+                # so convergence/quality A/Bs measure ranking skill, not just
+                # popularity recovery.
+                raw = rng.lognormal(3.0, 1.0, size=num_rows)
+                anchors = (
+                    low + (raw / raw.max()) * (high - 1 - low)
+                ).astype(np.int64)
+                window = max(5, (high - low) // 4000)
+                reps = lengths if ragged else np.full(num_rows, seq_len)
+                walk = rng.integers(-window, window + 1, size=n)
+                ids = np.repeat(anchors, reps) + walk
+                ids = np.clip(ids, low, high - 1)
+            elif item_popularity in ("lognormal", "sessionized"):
                 # long-tail popularity like real item interactions
                 raw = rng.lognormal(3.0, 1.0, size=n)
                 ids = (low + (raw / raw.max()) * (high - 1 - low)).astype(np.int64)
