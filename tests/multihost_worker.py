@@ -11,7 +11,10 @@ Usage: multihost_worker.py <process_id> <num_processes> <coordinator_port>
 Prints one line: ``RESULT pid=.. loss=.. checksum=.. ndcg=..``
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
