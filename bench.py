@@ -86,14 +86,17 @@ def main():
     # A/B at this exact config (60 steps, same data/rng): 12.22 -> 11.19
     # ms/step with an indistinguishable loss trajectory (12.96 -> 7.08 both
     # arms; adafactor marginally lower at every checkpoint).
+    # fused_adafactor = exact optax.adafactor math (unfactored second
+    # moments — quality-pinned by a 2000-step convergence A/B; factored
+    # rank-1 moments measurably hurt ranking quality at this config), with
+    # fewer HBM passes + rsqrt instead of the literal power op optax emits.
+    from transformers4rec_tpu.ops.fused_adafactor import fused_adafactor
     from transformers4rec_tpu.ops.sparse_update import label_embedding_params
 
     tx = optax.multi_transform(
         {
             "dense": optax.adamw(6.7e-4),
-            "table": optax.adafactor(
-                learning_rate=6.7e-4, multiply_by_parameter_scale=False
-            ),
+            "table": fused_adafactor(learning_rate=6.7e-4),
         },
         label_embedding_params,
     )

@@ -39,6 +39,14 @@ def main():
                     help="sessionized adds within-session locality — a real "
                          "sequential signal; lognormal is i.i.d. popularity "
                          "(only the marginal is learnable)")
+    ap.add_argument("--embedding-optimizer", default="adafactor",
+                    choices=["adafactor", "fused_adafactor",
+                             "factored_adafactor", "adamw"],
+                    help="table optimizer arm: optax.adafactor (unfactored "
+                         "at E<128), fused_adafactor (ours, unfactored — the "
+                         "bench default), factored_adafactor (rank-1 second "
+                         "moment: measured -39%% recall@20 at 2000 steps), "
+                         "or adamw")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -101,13 +109,22 @@ def main():
     tiny = {k: jnp.asarray(v[:8]) for k, v in train_np.items()}
     params = model.init(rngs, tiny, training=True)
     params = jax.device_put(params, param_shardings(params, mesh))
+    if args.embedding_optimizer == "adamw":
+        table_tx = optax.adamw(6.7e-4)
+    elif args.embedding_optimizer == "fused_adafactor":
+        from transformers4rec_tpu.ops.fused_adafactor import fused_adafactor
+
+        table_tx = fused_adafactor(6.7e-4)
+    elif args.embedding_optimizer == "factored_adafactor":
+        from transformers4rec_tpu.ops.fused_adafactor import fused_adafactor
+
+        table_tx = fused_adafactor(6.7e-4, min_dim_size_to_factor=64)
+    else:
+        table_tx = optax.adafactor(
+            learning_rate=6.7e-4, multiply_by_parameter_scale=False
+        )
     tx = optax.multi_transform(
-        {
-            "dense": optax.adamw(6.7e-4),
-            "table": optax.adafactor(
-                learning_rate=6.7e-4, multiply_by_parameter_scale=False
-            ),
-        },
+        {"dense": optax.adamw(6.7e-4), "table": table_tx},
         label_embedding_params,
     )
     opt_state = tx.init(params)
@@ -169,6 +186,7 @@ def main():
 
     print(json.dumps({
         "arm": args.arm,
+        "embedding_optimizer": args.embedding_optimizer,
         "steps": args.steps,
         "train_rows": args.train_rows,
         "popularity": args.popularity,
