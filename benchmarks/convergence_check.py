@@ -41,12 +41,17 @@ def main():
                          "(only the marginal is learnable)")
     ap.add_argument("--embedding-optimizer", default="adafactor",
                     choices=["adafactor", "fused_adafactor",
-                             "factored_adafactor", "adamw"],
+                             "factored_adafactor", "lazy_adam", "adamw"],
                     help="table optimizer arm: optax.adafactor (unfactored "
                          "at E<128), fused_adafactor (ours, unfactored — the "
                          "bench default), factored_adafactor (rank-1 second "
                          "moment: measured -39%% recall@20 at 2000 steps), "
-                         "or adamw")
+                         "lazy_adam, or adamw")
+    ap.add_argument("--masking", default="mlm",
+                    choices=["clm", "mlm", "plm", "rtd"],
+                    help="training scheme; the architecture follows the "
+                         "reference pairing (clm→gpt2, mlm→xlnet, plm→xlnet "
+                         "two-stream, rtd→electra)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -73,11 +78,17 @@ def main():
     schema = synthetic_ecommerce_data_schema(
         num_items=args.num_items, num_categories=150, max_session_length=SEQ
     )
+    masking_kwargs = {}
+    if args.masking in ("mlm", "rtd"):
+        masking_kwargs["mlm_probability"] = 0.3
     input_module = tr.TabularSequenceFeatures.from_schema(
-        schema, d_output=D_MODEL, masking="mlm", aggregation="concat",
-        masking_kwargs={"mlm_probability": 0.3},
+        schema, d_output=D_MODEL, masking=args.masking, aggregation="concat",
+        masking_kwargs=masking_kwargs,
     )
-    cfg = tr.XLNetConfig.build(
+    arch = {"clm": "gpt2", "mlm": "xlnet", "plm": "xlnet", "rtd": "electra"}[
+        args.masking
+    ]
+    cfg = tr.transformer_registry.parse(arch).build(
         d_model=D_MODEL, n_head=N_HEAD, n_layer=N_LAYER, total_seq_length=SEQ,
         dropout=0.1,
     )
@@ -119,6 +130,10 @@ def main():
         from transformers4rec_tpu.ops.fused_adafactor import fused_adafactor
 
         table_tx = fused_adafactor(6.7e-4, min_dim_size_to_factor=64)
+    elif args.embedding_optimizer == "lazy_adam":
+        from transformers4rec_tpu.ops.sparse_update import lazy_adam
+
+        table_tx = lazy_adam(6.7e-4)
     else:
         table_tx = optax.adafactor(
             learning_rate=6.7e-4, multiply_by_parameter_scale=False
@@ -186,6 +201,7 @@ def main():
 
     print(json.dumps({
         "arm": args.arm,
+        "masking": args.masking,
         "embedding_optimizer": args.embedding_optimizer,
         "steps": args.steps,
         "train_rows": args.train_rows,

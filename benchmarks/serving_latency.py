@@ -21,6 +21,9 @@ def main():
     ap.add_argument("--top-k", type=int, default=100)
     ap.add_argument("--batch-sizes", default="1,32,128")
     ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--weights-dtype", default=None,
+                    help="e.g. bfloat16 — cast params at export (halves the "
+                         "memory-bound vocab-GEMM table read per request)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -54,7 +57,7 @@ def main():
     }
     params = model.init(rngs, example, training=True)
     path = export_model(model, params, example, "/tmp/t4r_latency_artifact",
-                        top_k=args.top_k)
+                        top_k=args.top_k, weights_dtype=args.weights_dtype)
     runner = load_runner(path)
 
     for bs in (int(b) for b in args.batch_sizes.split(",")):
@@ -69,6 +72,7 @@ def main():
         lat = np.asarray(lat)
         print(json.dumps({
             "benchmark": "serving_latency",
+            "weights_dtype": args.weights_dtype or "float32",
             "batch_size": bs,
             "top_k": args.top_k,
             "vocab": args.vocab,

@@ -142,3 +142,28 @@ def test_serving_server_batches_requests(trained, tmp_path):
             assert e.code == 400
     finally:
         server.stop()
+
+
+def test_export_bf16_weights(trained, tmp_path):
+    """weights_dtype='bfloat16' must halve the artifact's weight payload while
+    keeping the top-k ranking close to the f32 export (scores accumulate in
+    f32; bf16 weight rounding may reorder near-tied items only)."""
+    import os
+
+    schema, model, params, batch = trained
+    p32 = export_model(model, params, batch, str(tmp_path / "a_f32"), top_k=20)
+    pbf = export_model(model, params, batch, str(tmp_path / "a_bf16"), top_k=20,
+                       weights_dtype="bfloat16")
+    s32 = os.path.getsize(os.path.join(p32, "model.stablehlo"))
+    sbf = os.path.getsize(os.path.join(pbf, "model.stablehlo"))
+    assert sbf < 0.65 * s32, f"bf16 artifact not smaller: {sbf} vs {s32}"
+
+    r32, rbf = load_runner(p32), load_runner(pbf)
+    np_batch = {k: np.asarray(v) for k, v in batch.items()}
+    _, ids32 = r32.predict(np_batch)
+    _, idsbf = rbf.predict(np_batch)
+    # top-20 sets must overlap strongly for every session
+    for a, b in zip(ids32, idsbf):
+        overlap = len(set(a.tolist()) & set(b.tolist())) / len(a)
+        assert overlap >= 0.7, f"bf16 top-k drifted too far: {overlap}"
+    assert rbf.metadata["weights_dtype"] == "bfloat16"

@@ -42,16 +42,30 @@ def export_model(
     path: str,
     top_k: Optional[int] = None,
     batch_polymorphic: bool = True,
+    weights_dtype: Optional[str] = None,
 ) -> str:
     """Trace + AOT-serialize the inference path and write the artifact dir.
 
     ``batch_polymorphic`` exports with a symbolic batch dimension so the same
     artifact serves any batch size (shape-polymorphic StableHLO).
+
+    ``weights_dtype`` (e.g. ``"bfloat16"``) casts all floating-point params
+    before export: the serving-time vocab scoring GEMM is memory-bound on the
+    (V, E) item table, so bf16 weights halve the per-request table read (and
+    the artifact size). Scores still accumulate in f32
+    (``preferred_element_type`` in the scoring ops).
     """
     from jax import export as jexport
 
     os.makedirs(path, exist_ok=True)
     example = {k: jnp.asarray(v) for k, v in example_batch.items()}
+
+    if weights_dtype is not None:
+        wd = jnp.dtype(weights_dtype)
+        params = jax.tree.map(
+            lambda p: p.astype(wd) if jnp.issubdtype(p.dtype, jnp.floating) else p,
+            params,
+        )
 
     def infer(batch):
         return model.apply(params, batch, top_k=top_k)
@@ -82,6 +96,7 @@ def export_model(
                 "features": {k: list(np.asarray(v).shape[1:]) for k, v in example.items()},
                 "dtypes": {k: str(np.asarray(v).dtype) for k, v in example.items()},
                 "batch_polymorphic": batch_polymorphic,
+                "weights_dtype": weights_dtype,
                 "example_batch_size": int(next(iter(example.values())).shape[0]),
             },
             f,
