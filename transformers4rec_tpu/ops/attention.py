@@ -624,10 +624,13 @@ def _flash_fwd(q, k, v, bias, pad_mask, causal, block_q, block_k, interpret):
 
 
 # Below this sequence length the backward re-runs through XLA (materializing
-# the (B,H,S,S) probabilities is cheap and XLA's bwd is faster); above it the
-# O(S) fused kernels are the only thing that fits in HBM. Tests set this to 0
-# to force the kernel path.
-FUSED_BWD_MIN_SEQ = 4096
+# the (B,H,S,S) probabilities); at/above it the O(S) fused kernels run (the
+# only thing that fits in HBM at S=8192). Re-tuned to 0 — always fused when
+# flash is engaged (use_flash gates at S>=128): across 4 independent runs at
+# S=128..8192 the fused single-pass backward measured 1.1-6.4 ms while the
+# XLA-remat arm never beat 14 ms on this backend and was often pathological
+# (0.8-1.8 s at S=128). benchmarks/attention_bwd_ab.py reproduces the A/B.
+FUSED_BWD_MIN_SEQ = 0
 
 
 def _flash_bwd(causal, block_q, block_k, interpret, res, g):
