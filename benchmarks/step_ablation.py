@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 
-def build_step(arm: str):
+def build_step(arm: str, n_head: int = 16):
     import optax
 
     import transformers4rec_tpu as tr
@@ -42,7 +42,7 @@ def build_step(arm: str):
     from transformers4rec_tpu.parallel import make_mesh, param_shardings, shard_batch
 
     NUM_ITEMS = 390_000
-    D_MODEL, N_LAYER, N_HEAD = 192, 3, 16
+    D_MODEL, N_LAYER, N_HEAD = 192, 3, n_head
     SEQ, BATCH = 20, 128
 
     mesh = make_mesh(model=1)
@@ -130,6 +130,13 @@ def build_step(arm: str):
 
 
 def run_arm(arm: str, steps: int = 30, warmup: int = 3, reps: int = 2):
+    # heads<N> arms probe head-dim MXU padding (d_head = 192/n_head; tiles
+    # pad to 128 lanes, so dh=12 runs the attention GEMMs at ~10% MXU util)
+    n_head = 16
+    label = arm
+    if arm.startswith("heads"):
+        n_head = int(arm.removeprefix("heads"))
+        arm = "fused_af"
     if arm == "no_ce":
         import transformers4rec_tpu.model.prediction_task as pt
         import transformers4rec_tpu.ops.vocab as vocab
@@ -143,7 +150,7 @@ def run_arm(arm: str, steps: int = 30, warmup: int = 3, reps: int = 2):
 
         vocab.fused_softmax_ce = surrogate
     try:
-        step, params, opt_state, batch = build_step(arm)
+        step, params, opt_state, batch = build_step(arm, n_head=n_head)
         rng = jax.random.PRNGKey(7)
         times = []
         for rep in range(reps):
@@ -157,7 +164,7 @@ def run_arm(arm: str, steps: int = 30, warmup: int = 3, reps: int = 2):
                 params, opt_state, loss = step(params, opt_state, batch, sub)
             float(loss)
             times.append((time.perf_counter() - t0) / steps * 1e3)
-        print(json.dumps({"arm": arm, "ms_per_step": [round(t, 3) for t in times]}),
+        print(json.dumps({"arm": label, "ms_per_step": [round(t, 3) for t in times]}),
               flush=True)
     finally:
         if arm == "no_ce":
