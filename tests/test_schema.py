@@ -100,3 +100,41 @@ def test_parse_reference_testing_schema_json():
     assert len(s) > 3
     cont = s.select_by_tag(Tags.CONTINUOUS)
     assert len(cont) > 0
+
+
+_DATASET_CONFIGS = pathlib.Path(
+    "/root/reference/examples/t4rec_paper_experiments/datasets_configs"
+)
+
+
+@pytest.mark.skipif(not _DATASET_CONFIGS.exists(), reason="reference not mounted")
+@pytest.mark.parametrize(
+    "rel, item_col",
+    [
+        ("ecom_rees46/rees46_schema.pbtxt", "sess_pid_seq"),
+        ("ecom_yoochoose/yoochoose_schema.pbtxt", None),
+        ("news_g1/g1_schema.pbtxt", None),
+        ("news_adressa/adressa_schema.pbtxt", None),
+    ],
+)
+def test_parse_all_reference_dataset_schemas(rel, item_col):
+    """Every paper dataset config (SURVEY.md §2 #37) must load unchanged and
+    expose an ITEM_ID column, cardinalities, and a model buildable via
+    TabularSequenceFeatures.from_schema."""
+    s = Schema.from_proto_text(str(_DATASET_CONFIGS / rel))
+    assert len(s) >= 1
+    iid = s.item_id_column_name
+    assert iid, f"no item_id column found in {rel}"
+    if item_col:
+        assert iid == item_col
+    cards = s.categorical_cardinalities()
+    assert cards[iid] > 1000
+    assert s[iid].value_count.max >= 2
+
+    # schema-driven model construction end-to-end (shapes only, CPU)
+    import transformers4rec_tpu as tr
+
+    im = tr.TabularSequenceFeatures.from_schema(
+        s.select_by_name(iid), d_output=16, masking="clm", aggregation="concat"
+    )
+    assert im is not None
