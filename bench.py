@@ -39,12 +39,21 @@ def main():
         synthetic_data,
         synthetic_ecommerce_data_schema,
     )
-    from transformers4rec_tpu.parallel import make_mesh, param_shardings, shard_batch
+    from transformers4rec_tpu.parallel import (
+        make_mesh,
+        param_shardings,
+        shard_stacked_batches,
+    )
 
     NUM_ITEMS = 390_000
     D_MODEL, N_LAYER, N_HEAD = 192, 3, 16
     SEQ, BATCH_PER_CHIP = 20, 128
     STEPS, WARMUP = 30, 3
+    # steps per device dispatch (trainer steps_per_execution): lax.scan of K
+    # optimizer steps amortizes per-dispatch overhead — measured 11.9 -> 9.3
+    # ms/step at K=8 (benchmarks/step_ablation.py packed8). Numerics are
+    # bit-identical to K=1 (tests/test_trainer.py equivalence test).
+    K_PACK = 8
 
     n_chips = jax.device_count()
     batch_size = BATCH_PER_CHIP * n_chips
@@ -68,7 +77,9 @@ def main():
         ),
     )
 
-    data = synthetic_data(schema, num_rows=batch_size, max_session_length=SEQ, seed=0)
+    data = synthetic_data(
+        schema, num_rows=batch_size * K_PACK, max_session_length=SEQ, seed=0
+    )
     batch_host = {k: jnp.asarray(v) for k, v in data.items()}
     rngs = {
         "params": jax.random.PRNGKey(0),
@@ -81,11 +92,7 @@ def main():
     tiny = {k: v[:8] for k, v in batch_host.items()}
     params = model.init(rngs, tiny, training=True)
     params = jax.device_put(params, param_shardings(params, mesh))
-    # adamw on dense params, adafactor on embedding tables: factored second
-    # moments cut the dominant optimizer HBM traffic on the 390k-row table.
-    # A/B at this exact config (60 steps, same data/rng): 12.22 -> 11.19
-    # ms/step with an indistinguishable loss trajectory (12.96 -> 7.08 both
-    # arms; adafactor marginally lower at every checkpoint).
+    # adamw on dense params, adafactor semantics on embedding tables.
     # fused_adafactor = exact optax.adafactor math (unfactored second
     # moments — quality-pinned by a 2000-step convergence A/B; factored
     # rank-1 moments measurably hurt ranking quality at this config), with
@@ -101,10 +108,16 @@ def main():
         label_embedding_params,
     )
     opt_state = tx.init(params)
-    batch = shard_batch(batch_host, mesh)
+    # K distinct batches stacked (K, B, ...) — one dispatch runs K steps
+    batches = shard_stacked_batches(
+        [
+            {k: v[i * batch_size:(i + 1) * batch_size] for k, v in data.items()}
+            for i in range(K_PACK)
+        ],
+        mesh,
+    )
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, batch, rng):
+    def one_step(params, opt_state, batch, rng):
         r = {
             "masking": jax.random.fold_in(rng, 0),
             "dropout": jax.random.fold_in(rng, 1),
@@ -119,10 +132,24 @@ def main():
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batches, rng):
+        def body(carry, xs):
+            p, o = carry
+            batch, r = xs
+            p, o, loss = one_step(p, o, batch, r)
+            return (p, o), loss
+
+        rs = jax.random.split(rng, K_PACK)
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (batches, rs)
+        )
+        return params, opt_state, losses[-1]
+
     rng = jax.random.PRNGKey(7)
     for i in range(WARMUP):
         rng, sub = jax.random.split(rng)
-        params, opt_state, loss = train_step(params, opt_state, batch, sub)
+        params, opt_state, loss = train_step(params, opt_state, batches, sub)
     # force full completion with a host transfer: on the tunneled axon backend
     # block_until_ready alone under-reports (async dispatch artifact)
     float(loss)
@@ -130,11 +157,11 @@ def main():
     t0 = time.perf_counter()
     for i in range(STEPS):
         rng, sub = jax.random.split(rng)
-        params, opt_state, loss = train_step(params, opt_state, batch, sub)
+        params, opt_state, loss = train_step(params, opt_state, batches, sub)
     float(loss)
     dt = time.perf_counter() - t0
 
-    examples_per_sec_per_chip = STEPS * batch_size / dt / n_chips
+    examples_per_sec_per_chip = STEPS * K_PACK * batch_size / dt / n_chips
 
     baseline = None
     if os.path.exists("bench_baseline.json"):

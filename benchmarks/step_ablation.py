@@ -81,7 +81,7 @@ def build_step(arm: str, n_head: int = 16):
             {"dense": optax.adamw(6.7e-4), "table": optax.sgd(6.7e-4)},
             label_embedding_params,
         )
-    elif arm in ("fused_af", "fused_af_factored"):
+    elif arm in ("fused_af", "fused_af_factored", "packed8"):
         # fused_af = the bench default (unfactored, quality-pinned);
         # fused_af_factored = rank-1 moments (perf reference only — measured
         # quality loss at 2000 steps, see ops/fused_adafactor.py)
@@ -108,8 +108,9 @@ def build_step(arm: str, n_head: int = 16):
     opt_state = tx.init(params)
     batch = shard_batch(batch_host, mesh)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, batch, rng):
+    import optax as _optax
+
+    def one_step(params, opt_state, batch, rng):
         r = {
             "masking": jax.random.fold_in(rng, 0),
             "dropout": jax.random.fold_in(rng, 1),
@@ -122,9 +123,29 @@ def build_step(arm: str, n_head: int = 16):
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        import optax as _optax
-
         return _optax.apply_updates(params, updates), opt_state, loss
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch, rng):
+        return one_step(params, opt_state, batch, rng)
+
+    if arm == "packed8":
+        # K steps per dispatch via lax.scan — amortizes the ~0.8ms dispatch
+        # floor; reports per-inner-step time
+        K = 8
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_step(params, opt_state, batch, rng):  # noqa: F811
+            def body(carry, r):
+                p, o = carry
+                p, o, loss = one_step(p, o, batch, r)
+                return (p, o), loss
+
+            rs = jax.random.split(rng, K)
+            (params, opt_state), losses = jax.lax.scan(body, (params, opt_state), rs)
+            return params, opt_state, losses[-1]
+
+        train_step._packed = K  # type: ignore[attr-defined]
 
     return train_step, params, opt_state, batch
 
@@ -151,6 +172,7 @@ def run_arm(arm: str, steps: int = 30, warmup: int = 3, reps: int = 2):
         vocab.fused_softmax_ce = surrogate
     try:
         step, params, opt_state, batch = build_step(arm, n_head=n_head)
+        k = getattr(step, "_packed", 1)
         rng = jax.random.PRNGKey(7)
         times = []
         for rep in range(reps):
@@ -163,7 +185,7 @@ def run_arm(arm: str, steps: int = 30, warmup: int = 3, reps: int = 2):
                 rng, sub = jax.random.split(rng)
                 params, opt_state, loss = step(params, opt_state, batch, sub)
             float(loss)
-            times.append((time.perf_counter() - t0) / steps * 1e3)
+            times.append((time.perf_counter() - t0) / steps / k * 1e3)
         print(json.dumps({"arm": label, "ms_per_step": [round(t, 3) for t in times]}),
               flush=True)
     finally:

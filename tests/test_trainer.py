@@ -326,3 +326,50 @@ def test_mid_epoch_resume_exact(tmp_path, ecommerce_schema):
     pa = jax.device_get(ta._train_state.params)
     pb = jax.device_get(tb._train_state.params)
     jax.tree_util.tree_map(np.testing.assert_array_equal, pa, pb)
+
+
+def test_steps_per_execution_matches_single_step(tmp_path):
+    """steps_per_execution>1 (lax.scan packing) must produce the SAME training
+    trajectory as single-step execution: same per-step RNG chain, same batch
+    order, bit-identical params up to scan/jit scheduling tolerance."""
+    import jax
+    import numpy as np
+
+    import transformers4rec_tpu as tr
+    from transformers4rec_tpu.data.synthetic import synthetic_ecommerce_data_schema
+
+    schema = synthetic_ecommerce_data_schema(
+        num_items=300, num_categories=20, max_session_length=10
+    )
+
+    def run(k):
+        im = tr.TabularSequenceFeatures.from_schema(
+            schema, d_output=32, masking="clm", aggregation="concat"
+        )
+        cfg = tr.transformer_registry.parse("gpt2").build(
+            d_model=32, n_head=2, n_layer=1, total_seq_length=10
+        )
+        model = cfg.to_model(im, tr.NextItemPredictionTask(weight_tying=True))
+        args = tr.T4RecTrainingArguments(
+            output_dir=str(tmp_path / f"spe_{k}"),
+            data_loader_engine="synthetic",
+            max_sequence_length=10,
+            per_device_train_batch_size=8,
+            max_steps=10,  # deliberately NOT a multiple of k=4 (tail path)
+            learning_rate=1e-2,
+            logging_steps=1,
+            steps_per_execution=k,
+            seed=11,
+        )
+        trainer = tr.Trainer(model=model, args=args, schema=schema)
+        metrics = trainer.train()
+        return metrics, trainer.params
+
+    m1, p1 = run(1)
+    m4, p4 = run(4)
+    assert m1["train_steps"] == m4["train_steps"] == 10
+    np.testing.assert_allclose(m1["train_loss"], m4["train_loss"], rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        jax.device_get(p1), jax.device_get(p4),
+    )

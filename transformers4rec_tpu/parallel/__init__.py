@@ -5,6 +5,7 @@ from .mesh import (
     param_shardings,
     replicated,
     shard_batch,
+    shard_stacked_batches,
 )
 from .sharded_embedding import shard_table, sharded_embedding_lookup
 
@@ -15,6 +16,7 @@ __all__ = [
     "param_shardings",
     "replicated",
     "shard_batch",
+    "shard_stacked_batches",
     "shard_table",
     "sharded_embedding_lookup",
 ]

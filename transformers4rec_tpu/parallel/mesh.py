@@ -68,6 +68,22 @@ def shard_batch(batch: Dict[str, jax.Array], mesh: Mesh) -> Dict[str, jax.Array]
     return jax.device_put(batch, sharding)
 
 
+def shard_stacked_batches(batches, mesh: Mesh) -> Dict[str, jax.Array]:
+    """Stack K host batch dicts into (K, B, ...) arrays sharded P(None, 'data')
+    — the input layout for steps_per_execution>1 (lax.scan over the leading
+    step axis; each scanned batch stays data-parallel over the mesh)."""
+    stacked = {
+        k: np.stack([np.asarray(b[k]) for b in batches]) for k in batches[0]
+    }
+    sharding = NamedSharding(mesh, P(None, "data"))
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(sharding, v)
+            for k, v in stacked.items()
+        }
+    return jax.device_put(stacked, sharding)
+
+
 # (regex over param path, PartitionSpec factory given array ndim)
 ShardingRule = Tuple[str, Callable[[int], P]]
 
