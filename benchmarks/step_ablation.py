@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 
-def build_step(arm: str, n_head: int = 16):
+def build_step(arm: str, n_head: int = 16, n_layer: int = 3):
     import optax
 
     import transformers4rec_tpu as tr
@@ -42,7 +42,7 @@ def build_step(arm: str, n_head: int = 16):
     from transformers4rec_tpu.parallel import make_mesh, param_shardings, shard_batch
 
     NUM_ITEMS = 390_000
-    D_MODEL, N_LAYER, N_HEAD = 192, 3, n_head
+    D_MODEL, N_LAYER, N_HEAD = 192, n_layer, n_head
     SEQ, BATCH = 20, 128
 
     mesh = make_mesh(model=1)
@@ -81,7 +81,7 @@ def build_step(arm: str, n_head: int = 16):
             {"dense": optax.adamw(6.7e-4), "table": optax.sgd(6.7e-4)},
             label_embedding_params,
         )
-    elif arm in ("fused_af", "fused_af_factored", "packed8"):
+    elif arm in ("fused_af", "fused_af_factored") or arm.startswith("packed"):
         # fused_af = the bench default (unfactored, quality-pinned);
         # fused_af_factored = rank-1 moments (perf reference only — measured
         # quality loss at 2000 steps, see ops/fused_adafactor.py)
@@ -129,10 +129,10 @@ def build_step(arm: str, n_head: int = 16):
     def train_step(params, opt_state, batch, rng):
         return one_step(params, opt_state, batch, rng)
 
-    if arm == "packed8":
+    if arm.startswith("packed"):
         # K steps per dispatch via lax.scan — amortizes the ~0.8ms dispatch
         # floor; reports per-inner-step time
-        K = 8
+        K = int(arm.removeprefix("packed"))
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch, rng):  # noqa: F811
@@ -154,9 +154,13 @@ def run_arm(arm: str, steps: int = 30, warmup: int = 3, reps: int = 2):
     # heads<N> arms probe head-dim MXU padding (d_head = 192/n_head; tiles
     # pad to 128 lanes, so dh=12 runs the attention GEMMs at ~10% MXU util)
     n_head = 16
+    n_layer = 3
     label = arm
     if arm.startswith("heads"):
         n_head = int(arm.removeprefix("heads"))
+        arm = "fused_af"
+    if arm.startswith("layers"):
+        n_layer = int(arm.removeprefix("layers"))
         arm = "fused_af"
     if arm == "no_ce":
         import transformers4rec_tpu.model.prediction_task as pt
@@ -171,7 +175,7 @@ def run_arm(arm: str, steps: int = 30, warmup: int = 3, reps: int = 2):
 
         vocab.fused_softmax_ce = surrogate
     try:
-        step, params, opt_state, batch = build_step(arm, n_head=n_head)
+        step, params, opt_state, batch = build_step(arm, n_head=n_head, n_layer=n_layer)
         k = getattr(step, "_packed", 1)
         rng = jax.random.PRNGKey(7)
         times = []
