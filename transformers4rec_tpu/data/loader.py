@@ -188,7 +188,19 @@ class ParquetDataLoader(T4RecDataLoader):
         self._epoch += 1
         skip = self._skip_batches * self.batch_size
         self._skip_batches = 0
-        use_native = native.available()
+        # native gather only pays when the copied bytes amortize its thread
+        # fan-out: a (128, 20) int64 batch gather is ~20KB and numpy fancy
+        # indexing is 5-8x faster there (benchmarks/loader_throughput.py);
+        # the C++ kernel wins on multi-MB gathers (wide feature blocks).
+        _NATIVE_MIN_BYTES = 4 << 20
+        bytes_per_row = sum(
+            v.dtype.itemsize * int(np.prod(v.shape[1:], dtype=np.int64))
+            for v in self.data.values()
+        )
+        use_native = (
+            native.available()
+            and self.batch_size * bytes_per_row >= _NATIVE_MIN_BYTES
+        )
         for start in range(skip, len(order), self.batch_size):
             sel = order[start : start + self.batch_size]
             if use_native:

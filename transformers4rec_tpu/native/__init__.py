@@ -21,6 +21,8 @@ _LIB = os.path.join(_HERE, "libt4r_native.so")
 
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
+# test/benchmark hook: force the numpy fallbacks even when the lib is built
+_FORCE_DISABLE = False
 
 
 def _build() -> bool:
@@ -37,6 +39,8 @@ def _build() -> bool:
 
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _build_failed
+    if _FORCE_DISABLE:
+        return None
     if _lib is not None:
         return _lib
     if _build_failed:
