@@ -373,3 +373,47 @@ def test_steps_per_execution_matches_single_step(tmp_path):
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
         jax.device_get(p1), jax.device_get(p4),
     )
+
+
+def test_eval_packing_matches_single_step(tmp_path):
+    """Packed evaluation (steps_per_execution>1) must produce the same loss
+    and metric values as the unpacked loop."""
+    import numpy as np
+
+    import transformers4rec_tpu as tr
+    from transformers4rec_tpu.data.synthetic import synthetic_ecommerce_data_schema
+
+    schema = synthetic_ecommerce_data_schema(
+        num_items=300, num_categories=20, max_session_length=10
+    )
+
+    def run(k):
+        im = tr.TabularSequenceFeatures.from_schema(
+            schema, d_output=32, masking="clm", aggregation="concat"
+        )
+        cfg = tr.transformer_registry.parse("gpt2").build(
+            d_model=32, n_head=2, n_layer=1, total_seq_length=10
+        )
+        model = cfg.to_model(im, tr.NextItemPredictionTask(weight_tying=True))
+        args = tr.T4RecTrainingArguments(
+            output_dir=str(tmp_path / f"evp_{k}"),
+            data_loader_engine="synthetic",
+            max_sequence_length=10,
+            per_device_train_batch_size=8,
+            per_device_eval_batch_size=8,
+            max_steps=3,
+            steps_per_execution=k,
+            seed=3,
+        )
+        trainer = tr.Trainer(model=model, args=args, schema=schema)
+        trainer.train()
+        # 10 eval batches: k=4 exercises two packed groups + a 2-batch tail
+        return trainer.evaluate(max_steps=10)
+
+    r1 = run(1)
+    r4 = run(4)
+    for key in r1:
+        if key.endswith("_runtime") or key.endswith("_samples_per_second"):
+            continue
+        np.testing.assert_allclose(r1[key], r4[key], rtol=1e-5,
+                                   err_msg=key)

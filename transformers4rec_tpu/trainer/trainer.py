@@ -107,6 +107,7 @@ class Trainer:
         self._jit_train_step = None
         self._jit_train_step_multi = None
         self._jit_eval_step = None
+        self._jit_eval_step_multi = None
         self._jit_predict_step = None
         # (loader_epoch, batches_in_epoch) staged by load() for the next
         # train() call to fast-forward the loader to; consumed once
@@ -341,6 +342,44 @@ class Trainer:
 
         return jax.jit(eval_step, static_argnames=())
 
+    def _build_eval_step_multi(self, compute_metrics: bool):
+        """K eval batches per dispatch: scan the eval step and merge the
+        (sum, count) metric states on device — the unpacked loop pays ~a
+        dozen tiny dispatched accumulation ops per batch on top of the step
+        dispatch itself. Returns (summed_loss, merged_metric_state, K)."""
+        model = self.model
+
+        def eval_one(params, batch):
+            loss, outs = model.apply(
+                params, batch, targets=batch, testing=True,
+                compute_metrics=compute_metrics,
+            )
+            metrics = {}
+            for task_name, out in outs.items():
+                if out.metrics:
+                    for k, v in out.metrics.items():
+                        metrics[f"{task_name}/{k}"] = v
+            return loss, metrics
+
+        def eval_multi(params, stacked):
+            first = jax.tree.map(lambda x: x[0], stacked)
+            loss0, m0 = eval_one(params, first)
+            rest = jax.tree.map(lambda x: x[1:], stacked)
+
+            def body(carry, batch):
+                loss_sum, mstate = carry
+                loss, m = eval_one(params, batch)
+                merged = {
+                    name: (mstate[name][0] + s, mstate[name][1] + c)
+                    for name, (s, c) in m.items()
+                } if m else mstate
+                return (loss_sum + loss, merged), None
+
+            (loss_sum, mstate), _ = jax.lax.scan(body, (loss0, m0), rest)
+            return loss_sum, mstate
+
+        return jax.jit(eval_multi)
+
     # ------------------------------------------------------------------ train
     def train(self) -> Dict[str, float]:
         a = self.args
@@ -502,6 +541,15 @@ class Trainer:
             self._ensure_state(first, 1)
         if self._jit_eval_step is None:
             self._jit_eval_step = self._build_eval_step(self.compute_metrics)
+        # eval packing shares the steps_per_execution knob; metric thinning
+        # (compute_metrics_each_n_steps > 1) keeps the unpacked loop
+        K = max(int(a.steps_per_execution), 1)
+        pack = K > 1 and (not self.compute_metrics
+                          or a.compute_metrics_each_n_steps == 1)
+        if pack and self._jit_eval_step_multi is None:
+            self._jit_eval_step_multi = self._build_eval_step_multi(
+                self.compute_metrics
+            )
 
         start = time.time()
         metric_state: Dict[str, Any] = {}
@@ -509,20 +557,51 @@ class Trainer:
         # tunneled TPU backend; one transfer happens at the end
         loss_sum = jnp.zeros(())
         n_batches, n_examples = 0, 0
-        for i, batch in enumerate(loader):
-            if max_steps is not None and i >= max_steps:
-                break
-            sb = shard_batch({k: jnp.asarray(v) for k, v in batch.items()}, self.mesh)
-            loss, metrics = self._jit_eval_step(self._train_state.params, sb)
+        pending: List[Dict[str, Any]] = []
+
+        def flush(group):
+            nonlocal loss_sum, metric_state, n_batches, n_examples
+            if len(group) > 1:
+                stacked = shard_stacked_batches(group, self.mesh)
+                loss, metrics = self._jit_eval_step_multi(
+                    self._train_state.params, stacked
+                )
+            else:
+                sb = shard_batch(
+                    {k: jnp.asarray(v) for k, v in group[0].items()}, self.mesh
+                )
+                loss, metrics = self._jit_eval_step(self._train_state.params, sb)
             loss_sum = loss_sum + loss
-            n_batches += 1
-            n_examples += next(iter(batch.values())).shape[0]
-            if self.compute_metrics and i % a.compute_metrics_each_n_steps == 0:
+            n_batches += len(group)
+            n_examples += sum(next(iter(b.values())).shape[0] for b in group)
+            if self.compute_metrics and metrics:
                 metric_state = (
                     update_metric_state(metric_state, metrics)
                     if metric_state
                     else metrics
                 )
+
+        for i, batch in enumerate(loader):
+            if max_steps is not None and i >= max_steps:
+                break
+            if pack:
+                pending.append(batch)
+                if len(pending) == K:
+                    flush(pending)
+                    pending = []
+            elif self.compute_metrics and i % a.compute_metrics_each_n_steps != 0:
+                # thinned metric update: loss still accumulates
+                sb = shard_batch(
+                    {k: jnp.asarray(v) for k, v in batch.items()}, self.mesh
+                )
+                loss, _ = self._jit_eval_step(self._train_state.params, sb)
+                loss_sum = loss_sum + loss
+                n_batches += 1
+                n_examples += next(iter(batch.values())).shape[0]
+            else:
+                flush([batch])
+        for b in pending:
+            flush([b])
         runtime = time.time() - start
 
         results = {
@@ -701,6 +780,7 @@ class Trainer:
         self._jit_train_step = None
         self._jit_train_step_multi = None
         self._jit_eval_step = None
+        self._jit_eval_step_multi = None
         self._jit_predict_step = None
         import gc
 
