@@ -23,34 +23,43 @@ import json
 import time
 
 
-def _throughput(trainer, steps: int) -> float:
+def _throughput(trainer, steps: int, k_pack: int = 8) -> float:
+    """examples/sec/chip of the PACKED production train step
+    (steps_per_execution=k_pack — the bench.py execution mode)."""
     import jax
 
     loader = trainer.get_train_dataloader()
     trainer._ensure_state(next(iter(loader)), steps)
-    if trainer._jit_train_step is None:
-        trainer._jit_train_step = trainer._build_train_step()
-    from transformers4rec_tpu.parallel import shard_batch
-    import jax.numpy as jnp
+    if trainer._jit_train_step_multi is None:
+        trainer._jit_train_step_multi = trainer._build_train_step_multi()
+    from transformers4rec_tpu.parallel import shard_stacked_batches
 
-    batches = []
     it = iter(loader)
-    for _ in range(min(4, len(loader))):
-        batches.append(shard_batch(
-            {k: jnp.asarray(v) for k, v in next(it).items()}, trainer.mesh))
+
+    def next_batch():
+        nonlocal it
+        try:
+            return next(it)
+        except StopIteration:
+            it = iter(loader)
+            return next(it)
+
+    stacked = shard_stacked_batches([next_batch() for _ in range(k_pack)],
+                                    trainer.mesh)
+    rows_per_exec = k_pack * next(iter(stacked.values())).shape[1]
     # warmup/compile
-    for b in batches[:2]:
-        trainer._train_state, loss = trainer._jit_train_step(trainer._train_state, b)
-    float(loss)
-    n = 0
+    for _ in range(2):
+        trainer._train_state, losses = trainer._jit_train_step_multi(
+            trainer._train_state, stacked)
+    float(losses[-1])
+    execs = max(steps // k_pack, 2)
     t0 = time.perf_counter()
-    for i in range(steps):
-        b = batches[i % len(batches)]
-        trainer._train_state, loss = trainer._jit_train_step(trainer._train_state, b)
-        n += next(iter(b.values())).shape[0]
-    float(loss)
+    for _ in range(execs):
+        trainer._train_state, losses = trainer._jit_train_step_multi(
+            trainer._train_state, stacked)
+    float(losses[-1])
     dt = time.perf_counter() - t0
-    return n / dt / max(jax.device_count(), 1)
+    return execs * rows_per_exec / dt / max(jax.device_count(), 1)
 
 
 def _make_trainer(model, schema, batch_size, seq_len, engine="synthetic", **kw):
