@@ -117,7 +117,6 @@ def config_yoochoose(quick: bool):
 
 def config_rees46(quick: bool):
     import transformers4rec_tpu as tr
-    from transformers4rec_tpu.data.synthetic import synthetic_data
 
     schema = tr.Schema.from_proto_text(
         "/root/reference/examples/t4rec_paper_experiments/datasets_configs/"

@@ -163,7 +163,6 @@ def run_arm(arm: str, steps: int = 30, warmup: int = 3, reps: int = 2):
         n_layer = int(arm.removeprefix("layers"))
         arm = "fused_af"
     if arm == "no_ce":
-        import transformers4rec_tpu.model.prediction_task as pt
         import transformers4rec_tpu.ops.vocab as vocab
 
         real = vocab.fused_softmax_ce

@@ -18,7 +18,6 @@ import argparse
 import json
 import os
 import tempfile
-import threading
 import urllib.request
 
 
@@ -35,11 +34,9 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
-    import pandas as pd
 
     import transformers4rec_tpu as tr
     from transformers4rec_tpu.data.synthetic import generate_item_interactions
-    from transformers4rec_tpu.schema import Tags
     from transformers4rec_tpu.serving import ServingServer, export_model
     from transformers4rec_tpu.utils.data_utils import (
         add_item_first_seen_col_to_df,

@@ -218,7 +218,6 @@ def get_model(args, schema):
 
 def make_synthetic_windows(args, schema, base_dir):
     """Write {index}/train.parquet + valid.parquet windows of synthetic data."""
-    import pandas as pd
 
     from transformers4rec_tpu.data.synthetic import (
         generate_item_interactions,
@@ -310,7 +309,6 @@ def main(argv=None):
 
     # simulated inference cross-check (reference :191-231): top-k predict on the
     # last eval window and recompute recall@10 by hand
-    import numpy as np
 
     last_eval = os.path.join(
         data_path, str(args.final_time_window_index + 1), "valid.parquet"

@@ -26,7 +26,6 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
-    import numpy as np
 
     import transformers4rec_tpu as tr
     from transformers4rec_tpu.data.synthetic import (

@@ -1,7 +1,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from transformers4rec_tpu.features import (
     ContinuousFeatures,
@@ -9,10 +8,8 @@ from transformers4rec_tpu.features import (
     PretrainedEmbeddingFeatures,
     SequenceEmbeddingFeatures,
     SoftEmbeddingFeatures,
-    TabularFeatures,
     TabularSequenceFeatures,
 )
-from transformers4rec_tpu.schema import Tags
 
 
 def _jax_batch(batch):

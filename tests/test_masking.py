@@ -6,11 +6,8 @@ properties, RTD replacement."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from transformers4rec_tpu.masking import (
-    CausalLanguageModeling,
-    MaskedLanguageModeling,
     PermutationLanguageModeling,
     ReplacementLanguageModeling,
     masking_registry,

@@ -11,7 +11,6 @@ import socket
 import subprocess
 import sys
 
-import pytest
 
 WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
 

@@ -12,7 +12,6 @@ from transformers4rec_tpu.parallel import (
     batch_sharding,
     make_mesh,
     param_shardings,
-    replicated,
     shard_batch,
 )
 

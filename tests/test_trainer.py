@@ -129,7 +129,6 @@ def test_cosine_num_cycles_oscillates():
 def test_trainer_with_parquet_engine(tmp_path, ecommerce_schema):
     """Full loop from real parquet files (reference test_trainer.py engine
     matrix)."""
-    import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
 

@@ -3,7 +3,6 @@ and the paper-repro driver plumbing."""
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import pandas as pd
 import pytest
 
@@ -54,7 +53,6 @@ def test_post_context_fusion(ecommerce_schema):
     from transformers4rec_tpu.blocks import SequentialBlock, TransformerBlock
     from transformers4rec_tpu.experimental import PostContextFusion
     from transformers4rec_tpu.data.synthetic import synthetic_data
-    from transformers4rec_tpu.features.tabular import TabularFeatures
 
     schema = ecommerce_schema
     batch = {

@@ -17,7 +17,6 @@ explicitly instead of module state.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Optional, Sequence, Tuple, Union
 
 import flax.linen as nn

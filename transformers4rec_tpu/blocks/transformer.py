@@ -27,7 +27,6 @@ TPU-first notes:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Optional
 
 import flax.linen as nn

@@ -19,11 +19,11 @@ from __future__ import annotations
 import pathlib
 import queue
 import threading
-from typing import Dict, Iterator, List, Optional, Sequence, Union
+from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 
-from ..schema import Schema, Tags
+from ..schema import Schema
 from ..utils.registry import Registry
 from .padding import pad_ragged
 from .synthetic import synthetic_data

@@ -6,7 +6,7 @@ filter the selected columns and unsqueeze a feature dim.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Union
+from typing import Dict, Sequence
 
 import jax.numpy as jnp
 

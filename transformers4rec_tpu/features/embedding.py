@@ -18,7 +18,7 @@ tables over the mesh (see transformers4rec_tpu/parallel/).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Dict, Optional
 
 import flax.linen as nn
 import jax

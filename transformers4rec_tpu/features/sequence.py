@@ -13,8 +13,7 @@ item-id column (reference config/schema.py:21-72 get_padding_mask_from_item_id).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -8,14 +8,13 @@ the module classes (sequence.py:112 swaps in the sequence embedding module).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, Optional, Sequence, Union
+from typing import Dict, Optional, Sequence, Union
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 from ..schema import Schema, Tags
-from ..tabular.base import TabularBlock, TabularData, parse_aggregation, parse_transformation
+from ..tabular.base import TabularBlock, TabularData, parse_aggregation
 from .continuous import ContinuousFeatures
 from .embedding import EmbeddingFeatures, PretrainedEmbeddingFeatures, SoftEmbeddingFeatures
 

@@ -13,8 +13,7 @@ Masking/targets flow through as values (MaskingInfo), not module state.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, List, Optional, Sequence, Union
 
 import flax.linen as nn
 import jax

@@ -38,8 +38,6 @@ from .ranking_metric import (
     RankingMetric,
     compute_batch_metrics,
     metrics_from_ranks,
-    parse_metrics,
-    ranks_from_topk,
 )
 
 

@@ -32,7 +32,7 @@ Duplicate ids within a batch are merged with a static-shape sort +
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Optional, Union
+from typing import Any, Callable, NamedTuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ instead of the reference's run-time shape propagation.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Optional, Sequence, Union
+from typing import Any, Dict, List, Optional, Sequence, Union
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -11,8 +11,7 @@ is just re-creating the optimizer state, see Trainer.reset_lr_scheduler).
 
 from __future__ import annotations
 
-import math
-from typing import Callable, Optional
+from typing import Callable
 
 import optax
 

@@ -28,7 +28,7 @@ import math
 import os
 import shutil
 import time
-from typing import Any, Dict, Iterable, List, Optional, Union
+from typing import Any, Dict, Iterable, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,11 +36,10 @@ import numpy as np
 import optax
 from flax import serialization, struct
 
-from ..data.loader import T4RecDataLoader, dataloader_registry
+from ..data.loader import dataloader_registry
 from ..model.base import Model
 from ..model.ranking_metric import finalize_metrics, update_metric_state
 from ..parallel.mesh import (
-    batch_sharding,
     make_mesh,
     param_shardings,
     shard_batch,

@@ -8,7 +8,7 @@ dependency-free.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 
 class Registry:
