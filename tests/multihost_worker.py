@@ -52,6 +52,9 @@ args = tr.T4RecTrainingArguments(
     max_steps=8,
     learning_rate=1e-2,
     logging_steps=1,
+    # packed execution across REAL processes: shard_stacked_batches must
+    # assemble (K, B, ...) global arrays from per-process local stacks
+    steps_per_execution=2,
 )
 trainer = tr.Trainer(model=model, args=args, schema=schema)
 metrics = trainer.train()
