@@ -39,6 +39,12 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        # the demo shards the table over 'model'; give the CPU backend enough
+        # virtual devices for a (data, model) mesh
+        try:
+            jax.config.update("jax_num_cpu_devices", max(2 * args.model_axis, 4))
+        except RuntimeError:
+            pass  # backend already initialized (e.g. under pytest)
 
     import jax
     import jax.numpy as jnp
