@@ -1,4 +1,5 @@
 from .attention import flash_attention, reference_attention, use_flash
+from .fused_adafactor import fused_adafactor
 from .sparse_update import (
     label_embedding_params,
     lazy_adam,
@@ -10,6 +11,7 @@ from .vocab import fused_ce_and_rank, fused_label_rank, fused_softmax_ce, fused_
 
 __all__ = [
     "flash_attention",
+    "fused_adafactor",
     "fused_ce_and_rank",
     "fused_label_rank",
     "fused_softmax_ce",
