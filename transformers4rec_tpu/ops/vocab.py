@@ -260,70 +260,6 @@ def _ce_fwd_scan(x, W, labels, chunk: int, vocab_size=None):
 # =========================================================================
 
 
-def _ce_bwd_dx_kernel(v_total_ref, x_ref, w_ref, lbl_ref, lse_ref, coef_ref,
-                      dx_ref, acc_sc):
-    vi = pl.program_id(1)
-    nv = pl.num_programs(1)
-    BV = w_ref.shape[0]
-
-    @pl.when(vi == 0)
-    def _():
-        acc_sc[:] = jnp.zeros_like(acc_sc)
-
-    logits = jax.lax.dot_general(
-        x_ref[:], w_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    col = vi * BV + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    valid = col < v_total_ref[0]
-    p = jnp.where(valid, jnp.exp(logits - lse_ref[:]), 0.0)
-    p = p - jnp.where(col == lbl_ref[:], 1.0, 0.0)
-    p = p * coef_ref[:]
-    acc_sc[:, :] += jax.lax.dot_general(
-        p.astype(jnp.bfloat16), w_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-    @pl.when(vi == nv - 1)
-    def _():
-        dx_ref[:, :] = acc_sc[:, :]
-
-
-def _ce_bwd_dw_kernel(v_total_ref, x_ref, w_ref, lbl_ref, lse_ref, coef_ref,
-                      dw_ref, acc_sc):
-    ni = pl.program_id(1)
-    nn = pl.num_programs(1)
-    BV = w_ref.shape[0]
-
-    @pl.when(ni == 0)
-    def _():
-        acc_sc[:] = jnp.zeros_like(acc_sc)
-
-    logits = jax.lax.dot_general(
-        x_ref[:], w_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (BN, BV)
-    vi = pl.program_id(0)
-    col = vi * BV + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-    valid = col < v_total_ref[0]
-    p = jnp.where(valid, jnp.exp(logits - lse_ref[:]), 0.0)
-    p = p - jnp.where(col == lbl_ref[:], 1.0, 0.0)
-    p = p * coef_ref[:]
-    # dW_tile += pᵀ @ x  : (BV, BN) @ (BN, E)
-    acc_sc[:, :] += jax.lax.dot_general(
-        p.astype(jnp.bfloat16), x_ref[:],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-    @pl.when(ni == nn - 1)
-    def _():
-        dw_ref[:, :] = acc_sc[:, :]
-
-
 def _ce_bwd_fused_kernel(v_total_ref, x_ref, w_ref, lbl_ref, lse_ref, coef_ref,
                          dw_ref, dxp_ref, acc_sc):
     """One logits pass produces BOTH gradients: grid (nV outer, nN inner);
@@ -515,66 +451,6 @@ def _ce_bwd_pallas_fused_partials(x, W, labels, lse, coef, bn: int, bv: int, voc
         coefp[:, None].astype(jnp.float32),
     )
     dx = dxp.sum(axis=0)
-    return dx[:N], dW[:W.shape[0]]
-
-
-def _ce_bwd_pallas(x, W, labels, lse, coef, bn: int, bv: int):
-    # backward tiles carry an (bv, E) f32 accumulator + (bn, bv) probs in VMEM;
-    # cap bv so the kernel stays under the 16MB VMEM budget
-    bv = min(bv, 2048)
-    N, E = x.shape
-    V = W.shape[0]
-    Wp, Vp = _pad_rows(W, bv)
-    Np = ((N + bn - 1) // bn) * bn
-    pad_n = Np != N
-    xp = jnp.pad(x, ((0, Np - N), (0, 0))) if pad_n else x
-    lblp = jnp.pad(labels, (0, Np - N), constant_values=-1) if pad_n else labels
-    lsep = jnp.pad(lse, (0, Np - N)) if pad_n else lse
-    coefp = jnp.pad(coef, (0, Np - N)) if pad_n else coef  # 0 for pad rows
-
-    v_arg = jnp.asarray([V], jnp.int32)
-    xb = xp.astype(jnp.bfloat16)
-    Wb = Wp.astype(jnp.bfloat16)
-    lbl2 = lblp[:, None].astype(jnp.int32)
-    lse2 = lsep[:, None].astype(jnp.float32)
-    coef2 = coefp[:, None].astype(jnp.float32)
-
-    dx = pl.pallas_call(
-        _ce_bwd_dx_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(Np // bn, Vp // bv),
-            in_specs=[
-                pl.BlockSpec((bn, E), lambda i, j, *_: (i, 0)),
-                pl.BlockSpec((bv, E), lambda i, j, *_: (j, 0)),
-                pl.BlockSpec((bn, 1), lambda i, j, *_: (i, 0)),
-                pl.BlockSpec((bn, 1), lambda i, j, *_: (i, 0)),
-                pl.BlockSpec((bn, 1), lambda i, j, *_: (i, 0)),
-            ],
-            out_specs=pl.BlockSpec((bn, E), lambda i, j, *_: (i, 0)),
-            scratch_shapes=[pltpu.VMEM((bn, E), jnp.float32)],
-        ),
-        out_shape=jax.ShapeDtypeStruct((Np, E), jnp.float32),
-    )(v_arg, xb, Wb, lbl2, lse2, coef2)
-
-    dW = pl.pallas_call(
-        _ce_bwd_dw_kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(Vp // bv, Np // bn),  # N minor: accumulate dW tile
-            in_specs=[
-                pl.BlockSpec((bn, E), lambda j, i, *_: (i, 0)),
-                pl.BlockSpec((bv, E), lambda j, i, *_: (j, 0)),
-                pl.BlockSpec((bn, 1), lambda j, i, *_: (i, 0)),
-                pl.BlockSpec((bn, 1), lambda j, i, *_: (i, 0)),
-                pl.BlockSpec((bn, 1), lambda j, i, *_: (i, 0)),
-            ],
-            out_specs=pl.BlockSpec((bv, E), lambda j, i, *_: (j, 0)),
-            scratch_shapes=[pltpu.VMEM((bv, E), jnp.float32)],
-        ),
-        out_shape=jax.ShapeDtypeStruct((Vp, E), jnp.float32),
-    )(v_arg, xb, Wb, lbl2, lse2, coef2)
-
     return dx[:N], dW[:W.shape[0]]
 
 
