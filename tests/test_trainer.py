@@ -416,3 +416,31 @@ def test_eval_packing_matches_single_step(tmp_path):
             continue
         np.testing.assert_allclose(r1[key], r4[key], rtol=1e-5,
                                    err_msg=key)
+
+
+def test_mid_epoch_resume_exact_packed(tmp_path, ecommerce_schema):
+    """Exact interrupt+resume must also hold under packed execution: groups
+    never cross save boundaries, so the step-5 checkpoint exists and reflects
+    state exactly AT step 5 even with steps_per_execution=4."""
+    common = dict(
+        checkpoint_format="orbax",
+        lr_scheduler_type="constant",
+        per_device_train_batch_size=8,
+        seed=11,
+        steps_per_execution=4,
+    )
+    ta = _make_trainer(tmp_path / "pa", ecommerce_schema, max_steps=7,
+                       save_steps=5, **common)
+    ta.train()
+    ckpt = os.path.join(str(tmp_path / "pa"), "checkpoint-5")
+    assert os.path.isdir(ckpt), os.listdir(str(tmp_path / "pa"))
+
+    tb = _make_trainer(tmp_path / "pb", ecommerce_schema, max_steps=2, **common)
+    tb.evaluate()
+    tb.load(ckpt)
+    assert tb.state.batches_in_epoch > 0
+    tb.train()
+
+    pa = jax.device_get(ta._train_state.params)
+    pb = jax.device_get(tb._train_state.params)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, pa, pb)
