@@ -52,6 +52,11 @@ def main():
                     help="training scheme; the architecture follows the "
                          "reference pairing (clm→gpt2, mlm→xlnet, plm→xlnet "
                          "two-stream, rtd→electra)")
+    ap.add_argument("--packed", action="store_true",
+                    help="session packing: train on first-fit-packed rows "
+                         "(block-diagonal attention, data/packing.py); eval "
+                         "stays unpacked. Steps consume PACKED rows, so each "
+                         "step sees ~1/fill more sessions than unpacked")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -104,11 +109,19 @@ def main():
 
     train_np = synthetic_data(schema, num_rows=args.train_rows,
                               max_session_length=SEQ, seed=0,
-                              item_popularity=args.popularity)
+                              item_popularity=args.popularity,
+                              ragged=args.packed)
+    if args.packed:
+        from transformers4rec_tpu.data.packing import pack_sessions, packing_stats
+
+        train_np = pack_sessions(train_np, max_len=SEQ, item_id_col="item_id")
+        stats = packing_stats(train_np, "item_id")
+        print(json.dumps({"packing": stats}), flush=True)
+        n_packed_rows = stats["rows"]
     eval_np = synthetic_data(schema, num_rows=args.eval_rows,
                              max_session_length=SEQ, seed=999,
                              item_popularity=args.popularity)
-    n_train_batches = args.train_rows // BATCH
+    n_train_batches = (n_packed_rows if args.packed else args.train_rows) // BATCH
     n_eval_batches = args.eval_rows // EBATCH
 
     rngs = {
@@ -201,6 +214,7 @@ def main():
 
     print(json.dumps({
         "arm": args.arm,
+        "packed": args.packed,
         "masking": args.masking,
         "embedding_optimizer": args.embedding_optimizer,
         "steps": args.steps,

@@ -62,7 +62,20 @@ def build_step(arm: str, n_head: int = 16, n_layer: int = 3):
         tr.NextItemPredictionTask(weight_tying=True, sampled_softmax=False),
     )
 
-    data = synthetic_data(schema, num_rows=BATCH, max_session_length=SEQ, seed=0)
+    if arm == "packed_sessions":
+        # first-fit-packed rows (~1.8 sessions/row at this length dist): same
+        # static shapes + SAME static CE budget (it already assumes all
+        # positions valid), so per-row step cost should be ~unchanged while
+        # each row carries ~1.8x the sessions
+        from transformers4rec_tpu.data.packing import pack_sessions, packing_stats
+
+        ragged = synthetic_data(schema, num_rows=2 * BATCH,
+                                max_session_length=SEQ, seed=0, ragged=True)
+        data = pack_sessions(ragged, max_len=SEQ, item_id_col="item_id",
+                             num_rows=BATCH)
+        print(json.dumps({"packing": packing_stats(data, "item_id")}), flush=True)
+    else:
+        data = synthetic_data(schema, num_rows=BATCH, max_session_length=SEQ, seed=0)
     batch_host = {k: jnp.asarray(v) for k, v in data.items()}
     rngs = {
         "params": jax.random.PRNGKey(0),
@@ -81,7 +94,8 @@ def build_step(arm: str, n_head: int = 16, n_layer: int = 3):
             {"dense": optax.adamw(6.7e-4), "table": optax.sgd(6.7e-4)},
             label_embedding_params,
         )
-    elif arm in ("fused_af", "fused_af_factored") or arm.startswith("packed"):
+    elif (arm in ("fused_af", "fused_af_factored", "packed_sessions")
+          or arm.startswith("packed")):
         # fused_af = the bench default (unfactored, quality-pinned);
         # fused_af_factored = rank-1 moments (perf reference only — measured
         # quality loss at 2000 steps, see ops/fused_adafactor.py)
@@ -129,7 +143,7 @@ def build_step(arm: str, n_head: int = 16, n_layer: int = 3):
     def train_step(params, opt_state, batch, rng):
         return one_step(params, opt_state, batch, rng)
 
-    if arm.startswith("packed"):
+    if arm.startswith("packed") and arm.removeprefix("packed").isdigit():
         # K steps per dispatch via lax.scan — amortizes the ~0.8ms dispatch
         # floor; reports per-inner-step time
         K = int(arm.removeprefix("packed"))

@@ -134,11 +134,13 @@ class TransformerBlock(nn.Module):
             inputs, info = inputs
         encoder, _ = self._resolve()
         perm_mask = info.perm_mask if info is not None else None
+        segment_ids = info.segment_ids if info is not None else None
         if info is not None and info.pad_mask is not None:
             # the scheme's pad mask tracks the MLM inference [MASK] extension
             pad_mask = info.pad_mask
         hidden = encoder(
-            inputs, pad_mask=pad_mask, perm_mask=perm_mask, training=training
+            inputs, pad_mask=pad_mask, perm_mask=perm_mask,
+            segment_ids=segment_ids, training=training,
         )
         return hidden
 

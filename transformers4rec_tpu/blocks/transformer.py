@@ -346,6 +346,7 @@ class TransformerEncoder(nn.Module):
         inputs_embeds: jnp.ndarray,
         pad_mask: Optional[jnp.ndarray] = None,
         perm_mask: Optional[jnp.ndarray] = None,
+        segment_ids: Optional[jnp.ndarray] = None,
         training: bool = False,
         mems: Optional[dict] = None,
         return_mems: bool = False,
@@ -355,6 +356,26 @@ class TransformerEncoder(nn.Module):
         d_ff = self.d_ff or 4 * self.d_model
         M = int(mems["states"].shape[2]) if mems is not None else 0
         mem_pad = mems["pad"] if mems is not None else None
+
+        # session packing: block-diagonal attention restriction. Rides the
+        # perm_mask channel for bias assembly (same "query i must NOT attend
+        # key j" semantics) WITHOUT activating XLNet two-stream, which keys on
+        # the scheme's own perm_mask below. Relative-position bias stays exact
+        # (within-segment distances are offset-invariant); learned-absolute
+        # positions are approximate for packed sessions (masking.py note).
+        scheme_perm = perm_mask
+        if segment_ids is not None:
+            if mems is not None:
+                raise NotImplementedError(
+                    "segment_ids (session packing) cannot be combined with "
+                    "mem_len segment recurrence"
+                )
+            seg_block = (
+                segment_ids[:, :, None] != segment_ids[:, None, :]
+            ).astype(jnp.float32)
+            perm_mask = seg_block if perm_mask is None else jnp.maximum(
+                perm_mask, seg_block
+            )
 
         hidden = inputs_embeds.astype(self.dtype)
         if self.pos_encoding == "learned_absolute":
@@ -370,7 +391,9 @@ class TransformerEncoder(nn.Module):
                 num_heads=self.n_head, bidirectional=not self.causal, name="rel_pos"
             )(S, mem_len=M)
 
-        use_two_stream = self.two_stream and perm_mask is not None
+        # two-stream keys on the SCHEME's perm_mask (PLM factorization order),
+        # not on the merged segment restriction
+        use_two_stream = self.two_stream and scheme_perm is not None
         bias = make_attention_bias(
             pad_mask, S, causal=self.causal, perm_mask=perm_mask,
             local_window=self.local_window, query_stream=False,

@@ -141,8 +141,11 @@ class TabularSequenceFeatures(TabularFeatures):
         if self.masking is not None:
             if item_ids is None:
                 raise ValueError("Masking requires an item_id column in the schema/inputs")
+            # session packing: an optional (B, S) `segment_ids` batch key (not a
+            # schema feature) threads through masking → MaskingInfo → encoder
             hidden, info = self.masking(
-                hidden, item_ids, training=training, testing=testing
+                hidden, item_ids, training=training, testing=testing,
+                segment_ids=inputs.get("segment_ids"),
             )
             # thread item ids + (tied) item table to the prediction head as values
             table = None

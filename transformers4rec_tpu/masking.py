@@ -60,6 +60,14 @@ class MaskingInfo:
     # VALUES (the reference instead stashes module state: embedding.py:242-245).
     item_ids: Optional[jnp.ndarray] = None
     item_table: Optional[jnp.ndarray] = None
+    # Session packing (training-time): (B, S) int segment ids — 0 at padding,
+    # 1..n per packed session within a row. Consumed by the encoder as a
+    # block-diagonal attention restriction (cross-segment attention blocked)
+    # and by CLM label generation (no labels across segment boundaries).
+    # Exact for relative-position archs (bias depends on within-segment
+    # distance only); approximate for learned-absolute positions (a packed
+    # session starts at a nonzero offset). No reference analog.
+    segment_ids: Optional[jnp.ndarray] = None
 
 
 def _predict_all(item_ids: jnp.ndarray, padding_idx: int):
@@ -125,7 +133,8 @@ class MaskSequence(nn.Module):
             (self.hidden_size,),
         )
 
-    def compute_masked_targets(self, rng, item_ids, training=False, testing=False) -> MaskingInfo:
+    def compute_masked_targets(self, rng, item_ids, training=False, testing=False,
+                               segment_ids=None) -> MaskingInfo:
         raise NotImplementedError
 
     def apply_mask_to_inputs(self, inputs, info: MaskingInfo, training=False, testing=False):
@@ -135,13 +144,30 @@ class MaskSequence(nn.Module):
         mask_emb = self.mask_embedding().astype(inputs.dtype)
         return jnp.where(info.input_schema[..., None], mask_emb, inputs)
 
+    def _check_segments(self, segment_ids, training, testing):
+        """Session packing is a TRAINING feature (evaluate/serve unpacked):
+        eval-last-item and the MLM inference [MASK] extension are per-session
+        gathers that a packed row cannot express with static shapes."""
+        if segment_ids is None:
+            return
+        if not training:
+            raise NotImplementedError(
+                "segment_ids (session packing) is supported at training time "
+                "only — evaluate and serve on unpacked batches"
+            )
+
     @nn.compact
-    def __call__(self, inputs, item_ids, training: bool = False, testing: bool = False):
+    def __call__(self, inputs, item_ids, training: bool = False, testing: bool = False,
+                 segment_ids=None):
         if item_ids.ndim != 2:
             raise ValueError("`item_ids` must have 2 dimensions (batch, seq)")
+        self._check_segments(segment_ids, training, testing)
         needs_rng = training
         rng = self.make_rng("masking") if needs_rng else jax.random.PRNGKey(0)
-        info = self.compute_masked_targets(rng, item_ids, training=training, testing=testing)
+        info = self.compute_masked_targets(rng, item_ids, training=training,
+                                           testing=testing, segment_ids=segment_ids)
+        if segment_ids is not None:
+            info = info.replace(segment_ids=segment_ids.astype(jnp.int32))
         masked = self.apply_mask_to_inputs(inputs, info, training=training, testing=testing)
         return masked, info
 
@@ -156,13 +182,30 @@ class CausalLanguageModeling(MaskSequence):
 
     train_on_last_item_seq_only: bool = False
 
-    def compute_masked_targets(self, rng, item_ids, training=False, testing=False) -> MaskingInfo:
+    def compute_masked_targets(self, rng, item_ids, training=False, testing=False,
+                               segment_ids=None) -> MaskingInfo:
         non_pad = item_ids != self.padding_idx
         if not training and not testing:
             # inference: identity targets, mask = non-pad
             return MaskingInfo(targets=item_ids, mask=non_pad, input_schema=non_pad,
                                pad_mask=non_pad)
         labels, mask = _predict_all(item_ids, self.padding_idx)
+        if segment_ids is not None:
+            if self.train_on_last_item_seq_only:
+                raise NotImplementedError(
+                    "train_on_last_item_seq_only is not supported with "
+                    "session packing (segment_ids)"
+                )
+            # no next-item label across a packed-session boundary: position i's
+            # label is item[i+1], valid only when both live in the same segment
+            same_next = jnp.concatenate(
+                [segment_ids[:, 1:] == segment_ids[:, :-1],
+                 jnp.zeros((item_ids.shape[0], 1), bool)], axis=1,
+            )
+            mask = mask & same_next
+            labels = jnp.where(mask, labels, jnp.full_like(labels, self.padding_idx))
+            return MaskingInfo(targets=labels, mask=mask, input_schema=mask,
+                               pad_mask=non_pad)
         if (self.eval_on_last_item_seq_only and not training) or (
             self.train_on_last_item_seq_only and training
         ):
@@ -194,7 +237,13 @@ class MaskedLanguageModeling(MaskSequence):
 
     mlm_probability: float = 0.15
 
-    def compute_masked_targets(self, rng, item_ids, training=False, testing=False) -> MaskingInfo:
+    def compute_masked_targets(self, rng, item_ids, training=False, testing=False,
+                               segment_ids=None) -> MaskingInfo:
+        # session packing: MLM's Bernoulli masking is per-position, so packed
+        # training needs no label change — the encoder's block-diagonal
+        # attention restricts each prediction to its own session's context.
+        # (The >=1-masked / >=1-unmasked guarantee holds per ROW, not per
+        # packed segment — a relaxation with negligible effect at p>=0.1.)
         non_pad = item_ids != self.padding_idx
         B, S = item_ids.shape
         if not training and not testing:
@@ -274,7 +323,14 @@ class PermutationLanguageModeling(MaskSequence):
         )
         return mask & non_pad
 
-    def compute_masked_targets(self, rng, item_ids, training=False, testing=False) -> MaskingInfo:
+    def compute_masked_targets(self, rng, item_ids, training=False, testing=False,
+                               segment_ids=None) -> MaskingInfo:
+        if segment_ids is not None:
+            raise NotImplementedError(
+                "session packing (segment_ids) is not supported for PLM — the "
+                "factorization-order perm_mask and the segment restriction "
+                "would need a combined two-stream treatment"
+            )
         non_pad = item_ids != self.padding_idx
         B, S = item_ids.shape
         if training:
