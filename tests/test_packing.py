@@ -162,7 +162,9 @@ def test_packed_mlm_trains():
     assert jnp.isfinite(loss)
 
 
-def test_packed_eval_raises():
+def test_packed_inference_raises():
+    """Inference (serving) stays unpacked: per-session top-k and the MLM
+    [MASK] extension are one-session-per-row gathers."""
     schema = _schema()
     data = _ragged(schema, rows=10, seed=2)
     packed = pack_sessions(data, max_len=SEQ, item_id_col="item_id")
@@ -171,5 +173,126 @@ def test_packed_eval_raises():
     )
     b = {k: jnp.asarray(v) for k, v in packed.items()}
     rngs = {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1)}
-    with pytest.raises(NotImplementedError, match="training time"):
-        im.init_with_output(rngs, b, testing=True)
+    with pytest.raises(NotImplementedError, match="unpacked"):
+        im.init_with_output(rngs, b)  # inference mode (not training/testing)
+
+
+@pytest.mark.parametrize("masking,arch", [("clm", "transfoxl"), ("mlm", "xlnet")])
+def test_packed_eval_matches_unpacked(masking, arch):
+    """Packed evaluation (per-segment last-item targets) must produce the
+    SAME loss and metric sums as evaluating the same sessions unpacked —
+    relative-bias archs make per-session hidden states offset-invariant."""
+    schema = _schema()
+    data = _ragged(schema, rows=24, seed=5)
+    packed = pack_sessions(data, max_len=SEQ, item_id_col="item_id")
+
+    from transformers4rec_tpu.data.padding import pad_ragged
+
+    names = {k.removesuffix("__values") for k in data if k.endswith("__values")}
+    off0 = data["item_id__offsets"]
+    keep = [i for i in range(len(off0) - 1) if off0[i + 1] - off0[i] >= 2]
+    unpacked = {
+        name: pad_ragged(data[f"{name}__values"], data[f"{name}__offsets"], SEQ)[keep]
+        for name in names
+    }
+
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=32, masking=masking, aggregation="concat"
+    )
+    cfg = tr.transformer_registry.parse(arch).build(
+        d_model=32, n_head=2, n_layer=2, total_seq_length=SEQ, dropout=0.0,
+    )
+    model = cfg.to_model(im, tr.NextItemPredictionTask(weight_tying=True))
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "masking": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+        "sampling": jax.random.PRNGKey(3),
+    }
+    pb = {k: jnp.asarray(v) for k, v in packed.items()}
+    ub = {k: jnp.asarray(v) for k, v in unpacked.items()}
+    params = model.init(rngs, ub, training=True)
+
+    lp, outs_p = model.apply(params, pb, targets=pb, testing=True,
+                             compute_metrics=True)
+    lu, outs_u = model.apply(params, ub, targets=ub, testing=True,
+                             compute_metrics=True)
+    # same per-session targets -> same weighted-mean loss and metric SUMS
+    np.testing.assert_allclose(float(lp), float(lu), rtol=2e-5)
+    mp, mu = outs_p["next-item"].metrics, outs_u["next-item"].metrics
+    assert mp.keys() == mu.keys() and len(mp) > 0
+    for k in mp:
+        np.testing.assert_allclose(float(mp[k][0]), float(mu[k][0]),
+                                   rtol=2e-5, err_msg=k)
+        np.testing.assert_allclose(float(mp[k][1]), float(mu[k][1]),
+                                   rtol=1e-6, err_msg=f"{k} count")
+
+
+def test_trainer_pack_sessions_flag(tmp_path):
+    """args.pack_sessions=True: the train loader yields packed batches with
+    segment_ids; training runs and loss decreases; eval stays unpacked."""
+    schema = _schema(num_items=300)
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=32, masking="mlm", aggregation="concat"
+    )
+    model = tr.XLNetConfig.build(32, 2, 1, SEQ).to_model(
+        im, tr.NextItemPredictionTask(weight_tying=True)
+    )
+    args = tr.T4RecTrainingArguments(
+        output_dir=str(tmp_path / "pack"),
+        data_loader_engine="synthetic",
+        max_sequence_length=SEQ,
+        per_device_train_batch_size=16,
+        max_steps=20,
+        learning_rate=5e-3,
+        logging_steps=4,
+        pack_sessions=True,
+    )
+    trainer = tr.Trainer(model=model, args=args, schema=schema)
+    loader = trainer.get_train_dataloader()
+    first = next(iter(loader))
+    global_bs = 16 * jax.device_count()  # conftest runs 8 virtual devices
+    assert "segment_ids" in first
+    assert first["segment_ids"].shape == (global_bs, SEQ)
+    assert int(first["segment_ids"].max()) > 1  # genuinely packed rows
+    m = trainer.train()
+    hist = [h["loss"] for h in trainer.state.log_history if "loss" in h]
+    assert hist[-1] < hist[0], hist
+    ev = trainer.evaluate(max_steps=4)  # unpacked eval path
+    assert np.isfinite(ev["eval_loss"])
+
+
+def test_parquet_loader_pack(tmp_path):
+    import pandas as pd
+
+    schema = _schema(num_items=150)
+    data = _ragged(schema, rows=60, seed=11)
+    names = [k.removesuffix("__values") for k in data if k.endswith("__values")]
+    df = pd.DataFrame(
+        {
+            name: np.split(data[f"{name}__values"], data[f"{name}__offsets"][1:-1])
+            for name in names
+        }
+    )
+    # two files: exercises the ragged offsets merge
+    df.iloc[:30].to_parquet(tmp_path / "a.parquet")
+    df.iloc[30:].to_parquet(tmp_path / "b.parquet")
+
+    from transformers4rec_tpu.data.loader import ParquetDataLoader
+
+    loader = ParquetDataLoader.from_schema(
+        schema, str(tmp_path), batch_size=8, max_sequence_length=SEQ,
+        shuffle=False, pack=True,
+    )
+    batch = next(iter(loader))
+    assert "segment_ids" in batch
+    seg, ids = batch["segment_ids"], batch["item_id"]
+    np.testing.assert_array_equal(seg > 0, ids != 0)
+    # all 60 sessions (len>=2) survive across the packed rows
+    total_sessions = sum(
+        len(np.unique(row[row > 0])) for b in loader for row in b["segment_ids"]
+    )
+    off = data["item_id__offsets"]
+    expected = sum(1 for i in range(len(off) - 1) if off[i + 1] - off[i] >= 2)
+    # drop_last may cut a tail row; allow a small deficit only
+    assert total_sessions >= expected - 4

@@ -64,8 +64,11 @@ def _resolve_paths(paths_or_dataset) -> List[str]:
     return [str(p) for p in paths_or_dataset]
 
 
-def _table_to_columns(table, schema: Schema, max_sequence_length: int) -> NDArrayDict:
-    """Arrow table → dict of dense numpy arrays, padding list columns."""
+def _table_to_columns(table, schema: Schema, max_sequence_length: int,
+                      ragged: bool = False) -> NDArrayDict:
+    """Arrow table → dict of dense numpy arrays, padding list columns.
+    ``ragged=True`` keeps list columns as ``__values``/``__offsets`` pairs
+    (the input layout for session packing)."""
     out: NDArrayDict = {}
     names = set(table.column_names)
     for col in schema:
@@ -76,9 +79,13 @@ def _table_to_columns(table, schema: Schema, max_sequence_length: int) -> NDArra
 
         chunked = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
         if pa.types.is_list(chunked.type) or pa.types.is_large_list(chunked.type):
-            flat = chunked.flatten().to_numpy(zero_copy_only=False)
-            offsets = chunked.offsets.to_numpy(zero_copy_only=False)
-            out[col.name] = pad_ragged(np.asarray(flat), np.asarray(offsets), max_sequence_length)
+            flat = np.asarray(chunked.flatten().to_numpy(zero_copy_only=False))
+            offsets = np.asarray(chunked.offsets.to_numpy(zero_copy_only=False))
+            if ragged:
+                out[f"{col.name}__values"] = flat
+                out[f"{col.name}__offsets"] = offsets
+            else:
+                out[col.name] = pad_ragged(flat, offsets, max_sequence_length)
         else:
             out[col.name] = chunked.to_numpy(zero_copy_only=False)
     return out
@@ -131,6 +138,7 @@ class ParquetDataLoader(T4RecDataLoader):
         seed: int = 0,
         global_rank: int = 0,
         global_size: int = 1,
+        pack: bool = False,
         **kwargs,
     ) -> "ParquetDataLoader":
         import pyarrow.parquet as pq
@@ -140,10 +148,30 @@ class ParquetDataLoader(T4RecDataLoader):
         parts = []
         for path in paths:
             table = pq.read_table(path)
-            parts.append(_table_to_columns(table, schema, max_len))
+            parts.append(_table_to_columns(table, schema, max_len, ragged=pack))
         if not parts:
             raise ValueError(f"No parquet files found in {paths_or_dataset!r}")
-        data = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+        if pack:
+            # session packing (data/packing.py): batches carry a segment_ids
+            # key; offsets must be rebased when concatenating file parts
+            from .packing import pack_sessions
+
+            merged: NDArrayDict = {}
+            for k in parts[0]:
+                if k.endswith("__offsets"):
+                    pieces, base = [parts[0][k]], int(parts[0][k][-1])
+                    for p in parts[1:]:
+                        pieces.append(p[k][1:] + base)
+                        base += int(p[k][-1])
+                    merged[k] = np.concatenate(pieces)
+                else:
+                    merged[k] = np.concatenate([p[k] for p in parts])
+            data = pack_sessions(
+                merged, max_len=max_len,
+                item_id_col=schema.item_id_column_name,
+            )
+        else:
+            data = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
         return cls(
             data,
             batch_size=batch_size,
@@ -246,15 +274,22 @@ class SyntheticDataLoader(ParquetDataLoader):
         seed: int = 0,
         global_rank: int = 0,
         global_size: int = 1,
+        pack: bool = False,
         **kwargs,
     ) -> "SyntheticDataLoader":
+        max_len = max_sequence_length or schema.sequence_length(default=20)
         data = synthetic_data(
             schema,
             num_rows=num_rows,
-            max_session_length=max_sequence_length or schema.sequence_length(default=20),
-            ragged=False,
+            max_session_length=max_len,
+            ragged=pack,
             seed=seed,
         )
+        if pack:
+            from .packing import pack_sessions
+
+            data = pack_sessions(data, max_len=max_len,
+                                 item_id_col=schema.item_id_column_name)
         return cls(
             data,
             batch_size=batch_size,

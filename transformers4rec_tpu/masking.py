@@ -145,15 +145,15 @@ class MaskSequence(nn.Module):
         return jnp.where(info.input_schema[..., None], mask_emb, inputs)
 
     def _check_segments(self, segment_ids, training, testing):
-        """Session packing is a TRAINING feature (evaluate/serve unpacked):
-        eval-last-item and the MLM inference [MASK] extension are per-session
-        gathers that a packed row cannot express with static shapes."""
+        """Session packing supports training and evaluation (per-segment
+        last-item targets); INFERENCE serves unpacked — the MLM [MASK]
+        extension and per-session top-k are one-session-per-row gathers."""
         if segment_ids is None:
             return
-        if not training:
+        if not training and not testing:
             raise NotImplementedError(
-                "segment_ids (session packing) is supported at training time "
-                "only — evaluate and serve on unpacked batches"
+                "segment_ids (session packing) is supported for training and "
+                "evaluation — serve inference on unpacked batches"
             )
 
     @nn.compact
@@ -203,6 +203,18 @@ class CausalLanguageModeling(MaskSequence):
                  jnp.zeros((item_ids.shape[0], 1), bool)], axis=1,
             )
             mask = mask & same_next
+            if testing and self.eval_on_last_item_seq_only:
+                # per-SEGMENT last target: keep position i only when it is the
+                # final valid label of its segment (no valid label at i+1 in
+                # the same segment) — the packed analog of eval-last-item
+                next_also = jnp.concatenate(
+                    [mask[:, 1:] & same_next[:, :-1],
+                     jnp.zeros((item_ids.shape[0], 1), bool)], axis=1,
+                )
+                mask = mask & ~next_also
+                labels = jnp.where(mask, labels, jnp.full_like(labels, self.padding_idx))
+                return MaskingInfo(targets=labels, mask=mask,
+                                   input_schema=non_pad, pad_mask=non_pad)
             labels = jnp.where(mask, labels, jnp.full_like(labels, self.padding_idx))
             return MaskingInfo(targets=labels, mask=mask, input_schema=mask,
                                pad_mask=non_pad)
@@ -268,10 +280,34 @@ class MaskedLanguageModeling(MaskSequence):
             return MaskingInfo(targets=labels, mask=mask_labels,
                                input_schema=mask_labels, pad_mask=non_pad)
         # testing
+        if segment_ids is not None and self.eval_on_last_item_seq_only:
+            # per-SEGMENT last item masked (packed analog of eval-last-item):
+            # last valid position of each segment carries the label and is
+            # replaced by the [MASK] embedding
+            same_next = jnp.concatenate(
+                [segment_ids[:, 1:] == segment_ids[:, :-1],
+                 jnp.zeros((B, 1), bool)], axis=1,
+            )
+            next_valid = jnp.concatenate(
+                [non_pad[:, 1:], jnp.zeros((B, 1), bool)], axis=1,
+            )
+            mask = non_pad & ~(next_valid & same_next)
+            labels = jnp.where(mask, item_ids, jnp.full_like(item_ids, self.padding_idx))
+            return MaskingInfo(targets=labels, mask=mask, input_schema=mask,
+                               pad_mask=non_pad)
         if self.eval_on_last_item_seq_only:
             labels, mask = _label_at_last(item_ids, non_pad, self.padding_idx)
         else:
             labels, mask = _predict_all(item_ids, self.padding_idx)
+            if segment_ids is not None:
+                # no shift-label across packed-session boundaries
+                same_next = jnp.concatenate(
+                    [segment_ids[:, 1:] == segment_ids[:, :-1],
+                     jnp.zeros((B, 1), bool)], axis=1,
+                )
+                mask = mask & same_next
+                labels = jnp.where(mask, labels,
+                                   jnp.full_like(labels, self.padding_idx))
         return MaskingInfo(targets=labels, mask=mask, input_schema=mask, pad_mask=non_pad)
 
     def apply_mask_to_inputs(self, inputs, info: MaskingInfo, training=False, testing=False):

@@ -324,8 +324,10 @@ class NextItemPredictionTask(PredictionTask):
                 )
                 return TaskOutput(loss=loss, labels=labels,
                                   predictions=None, weights=mask.reshape(N))
-            if testing and self.eval_single_target:
-                # one target per session: gather that position (static shapes)
+            if testing and self.eval_single_target and info.segment_ids is None:
+                # one target per session: gather that position (static shapes).
+                # Packed rows (segment_ids) carry MULTIPLE per-segment targets
+                # and take the full-position fused eval path below.
                 idx = jnp.argmax(info.mask, axis=1)  # (B,)
                 row_valid = info.mask.any(axis=1).astype(jnp.float32)
                 xg = jnp.take_along_axis(x, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]

@@ -136,8 +136,11 @@ class Trainer:
             return self._train_dataloader
         if self.train_dataset is None and self.args.data_loader_engine != "synthetic":
             raise ValueError("Trainer: training requires a train_dataset")
+        # pack_sessions applies to TRAIN only (eval/predict stay unpacked —
+        # exact per-session eval protocol + serving compatibility)
         return self._make_loader(
-            self.train_dataset, self.args.train_batch_size, shuffle=True
+            self.train_dataset, self.args.train_batch_size, shuffle=True,
+            pack=self.args.pack_sessions,
         )
 
     def get_eval_dataloader(self, eval_dataset=None):
