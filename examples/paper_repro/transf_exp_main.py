@@ -101,6 +101,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--softmax_temperature", type=float, default=1.0)
     # optimization
     p.add_argument("--per_device_train_batch_size", type=int, default=128)
+    p.add_argument("--pack_sessions", action="store_true",
+                   help="train-loader session packing: ~1.8 sessions/row at "
+                        "unchanged step cost (framework extension, not a "
+                        "reference flag)")
     p.add_argument("--steps_per_execution", type=int, default=1,
                    help="K optimizer steps per device dispatch (lax.scan "
                         "packing; +28%% throughput at K=8 — not a reference "
@@ -286,6 +290,7 @@ def main(argv=None):
         per_device_train_batch_size=args.per_device_train_batch_size,
         per_device_eval_batch_size=args.per_device_eval_batch_size,
         steps_per_execution=args.steps_per_execution,
+        pack_sessions=args.pack_sessions,
         learning_rate=args.learning_rate,
         lr_scheduler_type=args.learning_rate_schedule,
         warmup_steps=args.learning_rate_warmup_steps,
