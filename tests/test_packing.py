@@ -296,3 +296,29 @@ def test_parquet_loader_pack(tmp_path):
     expected = sum(1 for i in range(len(off) - 1) if off[i + 1] - off[i] >= 2)
     # drop_last may cut a tail row; allow a small deficit only
     assert total_sessions >= expected - 4
+
+
+def test_packed_mlm_per_segment_guarantees():
+    """Every packed session must have >=1 masked and >=1 unmasked position
+    (the reference's per-session MLM invariant, applied per segment)."""
+    schema = _schema()
+    data = _ragged(schema, rows=60, seed=13)
+    packed = pack_sessions(data, max_len=SEQ, item_id_col="item_id")
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=16, masking="mlm", aggregation="concat",
+        masking_kwargs={"mlm_probability": 0.15},  # low p stresses >=1-masked
+    )
+    b = {k: jnp.asarray(v) for k, v in packed.items()}
+    seg = packed["segment_ids"]
+    for trial in range(4):
+        rngs = {"params": jax.random.PRNGKey(0),
+                "masking": jax.random.PRNGKey(100 + trial)}
+        (_, info), _ = im.init_with_output(rngs, b, training=True)
+        mask = np.asarray(info.mask)
+        for r in range(seg.shape[0]):
+            for s in np.unique(seg[r][seg[r] > 0]):
+                pos = seg[r] == s
+                n_masked = int(mask[r][pos].sum())
+                assert n_masked >= 1, f"segment with no label (row {r}, seg {s})"
+                assert n_masked < int(pos.sum()), \
+                    f"fully masked segment (row {r}, seg {s})"

@@ -114,6 +114,37 @@ def _ensure_min_masking(rng, labels, mask_labels, item_ids, non_pad, padding_idx
     return labels, mask_labels
 
 
+def _ensure_min_masking_segments(rng, mask_labels, non_pad, segment_ids):
+    """Per-SEGMENT ≥1 masked and ≥1 unmasked for packed rows (the reference's
+    per-session MLM guarantee — masking.py:426-459 — applied to every packed
+    session). Segment-wise reductions run over a flattened (row, segment) key
+    with ``jax.ops.segment_*`` (static ``num_segments`` = B·(S+1))."""
+    B, S = segment_ids.shape
+    n_seg = B * (S + 1)
+    key = (jnp.arange(B)[:, None] * (S + 1) + segment_ids).reshape(-1)
+    flat_mask = mask_labels.reshape(-1)
+    flat_valid = (non_pad & (segment_ids > 0)).reshape(-1)
+
+    seg_len = jax.ops.segment_sum(flat_valid.astype(jnp.int32), key, n_seg)
+    seg_masked = jax.ops.segment_sum(flat_mask.astype(jnp.int32), key, n_seg)
+
+    # random per-segment representative: argmax of uniform scores over the
+    # segment's valid positions (matches the reference's uniform choice)
+    scores = jax.random.uniform(rng, (B * S,))
+    scores = jnp.where(flat_valid, scores, -1.0)
+    seg_best = jax.ops.segment_max(scores, key, n_seg)
+    is_rep = flat_valid & (scores == seg_best[key])
+
+    # ≥1 masked: force the representative where the segment has no label
+    needs_mask = (seg_len > 0) & (seg_masked == 0)
+    flat_mask = flat_mask | (is_rep & needs_mask[key])
+    # ≥1 unmasked: clear the representative where every position is a label
+    # (skip length-1 segments — packing drops them, but stay safe)
+    fully = (seg_len > 1) & (seg_masked == seg_len)
+    flat_mask = flat_mask & ~(is_rep & fully[key])
+    return flat_mask.reshape(B, S)
+
+
 class MaskSequence(nn.Module):
     """Base: holds the trainable [MASK] embedding; subclasses implement
     ``compute_masked_targets`` and ``apply_mask_to_inputs``.
@@ -273,6 +304,17 @@ class MaskedLanguageModeling(MaskSequence):
             r1, r2 = jax.random.split(rng)
             bern = jax.random.bernoulli(r1, self.mlm_probability, item_ids.shape)
             mask_labels = bern & non_pad
+            if segment_ids is not None:
+                # per-SEGMENT >=1-masked / >=1-unmasked (the reference's
+                # per-session guarantee, masking.py:426-459, applied to every
+                # packed session instead of per row)
+                mask_labels = _ensure_min_masking_segments(
+                    r2, mask_labels, non_pad, segment_ids
+                )
+                labels = jnp.where(mask_labels, item_ids,
+                                   jnp.full_like(item_ids, self.padding_idx))
+                return MaskingInfo(targets=labels, mask=mask_labels,
+                                   input_schema=mask_labels, pad_mask=non_pad)
             labels = jnp.where(mask_labels, item_ids, jnp.full_like(item_ids, self.padding_idx))
             labels, mask_labels = _ensure_min_masking(
                 r2, labels, mask_labels, item_ids, non_pad, self.padding_idx
