@@ -64,9 +64,11 @@ def test_pack_sessions_invariants():
     assert stats["rows"] < len(off) - 1
 
 
-def test_packed_clm_loss_matches_unpacked():
-    """Per-session CLM losses identical packed vs unpacked (rel-bias arch,
-    dropout 0, full-position labels)."""
+@pytest.mark.parametrize("arch", ["transfoxl", "gpt2"])
+def test_packed_clm_loss_matches_unpacked(arch):
+    """Per-session CLM losses identical packed vs unpacked (dropout 0,
+    full-position labels). transfoxl = relative bias (offset-invariant);
+    gpt2 = learned-absolute positions, exact via per-segment restart."""
     schema = _schema()
     data = _ragged(schema, rows=24, seed=3)
     packed = pack_sessions(data, max_len=SEQ, item_id_col="item_id")
@@ -86,7 +88,7 @@ def test_packed_clm_loss_matches_unpacked():
         schema, d_output=32, masking="clm", aggregation="concat",
         masking_kwargs={"eval_on_last_item_seq_only": False},
     )
-    cfg = tr.transformer_registry.parse("transfoxl").build(  # causal + rel bias
+    cfg = tr.transformer_registry.parse(arch).build(
         d_model=32, n_head=2, n_layer=2, total_seq_length=SEQ, dropout=0.0,
     )
     model = cfg.to_model(im, tr.NextItemPredictionTask(weight_tying=True))

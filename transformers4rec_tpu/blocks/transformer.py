@@ -383,7 +383,21 @@ class TransformerEncoder(nn.Module):
                 "position_embedding", nn.initializers.normal(0.02),
                 (self.max_position, self.d_model),
             )
-            hidden = hidden + pos_table[:S][None].astype(self.dtype)
+            if segment_ids is not None:
+                # per-segment position restart: a packed session sees the
+                # same absolute positions it would unpacked (0..len-1),
+                # making packing EXACT for learned-absolute archs too.
+                pos = jnp.broadcast_to(jnp.arange(S)[None, :], segment_ids.shape)
+                is_start = jnp.concatenate(
+                    [jnp.ones((segment_ids.shape[0], 1), bool),
+                     segment_ids[:, 1:] != segment_ids[:, :-1]], axis=1,
+                )
+                seg_start = jax.lax.associative_scan(
+                    jnp.maximum, jnp.where(is_start, pos, 0), axis=1
+                )
+                hidden = hidden + pos_table[pos - seg_start].astype(self.dtype)
+            else:
+                hidden = hidden + pos_table[:S][None].astype(self.dtype)
 
         rel_bias = None
         if self.pos_encoding == "relative_bias":
