@@ -64,9 +64,9 @@ class MaskingInfo:
     # 1..n per packed session within a row. Consumed by the encoder as a
     # block-diagonal attention restriction (cross-segment attention blocked)
     # and by CLM label generation (no labels across segment boundaries).
-    # Exact for relative-position archs (bias depends on within-segment
-    # distance only); approximate for learned-absolute positions (a packed
-    # session starts at a nonzero offset). No reference analog.
+    # Exact for every arch family: relative bias depends on within-segment
+    # distance only, and learned-absolute positions restart per segment in
+    # the encoder. No reference analog.
     segment_ids: Optional[jnp.ndarray] = None
 
 

@@ -59,9 +59,9 @@ class T4RecTrainingArguments:
     # short sessions per row with block-diagonal attention — per-row step
     # cost unchanged, ~1.7-1.8x sessions/row, measured +45% recall@20 at
     # equal steps/wall time. Eval/predict loaders stay unpacked (exact
-    # per-session protocol + serving compatibility). Exact for
-    # relative-position archs (xlnet/transfoxl); approximate positions for
-    # learned-absolute archs. No reference analog.
+    # per-session protocol + serving compatibility). Exact for every arch
+    # family (relative bias is offset-invariant; learned-absolute positions
+    # restart per segment). No reference analog.
     pack_sessions: bool = False
     seed: int = 42
 
