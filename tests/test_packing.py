@@ -324,3 +324,65 @@ def test_packed_mlm_per_segment_guarantees():
                 assert n_masked >= 1, f"segment with no label (row {r}, seg {s})"
                 assert n_masked < int(pos.sum()), \
                     f"fully masked segment (row {r}, seg {s})"
+
+
+def test_trainer_pack_eval_sessions_flag(tmp_path):
+    """args.pack_eval_sessions=True: evaluate() consumes the packed eval
+    loader (segment_ids present, ~half the rows) and reproduces the unpacked
+    run's loss and every ranking metric. Uniform session lengths make both
+    packed and unpacked row counts divide the global batch exactly, so the
+    two passes stream the IDENTICAL session set (no drop_last/wrap skew)."""
+    import pandas as pd
+
+    schema = _schema(num_items=150)
+    rng = np.random.default_rng(3)
+    n_sessions, sess_len = 32, SEQ // 2  # FFD packs exactly 2 sessions/row
+    df = pd.DataFrame(
+        {
+            "item_id": [rng.integers(1, 150, sess_len) for _ in range(n_sessions)],
+            "category": [rng.integers(1, 10, sess_len) for _ in range(n_sessions)],
+            "item_recency": [
+                rng.random(sess_len).astype(np.float32) for _ in range(n_sessions)
+            ],
+            "weekday_sin": [
+                rng.random(sess_len).astype(np.float32) for _ in range(n_sessions)
+            ],
+        }
+    )
+    df.to_parquet(tmp_path / "eval.parquet")
+
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=32, masking="clm", aggregation="concat"
+    )
+    cfg = tr.transformer_registry.parse("transfoxl").build(
+        d_model=32, n_head=2, n_layer=1, total_seq_length=SEQ, dropout=0.0
+    )
+    model = cfg.to_model(im, tr.NextItemPredictionTask(weight_tying=True))
+    args = tr.T4RecTrainingArguments(
+        output_dir=str(tmp_path / "out"),
+        data_loader_engine="parquet",
+        max_sequence_length=SEQ,
+        per_device_eval_batch_size=1,  # global batch 8 on the CI mesh
+    )
+    trainer = tr.Trainer(
+        model=model, args=args, schema=schema, eval_dataset=str(tmp_path)
+    )
+    r_unpacked = trainer.evaluate()
+
+    trainer.args.pack_eval_sessions = True
+    loader = trainer.get_eval_dataloader()
+    first = next(iter(loader))
+    assert "segment_ids" in first and int(first["segment_ids"].max()) == 2
+    assert len(loader) == 2  # 16 packed rows vs 32 unpacked (4 batches)
+    r_packed = trainer.evaluate()
+
+    metric_keys = [k for k in r_unpacked if k.startswith("eval_/")]
+    assert metric_keys, r_unpacked
+    for k in metric_keys:
+        np.testing.assert_allclose(
+            r_packed[k], r_unpacked[k], rtol=2e-5, err_msg=k
+        )
+    # every session weighted equally in both compositions -> same eval_loss
+    np.testing.assert_allclose(
+        r_packed["eval_loss"], r_unpacked["eval_loss"], rtol=2e-5
+    )

@@ -63,6 +63,14 @@ class T4RecTrainingArguments:
     # family (relative bias is offset-invariant; learned-absolute positions
     # restart per segment). No reference analog.
     pack_sessions: bool = False
+    # opt-in: pack the EVAL loader too. Packed eval targets one position per
+    # segment (per-segment last item) and streams the same (sum, count)
+    # metric states, so final metrics match unpacked eval EXACTLY
+    # (tests/test_packing.py::test_packed_eval_matches_unpacked) at ~1.7-1.8x
+    # fewer rows per pass. eval_loss composes per-batch means over fewer,
+    # denser batches (may differ in the last digits from unpacked batching).
+    # predict()/log_predictions stay unpacked (per-session output rows).
+    pack_eval_sessions: bool = False
     seed: int = 42
 
     # precision / compilation
