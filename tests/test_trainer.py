@@ -444,3 +444,40 @@ def test_mid_epoch_resume_exact_packed(tmp_path, ecommerce_schema):
     pa = jax.device_get(ta._train_state.params)
     pb = jax.device_get(tb._train_state.params)
     jax.tree_util.tree_map(np.testing.assert_array_equal, pa, pb)
+
+
+def test_report_to_tensorboard(tmp_path, ecommerce_schema):
+    """report_to="tensorboard" streams train loss + eval metrics as scalar
+    events under {output_dir}/runs (reference inherits TensorBoard reporting
+    from the HF Trainer — SURVEY.md §5 observability)."""
+    trainer = _make_trainer(
+        tmp_path, ecommerce_schema, max_steps=4, report_to="tensorboard"
+    )
+    trainer.train()
+    trainer.evaluate()
+    run_dir = os.path.join(str(tmp_path), "runs")
+    events = [
+        os.path.join(root, f)
+        for root, _, files in os.walk(run_dir)
+        for f in files
+        if "tfevents" in f
+    ]
+    assert events, f"no event files under {run_dir}"
+
+    from tensorboard.backend.event_processing.event_accumulator import (
+        EventAccumulator,
+    )
+
+    tags = set()
+    for ev in events:
+        acc = EventAccumulator(ev)
+        acc.Reload()
+        tags.update(acc.Tags()["scalars"])
+    assert "train/loss" in tags, tags
+    assert "train_loss" in tags, tags
+    assert any(t.startswith("eval_/next-item/") for t in tags), tags
+    # default stays a no-op: no writer is created unless opted in
+    t2 = _make_trainer(tmp_path / "plain", ecommerce_schema, max_steps=2)
+    t2.train()
+    assert t2._tb_writer is None
+    assert not os.path.exists(os.path.join(str(tmp_path / "plain"), "runs"))

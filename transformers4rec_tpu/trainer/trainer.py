@@ -108,6 +108,7 @@ class Trainer:
         self._jit_eval_step = None
         self._jit_eval_step_multi = None
         self._jit_predict_step = None
+        self._tb_writer = None  # lazy SummaryWriter (args.report_to)
         # (loader_epoch, batches_in_epoch) staged by load() for the next
         # train() call to fast-forward the loader to; consumed once
         self._resume_position: Optional[tuple] = None
@@ -462,6 +463,9 @@ class Trainer:
                         self.state.log_history.append(
                             {"loss": l, "step": self.state.global_step}
                         )
+                        self._report(
+                            {"train/loss": l}, self.state.global_step
+                        )
                 if a.save_steps and step_in_run % a.save_steps == 0:
                     self._save_checkpoint()
                 if step_in_run >= num_steps:
@@ -512,8 +516,32 @@ class Trainer:
             "global_step": self.state.global_step,
         }
         self.state.log_history.append(metrics)
+        self._report(metrics, self.state.global_step)
         self._log_json(metrics)
         return metrics
+
+    def _report(self, record: Dict[str, Any], step: int) -> None:
+        """Stream numeric scalars to TensorBoard when ``args.report_to``
+        includes "tensorboard" (the reference inherits W&B/TensorBoard
+        reporting from the HF Trainer's report_to — SURVEY.md §5). Process 0
+        only; events land in {output_dir}/runs."""
+        if "tensorboard" not in str(self.args.report_to):
+            return
+        if jax.process_index() != 0:
+            return
+        if self._tb_writer is None:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._tb_writer = SummaryWriter(
+                log_dir=os.path.join(self.args.output_dir, "runs")
+            )
+        for k, v in record.items():
+            if k in ("step", "global_step"):
+                continue
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                continue
+            self._tb_writer.add_scalar(k, v, step)
+        self._tb_writer.flush()
 
     def _log_json(self, record: Dict[str, Any]) -> None:
         """Append a metrics record to metrics.jsonl (the paper driver's
@@ -623,6 +651,7 @@ class Trainer:
                 # (trainer.py:683-689, process_metrics :836-845)
                 results[f"{metric_key_prefix}_/{name}"] = float(val)
         self.state.log_history.append(results)
+        self._report(results, self.state.global_step)
         self._log_json(results)
         if self.args.log_predictions and not on_train_set:
             self.log_predictions(eval_dataset, metric_key_prefix=metric_key_prefix)
