@@ -386,3 +386,68 @@ def test_trainer_pack_eval_sessions_flag(tmp_path):
     np.testing.assert_allclose(
         r_packed["eval_loss"], r_unpacked["eval_loss"], rtol=2e-5
     )
+
+
+@pytest.mark.parametrize("masking", ["clm", "mlm"])
+def test_packed_eval_budget_worst_case(masking):
+    """All-length-2 sessions: every packed row carries exactly S//2 segments,
+    so the packed-eval loss-row budget (B*(S//2) gathered CE rows —
+    prediction_task.py) is TIGHT. Metrics must still match unpacked eval
+    exactly — proof the budget never drops a target."""
+    schema = _schema(num_items=120)
+    rng = np.random.default_rng(9)
+    n_sessions = SEQ // 2 * 6  # six full packed rows
+    lens = np.full(n_sessions, 2)
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    total = int(offsets[-1])
+    data = {
+        "item_id__values": rng.integers(1, 120, total),
+        "item_id__offsets": offsets,
+        "category__values": rng.integers(1, 10, total),
+        "category__offsets": offsets,
+        "item_recency__values": rng.random(total).astype(np.float32),
+        "item_recency__offsets": offsets,
+        "weekday_sin__values": rng.random(total).astype(np.float32),
+        "weekday_sin__offsets": offsets,
+    }
+    packed = pack_sessions(data, max_len=SEQ, item_id_col="item_id")
+    assert int(packed["segment_ids"].max()) == SEQ // 2  # bound is tight
+
+    from transformers4rec_tpu.data.padding import pad_ragged
+
+    names = {k.removesuffix("__values") for k in data if k.endswith("__values")}
+    unpacked = {
+        name: pad_ragged(data[f"{name}__values"], data[f"{name}__offsets"], SEQ)
+        for name in names
+    }
+
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=32, masking=masking, aggregation="concat"
+    )
+    arch = "transfoxl" if masking == "clm" else "xlnet"
+    cfg = tr.transformer_registry.parse(arch).build(
+        d_model=32, n_head=2, n_layer=1, total_seq_length=SEQ, dropout=0.0,
+    )
+    model = cfg.to_model(im, tr.NextItemPredictionTask(weight_tying=True))
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "masking": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+        "sampling": jax.random.PRNGKey(3),
+    }
+    pb = {k: jnp.asarray(v) for k, v in packed.items()}
+    ub = {k: jnp.asarray(v) for k, v in unpacked.items()}
+    params = model.init(rngs, ub, training=True)
+
+    lp, outs_p = model.apply(params, pb, targets=pb, testing=True,
+                             compute_metrics=True)
+    lu, outs_u = model.apply(params, ub, targets=ub, testing=True,
+                             compute_metrics=True)
+    np.testing.assert_allclose(float(lp), float(lu), rtol=2e-5)
+    mp, mu = outs_p["next-item"].metrics, outs_u["next-item"].metrics
+    for k in mp:
+        np.testing.assert_allclose(float(mp[k][0]), float(mu[k][0]),
+                                   rtol=2e-5, err_msg=k)
+        # identical target COUNTS: the budget dropped nothing
+        np.testing.assert_allclose(float(mp[k][1]), float(mu[k][1]),
+                                   rtol=1e-6, err_msg=f"{k} count")

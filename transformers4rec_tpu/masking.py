@@ -333,7 +333,16 @@ class MaskedLanguageModeling(MaskSequence):
             next_valid = jnp.concatenate(
                 [non_pad[:, 1:], jnp.zeros((B, 1), bool)], axis=1,
             )
-            mask = non_pad & ~(next_valid & same_next)
+            # require >=1 preceding in-segment position: a length-1 segment
+            # has no context to predict its item from (pack_sessions never
+            # emits one), and excluding it bounds targets/row at S//2 — the
+            # invariant the packed-eval loss-row budget relies on
+            # (model/prediction_task.py)
+            same_prev = jnp.concatenate(
+                [jnp.zeros((B, 1), bool),
+                 segment_ids[:, 1:] == segment_ids[:, :-1]], axis=1,
+            )
+            mask = non_pad & ~(next_valid & same_next) & same_prev
             labels = jnp.where(mask, item_ids, jnp.full_like(item_ids, self.padding_idx))
             return MaskingInfo(targets=labels, mask=mask, input_schema=mask,
                                pad_mask=non_pad)

@@ -376,17 +376,32 @@ class NextItemPredictionTask(PredictionTask):
                 from ..ops.vocab import fused_ce_and_rank, fused_softmax_ce
 
                 x2d = x.reshape(N, -1) / temp
-                M = self._budget_rows(N) if training else None
+                M = None
+                if training:
+                    M = self._budget_rows(N)
+                elif self.eval_single_target and info.segment_ids is not None:
+                    # packed eval rides this full-position path but carries
+                    # exactly ONE target per segment, and every segment that
+                    # yields a target has >=2 items (masking.py per-segment
+                    # last-item label gen), so targets/row <= S//2: gathering
+                    # B*(S//2) rows provably covers EVERY target — the same
+                    # fused eval kernels at half the CE rows, exact metrics
+                    B_, S_ = targets.shape
+                    M = min(N, max(B_ * (S_ // 2), 1))
                 if M is not None:
-                    # stable argsort puts target positions first; overflow
-                    # beyond M (≥6σ margin) drops a few targets
+                    # stable argsort puts target positions first; in training
+                    # overflow beyond M (≥6σ margin) drops a few targets; the
+                    # packed-eval M is an exact upper bound (no drops)
                     order = jnp.argsort(flat_mask <= 0.0, stable=True)[:M]
-                    xb = jnp.take(x2d, order, axis=0)
-                    lb = jnp.take(flat_labels, order).astype(jnp.int32)
-                    wb = jnp.take(flat_mask, order)
-                    loss = fused_softmax_ce(xb, W, lb, wb, vocab_size=vsz)
-                    return TaskOutput(loss=loss, labels=lb, predictions=None,
-                                      weights=wb)
+                    x2d = jnp.take(x2d, order, axis=0)
+                    flat_labels = jnp.take(flat_labels, order)
+                    flat_mask = jnp.take(flat_mask, order)
+                    if training:
+                        lb = flat_labels.astype(jnp.int32)
+                        loss = fused_softmax_ce(x2d, W, lb, flat_mask,
+                                                vocab_size=vsz)
+                        return TaskOutput(loss=loss, labels=lb,
+                                          predictions=None, weights=flat_mask)
                 metrics = None
                 if compute_metrics and testing:
                     # full-position eval: single streamed pass for loss+ranks
