@@ -68,6 +68,14 @@ class MaskingInfo:
     # distance only, and learned-absolute positions restart per segment in
     # the encoder. No reference analog.
     segment_ids: Optional[jnp.ndarray] = None
+    # static (non-pytree) declaration by the label generator that targets are
+    # per-segment-last-item ONLY — at most one per segment, each segment with
+    # >=2 items — so targets/row <= S//2. The prediction task's packed-eval
+    # loss-row budget (B*(S//2) gathered CE rows) is exact ONLY under this
+    # guarantee, so it engages only when the label gen declares it.
+    targets_per_segment_bounded: bool = struct.field(
+        pytree_node=False, default=False
+    )
 
 
 def _predict_all(item_ids: jnp.ndarray, padding_idx: int):
@@ -245,7 +253,8 @@ class CausalLanguageModeling(MaskSequence):
                 mask = mask & ~next_also
                 labels = jnp.where(mask, labels, jnp.full_like(labels, self.padding_idx))
                 return MaskingInfo(targets=labels, mask=mask,
-                                   input_schema=non_pad, pad_mask=non_pad)
+                                   input_schema=non_pad, pad_mask=non_pad,
+                                   targets_per_segment_bounded=True)
             labels = jnp.where(mask, labels, jnp.full_like(labels, self.padding_idx))
             return MaskingInfo(targets=labels, mask=mask, input_schema=mask,
                                pad_mask=non_pad)
@@ -345,7 +354,8 @@ class MaskedLanguageModeling(MaskSequence):
             mask = non_pad & ~(next_valid & same_next) & same_prev
             labels = jnp.where(mask, item_ids, jnp.full_like(item_ids, self.padding_idx))
             return MaskingInfo(targets=labels, mask=mask, input_schema=mask,
-                               pad_mask=non_pad)
+                               pad_mask=non_pad,
+                               targets_per_segment_bounded=True)
         if self.eval_on_last_item_seq_only:
             labels, mask = _label_at_last(item_ids, non_pad, self.padding_idx)
         else:

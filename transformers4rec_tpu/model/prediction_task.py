@@ -379,13 +379,14 @@ class NextItemPredictionTask(PredictionTask):
                 M = None
                 if training:
                     M = self._budget_rows(N)
-                elif self.eval_single_target and info.segment_ids is not None:
-                    # packed eval rides this full-position path but carries
-                    # exactly ONE target per segment, and every segment that
-                    # yields a target has >=2 items (masking.py per-segment
-                    # last-item label gen), so targets/row <= S//2: gathering
-                    # B*(S//2) rows provably covers EVERY target — the same
-                    # fused eval kernels at half the CE rows, exact metrics
+                elif info.targets_per_segment_bounded:
+                    # packed eval rides this full-position path but the label
+                    # gen DECLARED at most one target per segment with every
+                    # target-bearing segment >=2 items (masking.py
+                    # targets_per_segment_bounded), so targets/row <= S//2:
+                    # gathering B*(S//2) rows provably covers EVERY target —
+                    # the same fused eval kernels at half the CE rows, exact
+                    # metrics (tight-bound test in tests/test_packing.py)
                     B_, S_ = targets.shape
                     M = min(N, max(B_ * (S_ // 2), 1))
                 if M is not None:
