@@ -262,6 +262,47 @@ def test_trainer_pack_sessions_flag(tmp_path):
     assert hist[-1] < hist[0], hist
     ev = trainer.evaluate(max_steps=4)  # unpacked eval path
     assert np.isfinite(ev["eval_loss"])
+    # eval-on-train-set consumes the PACKED train loader: the packed eval
+    # path (per-segment targets + CE-row budget) must stream metrics too
+    ev_train = trainer.evaluate(on_train_set=True, max_steps=2)
+    assert np.isfinite(ev_train["eval_train_loss"])
+    assert any(k.startswith("eval_train_/") for k in ev_train), ev_train
+
+
+def test_packed_training_with_sampled_softmax():
+    """Session packing composes with sampled softmax: the sampled branch
+    flattens all positions and weights by the segment-aware mask, so packed
+    rows must train without shape or semantics errors."""
+    schema = _schema(num_items=500)
+    data = _ragged(schema, rows=40, seed=21)
+    packed = pack_sessions(data, max_len=SEQ, item_id_col="item_id")
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=32, masking="clm", aggregation="concat"
+    )
+    model = tr.GPT2Config.build(32, 2, 1, SEQ).to_model(
+        im,
+        tr.NextItemPredictionTask(
+            weight_tying=True, sampled_softmax=True, max_n_samples=64
+        ),
+    )
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "masking": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+        "sampling": jax.random.PRNGKey(3),
+    }
+    pb = {k: jnp.asarray(v) for k, v in packed.items()}
+    params = model.init(rngs, pb, training=True)
+    r = {k: v for k, v in rngs.items() if k != "params"}
+
+    def loss_fn(p):
+        loss, _ = model.apply(p, pb, training=True, rngs=r)
+        return loss
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    flat = jax.tree.leaves(jax.tree.map(lambda g: jnp.all(jnp.isfinite(g)), grads))
+    assert all(bool(x) for x in flat)
 
 
 def test_parquet_loader_pack(tmp_path):
