@@ -1,0 +1,113 @@
+"""Block layer: MLPBlock, Block wrapper, SequentialBlock/`>>` composition,
+and the masking-compat validation matrix — mirroring the reference's
+tests/unit/torch/block/{test_base.py, test_mlp.py} coverage areas."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import transformers4rec_tpu as tr
+from transformers4rec_tpu.blocks.base import right_shift_block
+
+SEQ = 12
+
+
+def _schema():
+    from transformers4rec_tpu.data.synthetic import synthetic_ecommerce_data_schema
+
+    return synthetic_ecommerce_data_schema(
+        num_items=100, num_categories=10, max_session_length=SEQ
+    )
+
+
+def _batch(schema, rows=4):
+    from transformers4rec_tpu.data.synthetic import synthetic_data
+
+    return {
+        k: jnp.asarray(v)
+        for k, v in synthetic_data(schema, num_rows=rows,
+                                   max_session_length=SEQ, seed=0).items()
+    }
+
+
+def test_mlp_block_shapes_and_output_size():
+    mlp = tr.MLPBlock(dimensions=(32, 16), activation="relu", use_norm=True)
+    assert mlp.output_size() == 16
+    x = jnp.ones((4, SEQ, 8))
+    params = mlp.init(jax.random.PRNGKey(0), x)
+    y = mlp.apply(params, x)
+    assert y.shape == (4, SEQ, 16)
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_block_wrapper_declares_output_size():
+    import flax.linen as nn
+
+    b = tr.Block(module=nn.Dense(24), output_dim=24)
+    assert b.output_size() == 24
+    x = jnp.ones((2, 8))
+    params = b.init(jax.random.PRNGKey(0), x)
+    assert b.apply(params, x).shape == (2, 24)
+
+
+def test_rshift_composition_runs_end_to_end():
+    """input >> MLPBlock >> TransformerBlock threads (hidden, MaskingInfo)
+    (reference block/base.py:394-434 right-shift composition)."""
+    schema = _schema()
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=32, masking="clm", aggregation="concat"
+    )
+    body = tr.SequentialBlock(blocks=(
+        im,
+        tr.MLPBlock(dimensions=(32,)),
+        tr.TransformerBlock(
+            transformer=tr.GPT2Config.build(32, 2, 1, SEQ), masking="clm"
+        ),
+    ))
+    assert isinstance(body, tr.SequentialBlock)
+    assert body.output_size() == 32
+    batch = _batch(schema)
+    rngs = {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    (hidden, info), params = body.init_with_output(rngs, batch, training=True)
+    assert hidden.shape == (4, SEQ, 32)
+    assert info.targets.shape == (4, SEQ)
+
+    # `>>` / right_shift_block compose and flatten (fresh instances: flax
+    # children are adopted by their first parent and can't be reused)
+    sb = tr.SequentialBlock(blocks=(tr.MLPBlock(dimensions=(8,)),)) \
+        >> tr.MLPBlock(dimensions=(4,))
+    assert isinstance(sb, tr.SequentialBlock) and len(sb.blocks) == 2
+    assert sb.output_size() == 4
+    x = jnp.ones((2, 6))
+    p = sb.init(jax.random.PRNGKey(0), x)
+    y, _ = sb.apply(p, x)  # SequentialBlock threads (hidden, MaskingInfo)
+    assert y.shape == (2, 4)
+    flat = right_shift_block(tr.MLPBlock(dimensions=(3,)),
+                             tr.MLPBlock(dimensions=(5,)))
+    assert len(flat.blocks) == 2
+
+
+def test_masking_compat_matrix_rejects_bad_pairs():
+    """MASKING_COMPAT (reference torch_utils.py:441-473): electra pairs with
+    RTD/MLM but not CLM; transfoxl is CLM-only; xlnet accepts all four."""
+    from transformers4rec_tpu.blocks.base import check_masking_compat
+
+    with pytest.raises(ValueError, match="not supported with masking"):
+        check_masking_compat("electra", "clm")
+    with pytest.raises(ValueError, match="not supported with masking"):
+        tr.TransformerBlock(
+            transformer=tr.TransfoXLConfig.build(16, 2, 1, SEQ), masking="mlm"
+        )._resolve()
+
+
+def test_masking_compat_accepts_reference_pairs():
+    from transformers4rec_tpu.blocks.base import check_masking_compat
+
+    for arch, masking in [("xlnet", "mlm"), ("xlnet", "plm"),
+                          ("electra", "rtd"), ("gpt2", "clm"),
+                          ("transfoxl", "clm"), ("longformer", "mlm"),
+                          ("reformer", "clm"), ("bert", "mlm"),
+                          ("roberta", "rtd"), ("albert", "mlm")]:
+        check_masking_compat(arch, masking)  # must not raise

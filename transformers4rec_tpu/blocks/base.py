@@ -178,6 +178,11 @@ class SequentialBlock(nn.Module):
                     info = maybe_info
         return x, info
 
+    # nowrap: flax wraps plain methods in a module-call context, which makes
+    # the SequentialBlock constructed here believe it has a parent scope and
+    # trips child adoption (`_name_taken` on an unbound scope). Composition
+    # is pure dataclass construction — it must run OUTSIDE flax's machinery.
+    @nn.nowrap
     def __rshift__(self, other):
         return SequentialBlock(blocks=tuple(self.blocks) + (other,))
 
