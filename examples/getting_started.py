@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--arch", default="xlnet")
     ap.add_argument("--output-dir", default="/tmp/t4r_getting_started")
     ap.add_argument("--num-rows", type=int, default=2048)
+    ap.add_argument("--pack", action="store_true",
+                    help="session packing for train+eval loaders (TPU-native "
+                         "extension: ~1.8 sessions/row, exact metrics)")
     ap.add_argument("--cpu", action="store_true", help="force CPU platform")
     args = ap.parse_args()
 
@@ -64,6 +67,8 @@ def main():
         max_sequence_length=args.seq_len,
         lr_scheduler_type="linear",
         warmup_steps=max(args.steps // 20, 0),
+        pack_sessions=args.pack,
+        pack_eval_sessions=args.pack,
     )
     trainer = tr.Trainer(model=model, args=targs, schema=schema)
 
