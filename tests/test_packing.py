@@ -428,6 +428,15 @@ def test_trainer_pack_eval_sessions_flag(tmp_path):
         r_packed["eval_loss"], r_unpacked["eval_loss"], rtol=2e-5
     )
 
+    # packed eval composes with steps_per_execution: both packed batches ride
+    # ONE stacked dispatch (lax.scan) and must reproduce the same results
+    trainer.args.steps_per_execution = 2
+    r_packed_k2 = trainer.evaluate()
+    for k in metric_keys + ["eval_loss"]:
+        np.testing.assert_allclose(
+            r_packed_k2[k], r_packed[k], rtol=2e-5, err_msg=k
+        )
+
 
 @pytest.mark.parametrize("masking", ["clm", "mlm"])
 def test_packed_eval_budget_worst_case(masking):
