@@ -137,7 +137,8 @@ class Trainer:
             return self._train_dataloader
         if self.train_dataset is None and self.args.data_loader_engine != "synthetic":
             raise ValueError("Trainer: training requires a train_dataset")
-        # pack_sessions applies to TRAIN only (eval/predict stay unpacked —
+        # pack_sessions applies to TRAIN (eval packs only via the separate
+        # pack_eval_sessions opt-in; predict always stays unpacked —
         # exact per-session eval protocol + serving compatibility)
         return self._make_loader(
             self.train_dataset, self.args.train_batch_size, shuffle=True,
