@@ -52,7 +52,9 @@ def main():
     # optimizer steps amortizes per-dispatch overhead — measured 11.9 -> 9.3
     # ms/step at K=8 (benchmarks/step_ablation.py packed8). Numerics are
     # bit-identical to K=1 (tests/test_trainer.py equivalence test).
-    K_PACK = 8
+    # K sweep on TPU v5e (2 runs/arm, same session): K=8 13.80k, K=16 14.09k,
+    # K=32 14.23k, K=64 14.29k ex/s/chip — 32 is the knee; 64 adds <0.5%.
+    K_PACK = int(os.environ.get("T4R_BENCH_K", "32"))
 
     n_chips = jax.device_count()
     batch_size = BATCH_PER_CHIP * n_chips
