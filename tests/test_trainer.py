@@ -88,6 +88,42 @@ def test_checkpoint_save_load_roundtrip(tmp_path, ecommerce_schema):
     assert trainer2.state.global_step == gstep
 
 
+@pytest.mark.parametrize("fmt", ["msgpack", "orbax"])
+def test_async_checkpoint_save(tmp_path, ecommerce_schema, fmt):
+    """save_async=True: background writes produce complete, loadable
+    checkpoints identical to what a blocking save would have written."""
+    trainer = _make_trainer(
+        tmp_path / "a", ecommerce_schema, checkpoint_format=fmt,
+        save_async=True, save_steps=5, max_steps=10,
+    )
+    trainer.train()  # async saves at steps 5 and 10; train() waits at the end
+    root = str(tmp_path / "a")
+    cks = sorted(
+        (d for d in os.listdir(root) if d.startswith("checkpoint-")),
+        key=lambda d: int(d.split("-")[1]),
+    )
+    assert [int(d.split("-")[1]) for d in cks] == [5, 10]
+    for d in cks:  # trainer_state.json is written last = completion marker
+        assert os.path.exists(os.path.join(root, d, "trainer_state.json"))
+
+    want = jax.device_get(trainer._train_state.params)
+    gstep = trainer.state.global_step
+    trainer2 = _make_trainer(tmp_path / "b", ecommerce_schema)
+    trainer2.evaluate()  # materialize param structure
+    trainer2.load(os.path.join(root, f"checkpoint-{gstep}"))
+    got = jax.device_get(trainer2._train_state.params)
+    jax.tree_util.tree_map(np.testing.assert_allclose, want, got)
+    assert trainer2.state.global_step == gstep
+
+    # manual non-blocking save followed immediately by load(): load() must
+    # wait for the in-flight write instead of reading a partial dir
+    p = str(tmp_path / "manual")
+    trainer.save(p, blocking=False)
+    trainer2.load(p)
+    got2 = jax.device_get(trainer2._train_state.params)
+    jax.tree_util.tree_map(np.testing.assert_allclose, want, got2)
+
+
 def test_checkpoint_rotation(tmp_path, ecommerce_schema):
     trainer = _make_trainer(tmp_path, ecommerce_schema, save_total_limit=2)
     trainer.train()

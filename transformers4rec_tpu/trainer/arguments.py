@@ -82,6 +82,13 @@ class T4RecTrainingArguments:
     # 'orbax' = sharded per-device/per-host writes — required scale path for
     # row-sharded tables (load() auto-detects either format)
     checkpoint_format: str = "msgpack"
+    # non-blocking checkpoint writes: save() snapshots state to host, then
+    # serializes/writes on a background thread (msgpack) or via orbax's
+    # AsyncCheckpointer (orbax) — the train loop overlaps disk IO with the
+    # next steps and only blocks if the previous save is still in flight at
+    # the next save boundary. trainer_state.json is written last as the
+    # completion marker.
+    save_async: bool = False
     logging_steps: int = 100
     eval_steps: Optional[int] = None
     save_steps: Optional[int] = None

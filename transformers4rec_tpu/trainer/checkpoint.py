@@ -23,6 +23,50 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
+# one process-wide async checkpointer: orbax serializes in a background
+# thread pool; reusing the instance keeps its barrier/thread state coherent
+# across successive saves
+_ASYNC_CKPTR = None
+
+# process-wide in-flight async writes (msgpack threads + orbax): any reader
+# (load(), end of train(), rotation) must be able to drain ALL pending saves,
+# not just the ones started by its own Trainer instance
+_PENDING: list = []
+_PENDING_LOCK = __import__("threading").Lock()
+
+
+def register_pending(wait) -> None:
+    with _PENDING_LOCK:
+        _PENDING.append(wait)
+
+
+def wait_all_pending() -> None:
+    """Block until every async checkpoint write started in this process is
+    durable on disk."""
+    with _PENDING_LOCK:
+        waits, _PENDING[:] = list(_PENDING), []
+    for w in waits:
+        w()
+
+
+def save_sharded_async(path: str, tree: Any):
+    """Start a non-blocking sharded write of ``tree`` to ``path``.
+
+    Blocks only until device shards are snapshotted to host memory (so the
+    caller may keep mutating the live train state), then writes in the
+    background. Returns a ``wait()`` callable that blocks until the
+    checkpoint is durable on disk; orbax's tmp-dir + atomic-rename commit
+    means a crash mid-write never leaves a readable-but-partial checkpoint.
+    """
+    global _ASYNC_CKPTR
+    import orbax.checkpoint as ocp
+
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    _ASYNC_CKPTR.save(os.path.abspath(path), args=ocp.args.StandardSave(tree))
+    return _ASYNC_CKPTR.wait_until_finished
+
+
 def save_sharded(path: str, tree: Any) -> None:
     """Write a pytree of (possibly sharded) jax.Arrays; each device/host
     writes only its own shards. ``path`` must not already exist."""

@@ -27,6 +27,7 @@ import json
 import math
 import os
 import shutil
+import threading
 import time
 from typing import Any, Dict, Iterable, List, Optional
 
@@ -47,6 +48,7 @@ from ..parallel.mesh import (
 )
 from ..schema import Schema
 from .arguments import T4RecTrainingArguments
+from .checkpoint import register_pending
 from .schedulers import get_scheduler, num_cosine_cycles
 
 
@@ -508,6 +510,9 @@ class Trainer:
             epoch += 1
             self.state.epoch = epoch
 
+        # an async save started near the end must be durable before train()
+        # returns (callers read checkpoint dirs right after)
+        self.wait_for_checkpoints()
         runtime = time.time() - start
         metrics = {
             "train_loss": losses[-1] if losses else float("nan"),
@@ -731,7 +736,14 @@ class Trainer:
         for d in cks[:-limit]:
             shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
-    def save(self, path: str) -> None:
+    def wait_for_checkpoints(self) -> None:
+        """Block until every in-flight async checkpoint write (args.save_async)
+        in this process is durable on disk. No-op otherwise."""
+        from .checkpoint import wait_all_pending
+
+        wait_all_pending()
+
+    def save(self, path: str, blocking: Optional[bool] = None) -> None:
         """Params + optimizer + trainer state (reference
         _save_model_and_checkpoint trainer.py:701-723).
 
@@ -739,35 +751,78 @@ class Trainer:
         sharded Orbax checkpoint instead — each device/host writes only its
         own shards, so row-sharded tables never gather to one host, and
         restore places shards directly (trainer/checkpoint.py).
-        """
-        os.makedirs(path, exist_ok=True)
-        if self.args.checkpoint_format == "orbax":
-            from .checkpoint import save_sharded
 
-            save_sharded(os.path.join(path, "state.orbax"), self._train_state)
+        ``blocking=False`` (default when ``args.save_async``) returns after
+        snapshotting state to host; serialization + disk IO run in the
+        background and overlap the next train steps. trainer_state.json is
+        written LAST, so its presence marks a complete checkpoint.
+        """
+        if blocking is None:
+            blocking = not self.args.save_async
+        # one save in flight at a time: a still-running previous write must
+        # finish before its checkpoint dir can be rotated away or superseded
+        self.wait_for_checkpoints()
+        os.makedirs(path, exist_ok=True)
+        # snapshot scalars/lists NOW — the train loop keeps mutating them
+        state_doc = {
+            "global_step": self.state.global_step,
+            "epoch": self.state.epoch,
+            "log_history": list(self.state.log_history),
+            "step": int(self._train_state.step),
+            "loader_epoch": self.state.loader_epoch,
+            "batches_in_epoch": self.state.batches_in_epoch,
+        }
+
+        def _write_state_doc():
+            with open(os.path.join(path, "trainer_state.json"), "w") as f:
+                json.dump(state_doc, f)
+
+        if self.args.checkpoint_format == "orbax":
+            if blocking:
+                from .checkpoint import save_sharded
+
+                save_sharded(os.path.join(path, "state.orbax"), self._train_state)
+                _write_state_doc()
+            else:
+                from .checkpoint import save_sharded_async
+
+                # blocks only until shards are staged to host memory
+                wait = save_sharded_async(
+                    os.path.join(path, "state.orbax"), self._train_state
+                )
+
+                def _finish():
+                    wait()
+                    _write_state_doc()
+
+                t = threading.Thread(target=_finish, daemon=True)
+                t.start()
+                register_pending(t.join)
         else:
-            with open(os.path.join(path, "params.msgpack"), "wb") as f:
-                f.write(serialization.to_bytes(
-                    jax.device_get(self._train_state.params)))
-            with open(os.path.join(path, "opt_state.msgpack"), "wb") as f:
-                f.write(serialization.to_bytes(
-                    jax.device_get(self._train_state.opt_state)))
-        with open(os.path.join(path, "trainer_state.json"), "w") as f:
-            json.dump(
-                {
-                    "global_step": self.state.global_step,
-                    "epoch": self.state.epoch,
-                    "log_history": self.state.log_history,
-                    "step": int(self._train_state.step),
-                    "loader_epoch": self.state.loader_epoch,
-                    "batches_in_epoch": self.state.batches_in_epoch,
-                },
-                f,
-            )
+            # device→host copy happens here (a consistent snapshot — later
+            # steps donate/overwrite the device buffers); only the msgpack
+            # serialization + file writes move off-thread
+            params_host = jax.device_get(self._train_state.params)
+            opt_host = jax.device_get(self._train_state.opt_state)
+
+            def _write():
+                with open(os.path.join(path, "params.msgpack"), "wb") as f:
+                    f.write(serialization.to_bytes(params_host))
+                with open(os.path.join(path, "opt_state.msgpack"), "wb") as f:
+                    f.write(serialization.to_bytes(opt_host))
+                _write_state_doc()
+
+            if blocking:
+                _write()
+            else:
+                t = threading.Thread(target=_write, daemon=True)
+                t.start()
+                register_pending(t.join)
 
     def load(self, path: str) -> None:
         """Restore params (+ optimizer + step) — reference
         load_model_trainer_states_from_checkpoint (trainer.py:725-745)."""
+        self.wait_for_checkpoints()
         if self._train_state is None:
             raise ValueError(
                 "Call train()/evaluate() once (or _ensure_state) before load() "
