@@ -81,6 +81,51 @@ def test_label_ranks_and_metrics_exact():
     )
 
 
+def test_all_metrics_match_textbook_oracle():
+    """Randomized cross-check of all six metric families against an
+    independent numpy oracle computed from the ranked relevance vector
+    (the reference's one-hot/torchmetrics formulation — ranking_metric.py
+    :73-319) rather than from the label rank."""
+    from transformers4rec_tpu.model.ranking_metric import (
+        AvgPrecisionAt,
+        DCGAt,
+        PrecisionAt,
+    )
+
+    rng = np.random.default_rng(0)
+    N, V = 64, 50
+    ks = (1, 3, 10)
+    # per-row permutation scores: all-distinct values, no tie ambiguity
+    scores = np.stack([rng.permutation(V).astype(np.float32) for _ in range(N)])
+    labels = rng.integers(0, V, size=N)
+    metrics = [
+        PrecisionAt(top_ks=ks), RecallAt(top_ks=ks), AvgPrecisionAt(top_ks=ks),
+        DCGAt(top_ks=ks), NDCGAt(top_ks=ks), MeanReciprocalRankAt(top_ks=ks),
+    ]
+    out = compute_batch_metrics(jnp.asarray(scores), jnp.asarray(labels), metrics)
+
+    want = {m.key(k): 0.0 for m in metrics for k in ks}
+    for i in range(N):
+        order = np.argsort(-scores[i], kind="stable")
+        rel = (order == labels[i]).astype(np.float64)  # ranked relevance
+        for k in ks:
+            top = rel[:k]
+            hits = top.sum()  # 0 or 1 (single relevant item)
+            p_at_i = np.cumsum(top) / (np.arange(k) + 1.0)
+            first_hit = np.nonzero(top)[0]
+            want[f"precision_at_{k}"] += hits / k
+            want[f"recall_at_{k}"] += hits
+            want[f"avg_precision_at_{k}"] += float((p_at_i * top).sum())
+            dcg = float((top / np.log2(np.arange(k) + 2.0)).sum())
+            want[f"dcg_at_{k}"] += dcg
+            want[f"ndcg_at_{k}"] += dcg  # ideal DCG for one relevant item = 1
+            want[f"mrr_at_{k}"] += 1.0 / (first_hit[0] + 1.0) if len(first_hit) else 0.0
+
+    for name, (s, c) in out.items():
+        assert float(c) == N
+        np.testing.assert_allclose(float(s), want[name], rtol=1e-5, err_msg=name)
+
+
 def test_metric_weights_ignore_invalid_rows():
     scores = jnp.asarray([[0.9, 0.1], [0.9, 0.1]])
     labels = jnp.asarray([0, 0])
