@@ -88,6 +88,23 @@ def test_checkpoint_save_load_roundtrip(tmp_path, ecommerce_schema):
     assert trainer2.state.global_step == gstep
 
 
+def test_periodic_mid_train_evaluation(tmp_path, ecommerce_schema):
+    """eval_steps: a full evaluate() runs every N train steps (HF
+    evaluation_strategy="steps") and lands in log_history in step order."""
+    trainer = _make_trainer(
+        tmp_path, ecommerce_schema, eval_steps=4, max_steps=10,
+        steps_per_execution=3,  # groups must break AT eval boundaries
+    )
+    trainer.train()
+    evals = [h for h in trainer.state.log_history if "eval_loss" in h]
+    # boundaries at steps 4 and 8 (10 is not a multiple of 4)
+    assert len(evals) == 2
+    assert all("eval_/next-item/ndcg_at_10" in e for e in evals)
+    # interleaved train losses still logged every step (logging_steps=1)
+    train_steps = [h["step"] for h in trainer.state.log_history if "loss" in h]
+    assert train_steps == sorted(train_steps) and len(train_steps) == 10
+
+
 @pytest.mark.parametrize("fmt", ["msgpack", "orbax"])
 def test_async_checkpoint_save(tmp_path, ecommerce_schema, fmt):
     """save_async=True: background writes produce complete, loadable

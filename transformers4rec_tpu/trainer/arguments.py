@@ -90,6 +90,10 @@ class T4RecTrainingArguments:
     # completion marker.
     save_async: bool = False
     logging_steps: int = 100
+    # run a full evaluate() every N train steps (HF evaluation_strategy=
+    # "steps"); results land in log_history/TensorBoard at the triggering
+    # global step. Needs eval data (eval_dataset / eval_dataloader / the
+    # synthetic engine).
     eval_steps: Optional[int] = None
     save_steps: Optional[int] = None
     save_total_limit: Optional[int] = None
@@ -102,7 +106,6 @@ class T4RecTrainingArguments:
 
     # distribution
     mesh_model_axis: int = 1
-    shuffle_buffer_size: int = 0
 
     @property
     def train_batch_size(self) -> int:

@@ -160,6 +160,13 @@ class Trainer:
             pack=self.args.pack_eval_sessions,
         )
 
+    def _has_eval_data(self) -> bool:
+        return (
+            self._eval_dataloader is not None
+            or self.eval_dataset is not None
+            or self.args.data_loader_engine == "synthetic"
+        )
+
     def get_test_dataloader(self, test_dataset=None):
         ds = test_dataset if test_dataset is not None else self.test_dataset
         if ds is None and self.args.data_loader_engine != "synthetic":
@@ -413,6 +420,14 @@ class Trainer:
             profile_range = (lo, hi)
 
         start = time.time()
+        pbar = None
+        if not a.disable_tqdm and jax.process_index() == 0:
+            try:
+                from tqdm.auto import tqdm
+
+                pbar = tqdm(total=num_steps, desc="train", unit="step")
+            except ImportError:
+                pass
         losses = []
         step_in_run = 0
         epochs = math.inf if a.max_steps > 0 else a.num_train_epochs
@@ -469,8 +484,18 @@ class Trainer:
                         self._report(
                             {"train/loss": l}, self.state.global_step
                         )
+                if pbar is not None:
+                    pbar.update(len(group))
                 if a.save_steps and step_in_run % a.save_steps == 0:
                     self._save_checkpoint()
+                if (
+                    a.eval_steps
+                    and step_in_run % a.eval_steps == 0
+                    and self._has_eval_data()
+                ):
+                    # periodic mid-train evaluation (HF evaluation_strategy=
+                    # "steps"); evaluate() logs/reports at this global step
+                    self.evaluate()
                 if step_in_run >= num_steps:
                     done = True
 
@@ -487,6 +512,11 @@ class Trainer:
                 if a.save_steps:
                     k_target = min(
                         k_target, a.save_steps - (step_in_run % a.save_steps)
+                    )
+                if a.eval_steps:
+                    # eval must observe state exactly AT the boundary step
+                    k_target = min(
+                        k_target, a.eval_steps - (step_in_run % a.eval_steps)
                     )
                 if profile_range is not None:
                     k_target = 1
@@ -510,6 +540,8 @@ class Trainer:
             epoch += 1
             self.state.epoch = epoch
 
+        if pbar is not None:
+            pbar.close()
         # an async save started near the end must be durable before train()
         # returns (callers read checkpoint dirs right after)
         self.wait_for_checkpoints()
