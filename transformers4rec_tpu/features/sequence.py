@@ -42,6 +42,10 @@ class TabularSequenceFeatures(TabularFeatures):
         continuous_tags=(Tags.CONTINUOUS,),
         categorical_tags=(Tags.CATEGORICAL,),
         aggregation: Optional[str] = None,
+        # accepted for reference API parity (sequence.py:149, used there for
+        # build-time output-size tracing); inert here — static shapes come
+        # from the loader's max_sequence_length, and output_size() is
+        # analytic
         max_sequence_length: Optional[int] = None,
         continuous_projection: Optional[Union[int, Sequence[int]]] = None,
         continuous_soft_embeddings: bool = False,

@@ -97,10 +97,17 @@ class SequentialTransformation(TabularTransformation):
 
 
 class FilterFeatures:
-    """Keep (or exclude) a set of keys from a TabularData dict (reference base.py:429-477)."""
+    """Keep (or exclude) a set of keys from a TabularData dict (reference
+    base.py:429-477).
+
+    ``pop`` is accepted for API parity but is a no-op: the reference mutates
+    the caller's dict in place (base.py:460-462); here inputs are never
+    mutated — downstream blocks receive exactly the dict they are passed.
+    """
 
     def __init__(self, to_include: Sequence[str], pop: bool = False, exclude: bool = False):
         self.to_include = list(to_include)
+        self.pop = pop
         self.exclude = exclude
 
     def __call__(self, inputs: TabularData) -> TabularData:
