@@ -380,6 +380,42 @@ def test_mid_epoch_resume_exact(tmp_path, ecommerce_schema):
     jax.tree_util.tree_map(np.testing.assert_array_equal, pa, pb)
 
 
+def test_train_resume_from_checkpoint_auto(tmp_path, ecommerce_schema):
+    """train(resume_from_checkpoint=True) finds the latest complete
+    checkpoint in output_dir, fast-forwards, and finishes the interrupted
+    run with parameters identical to the uninterrupted one."""
+    common = dict(
+        checkpoint_format="orbax",
+        lr_scheduler_type="constant",
+        per_device_train_batch_size=8,
+        seed=11,
+        max_steps=7,
+        save_steps=5,
+    )
+    ta = _make_trainer(tmp_path / "a", ecommerce_schema, **common)
+    ta.train()
+
+    # simulate a crash after the step-5 checkpoint: fresh trainer, same
+    # output_dir, resume=True → loads checkpoint-5, runs the remaining 2
+    tb = _make_trainer(tmp_path / "a", ecommerce_schema, **common)
+    m = tb.train(resume_from_checkpoint=True)
+    assert m["train_steps"] == 2 and m["global_step"] == 7
+    pa = jax.device_get(ta._train_state.params)
+    pb = jax.device_get(tb._train_state.params)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, pa, pb)
+
+    # run already complete (final state checkpointed) → no further steps
+    tb._save_checkpoint()
+    tc = _make_trainer(tmp_path / "a", ecommerce_schema, **common)
+    m2 = tc.train(resume_from_checkpoint=True)
+    assert m2["train_steps"] == 0
+
+    # no checkpoints anywhere → explicit error
+    td = _make_trainer(tmp_path / "empty", ecommerce_schema, **common)
+    with pytest.raises(ValueError, match="no complete checkpoint"):
+        td.train(resume_from_checkpoint=True)
+
+
 def test_steps_per_execution_matches_single_step(tmp_path):
     """steps_per_execution>1 (lax.scan packing) must produce the SAME training
     trajectory as single-step execution: same per-step RNG chain, same batch

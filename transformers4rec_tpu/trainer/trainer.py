@@ -399,12 +399,36 @@ class Trainer:
         return jax.jit(eval_multi)
 
     # ------------------------------------------------------------------ train
-    def train(self) -> Dict[str, float]:
+    def train(self, resume_from_checkpoint=None) -> Dict[str, float]:
+        """Train for ``num_training_steps``.
+
+        ``resume_from_checkpoint`` (HF-parity crash recovery): ``True`` loads
+        the latest complete ``checkpoint-*`` under ``output_dir``, a string
+        loads that path. The restored run continues the ORIGINAL schedule
+        (optimizer step and RNG stream come from the checkpoint) and, with
+        ``max_steps`` set, runs only the remaining ``max_steps -
+        global_step`` steps — finishing the interrupted run exactly
+        (mid-epoch loader position included).
+        """
         a = self.args
         loader = self.get_train_dataloader()
         num_steps = self.num_training_steps(loader)
         first = next(iter(loader))
         self._ensure_state(first, num_steps)
+        if resume_from_checkpoint:
+            path = (
+                resume_from_checkpoint
+                if isinstance(resume_from_checkpoint, str)
+                else self._latest_checkpoint()
+            )
+            if not path:
+                raise ValueError(
+                    "resume_from_checkpoint=True but no complete checkpoint-* "
+                    f"directory under {a.output_dir}"
+                )
+            self.load(path)
+            if a.max_steps > 0:
+                num_steps = max(a.max_steps - self.state.global_step, 0)
         if self._jit_train_step is None:
             self._jit_train_step = self._build_train_step()
         K = max(int(a.steps_per_execution), 1)
@@ -431,7 +455,7 @@ class Trainer:
         losses = []
         step_in_run = 0
         epochs = math.inf if a.max_steps > 0 else a.num_train_epochs
-        done = False
+        done = num_steps <= 0  # resume may find the run already complete
         epoch = 0
         n_examples = 0
         # mid-epoch resume: restore the loader's (epoch, batch) position from
@@ -747,6 +771,21 @@ class Trainer:
     @property
     def params(self):
         return self._train_state.params if self._train_state else None
+
+    def _latest_checkpoint(self) -> Optional[str]:
+        """Newest COMPLETE checkpoint-* dir under output_dir (a dir missing
+        trainer_state.json is a partial write — skipped)."""
+        root = self.args.output_dir
+        if not os.path.isdir(root):
+            return None
+        cks = [
+            d for d in os.listdir(root)
+            if d.startswith("checkpoint-")
+            and os.path.exists(os.path.join(root, d, "trainer_state.json"))
+        ]
+        if not cks:
+            return None
+        return os.path.join(root, max(cks, key=lambda d: int(d.split("-")[1])))
 
     def _save_checkpoint(self) -> str:
         path = os.path.join(
