@@ -179,9 +179,10 @@ def test_cosine_num_cycles_oscillates():
     assert max(vals[8:13]) > 0.9
 
 
-def test_trainer_with_parquet_engine(tmp_path, ecommerce_schema):
+@pytest.mark.parametrize("engine", ["parquet", "parquet_streaming"])
+def test_trainer_with_parquet_engine(tmp_path, ecommerce_schema, engine):
     """Full loop from real parquet files (reference test_trainer.py engine
-    matrix)."""
+    matrix), with both the in-memory and the row-group streaming loader."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -192,10 +193,11 @@ def test_trainer_with_parquet_engine(tmp_path, ecommerce_schema):
 
     df = generate_item_interactions(2000, ecommerce_schema, seed=0)
     sessions = interactions_to_sessions(df, ecommerce_schema, max_session_length=20)
-    pq.write_table(pa.Table.from_pandas(sessions), tmp_path / "data.parquet")
+    pq.write_table(pa.Table.from_pandas(sessions), tmp_path / "data.parquet",
+                   row_group_size=64)
 
     trainer = _make_trainer(
-        tmp_path, ecommerce_schema, data_loader_engine="parquet"
+        tmp_path, ecommerce_schema, data_loader_engine=engine
     )
     trainer.train_dataset = str(tmp_path / "data.parquet")
     trainer.eval_dataset = str(tmp_path / "data.parquet")

@@ -257,6 +257,268 @@ class ParquetDataLoader(T4RecDataLoader):
             yield item
 
 
+@dataloader_registry.register("parquet_streaming")
+class StreamingParquetDataLoader(T4RecDataLoader):
+    """Row-group streaming loader for datasets larger than host RAM.
+
+    The in-memory ``ParquetDataLoader`` decodes every file up front; this one
+    holds only a bounded shuffle buffer (``buffer_rows``) and reads parquet
+    row groups on demand — the Merlin/cuDF loader's disk-streaming role
+    (reference data_utils.py:216-494) without a GPU decode stage.
+
+    Semantics:
+    - deterministic in ``(seed, epoch)``: row-group ORDER is shuffled per
+      epoch, rows are shuffled within each filled buffer; re-iterating the
+      same epoch replays identical batches (so ``set_state`` mid-epoch
+      resume is exact — skipped batches are re-derived, not stored).
+    - multi-host: row GROUPS stripe across hosts when there are at least
+      ``global_size`` of them (each host reads disjoint byte ranges);
+      otherwise rows stripe within the shared groups.
+    - every yielded batch is exactly ``(batch_size, max_len)`` (static
+      shapes); the per-epoch remainder smaller than one batch is dropped.
+    - ``pack=True`` packs each buffer independently (data/packing.py) —
+      fill ratio is within noise of whole-dataset packing for any buffer
+      ≥ a few thousand sessions; ``__len__`` is then an estimate from the
+      first packed buffer until one full epoch has been measured.
+    """
+
+    def __init__(
+        self,
+        paths: List[str],
+        schema: Schema,
+        batch_size: int,
+        max_sequence_length: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        global_rank: int = 0,
+        global_size: int = 1,
+        pack: bool = False,
+        buffer_rows: int = 65536,
+        prefetch: int = 2,
+    ):
+        import pyarrow.parquet as pq
+
+        self.paths = list(paths)
+        self.schema = schema
+        self.batch_size = batch_size
+        self.max_len = max_sequence_length
+        self.shuffle = shuffle
+        self.seed = seed
+        self.global_rank = global_rank
+        self.global_size = global_size
+        self.pack = pack
+        self.buffer_rows = max(buffer_rows, batch_size)
+        self.prefetch = prefetch
+        self._epoch = 0
+        self._skip_batches = 0
+        self._exact_len: Optional[int] = None  # measured after 1 packed epoch
+
+        # (path, row_group_index, num_rows) per group, from footer metadata
+        # only — no data reads at construction
+        self._groups: List[tuple] = []
+        for path in self.paths:
+            meta = pq.ParquetFile(path).metadata
+            for g in range(meta.num_row_groups):
+                self._groups.append((path, g, meta.row_group(g).num_rows))
+        if not self._groups:
+            raise ValueError(f"No parquet row groups under {self.paths!r}")
+        self._stripe_groups = len(self._groups) >= global_size
+        if self._stripe_groups:
+            self._my_groups = self._groups[global_rank::global_size]
+            self.num_rows = sum(g[2] for g in self._my_groups)
+        else:
+            self._my_groups = list(self._groups)
+            total = sum(g[2] for g in self._groups)
+            self.num_rows = len(range(global_rank, total, global_size))
+
+    @classmethod
+    def from_schema(
+        cls,
+        schema: Schema,
+        paths_or_dataset,
+        batch_size: int,
+        max_sequence_length: Optional[int] = None,
+        shuffle: bool = True,
+        drop_last: bool = True,  # always true here (static shapes)
+        seed: int = 0,
+        global_rank: int = 0,
+        global_size: int = 1,
+        pack: bool = False,
+        buffer_rows: int = 65536,
+        **kwargs,
+    ) -> "StreamingParquetDataLoader":
+        max_len = max_sequence_length or schema.sequence_length(default=20)
+        return cls(
+            _resolve_paths(paths_or_dataset),
+            schema,
+            batch_size=batch_size,
+            max_sequence_length=max_len,
+            shuffle=shuffle,
+            seed=seed,
+            global_rank=global_rank,
+            global_size=global_size,
+            pack=pack,
+            buffer_rows=buffer_rows,
+        )
+
+    def __len__(self) -> int:
+        if not self.pack:
+            return max(self.num_rows // self.batch_size, 1)
+        if self._exact_len is not None:
+            return self._exact_len
+        # estimate from the first buffer's measured pack ratio (sessions/row)
+        if not hasattr(self, "_pack_ratio"):
+            for _ in self._iter_batches(peek_ratio_only=True):
+                break
+        packed = int(self.num_rows / max(self._pack_ratio, 1e-9))
+        return max(packed // self.batch_size, 1)
+
+    def set_state(self, epoch: int, batches_consumed: int) -> None:
+        """Mid-epoch resume (same contract as ParquetDataLoader.set_state):
+        replays epoch ``epoch`` and skips its first ``batches_consumed``
+        batches — the skipped prefix is re-streamed but its row gathers are
+        elided."""
+        self._epoch = epoch
+        self._skip_batches = batches_consumed
+
+    # ------------------------------------------------------------- internals
+    def _read_group(self, path: str, group: int) -> NDArrayDict:
+        import pyarrow.parquet as pq
+
+        table = pq.ParquetFile(path).read_row_group(group)
+        cols = _table_to_columns(table, self.schema, self.max_len,
+                                 ragged=self.pack)
+        if not self._stripe_groups and self.global_size > 1:
+            # shared groups: stripe rows by host rank
+            cols = _slice_rows(cols, slice(self.global_rank, None,
+                                           self.global_size), self.pack)
+        return cols
+
+    def _iter_batches(self, peek_ratio_only: bool = False) -> Iterator[NDArrayDict]:
+        epoch = self._epoch
+        if not peek_ratio_only:
+            self._epoch += 1
+        skip = self._skip_batches if not peek_ratio_only else 0
+        self._skip_batches = 0 if not peek_ratio_only else self._skip_batches
+        rng = np.random.default_rng(self.seed + epoch)
+        order = (
+            rng.permutation(len(self._my_groups))
+            if self.shuffle
+            else np.arange(len(self._my_groups))
+        )
+        carry: Optional[NDArrayDict] = None  # dense rows < batch_size
+        batches_out = 0
+        sessions_in = 0
+        rows_packed = 0
+        pending: List[NDArrayDict] = []
+        pending_rows = 0
+        for pos, gi in enumerate(order):
+            path, group, _ = self._my_groups[gi]
+            cols = self._read_group(path, group)
+            pending.append(cols)
+            pending_rows += _n_rows(cols, self.pack)
+            if pending_rows < self.buffer_rows and pos != len(order) - 1:
+                continue
+            rows = _merge_parts(pending, self.pack)
+            pending, pending_rows = [], 0
+            if self.pack:
+                sessions_in += _n_rows(rows, ragged=True)
+                from .packing import pack_sessions
+
+                rows = pack_sessions(
+                    rows, max_len=self.max_len,
+                    item_id_col=self.schema.item_id_column_name,
+                )
+                rows_packed += _n_rows(rows, ragged=False)
+                self._pack_ratio = sessions_in / max(rows_packed, 1)
+                if peek_ratio_only:
+                    return
+            if carry is not None:
+                rows = {k: np.concatenate([carry[k], rows[k]]) for k in rows}
+                carry = None
+            n = _n_rows(rows, ragged=False)
+            perm = rng.permutation(n) if self.shuffle else np.arange(n)
+            full = (n // self.batch_size) * self.batch_size
+            for start in range(0, full, self.batch_size):
+                sel = perm[start : start + self.batch_size]
+                batches_out += 1
+                if batches_out > skip:
+                    yield {k: v[sel] for k, v in rows.items()}
+            if n > full:
+                sel = perm[full:]
+                carry = {k: v[sel] for k, v in rows.items()}
+        # final partial batch dropped (static shapes); record exact length
+        if self.pack and skip == 0:
+            self._exact_len = batches_out
+
+    def __iter__(self) -> Iterator[NDArrayDict]:
+        if self.prefetch <= 0:
+            yield from self._iter_batches()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        _END = object()
+
+        def producer():
+            for b in self._iter_batches():
+                q.put(b)
+            q.put(_END)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+
+
+def _n_rows(cols: NDArrayDict, ragged: bool) -> int:
+    if ragged:
+        k = next(k for k in cols if k.endswith("__offsets"))
+        return len(cols[k]) - 1
+    return len(next(iter(cols.values())))
+
+
+def _slice_rows(cols: NDArrayDict, sel, ragged: bool) -> NDArrayDict:
+    if not ragged:
+        return {k: v[sel] for k, v in cols.items()}
+    out: NDArrayDict = {}
+    n = _n_rows(cols, ragged=True)
+    rows = np.arange(n)[sel]
+    for k, v in cols.items():
+        if k.endswith("__offsets"):
+            name = k.removesuffix("__offsets")
+            vals = cols[f"{name}__values"]
+            lengths = np.diff(v)[rows]
+            starts = v[:-1][rows]
+            new_vals = np.concatenate(
+                [vals[s : s + l] for s, l in zip(starts, lengths)]
+            ) if len(rows) else vals[:0]
+            out[f"{name}__values"] = new_vals
+            out[k] = np.concatenate([[0], np.cumsum(lengths)]).astype(v.dtype)
+        elif f"{k}__offsets" in cols or k.endswith("__values"):
+            continue  # handled with its offsets pair
+        else:
+            out[k] = v[rows]
+    return out
+
+
+def _merge_parts(parts: List[NDArrayDict], ragged: bool) -> NDArrayDict:
+    if len(parts) == 1:
+        return parts[0]
+    merged: NDArrayDict = {}
+    for k in parts[0]:
+        if ragged and k.endswith("__offsets"):
+            pieces, base = [parts[0][k]], int(parts[0][k][-1])
+            for p in parts[1:]:
+                pieces.append(p[k][1:] + base)
+                base += int(p[k][-1])
+            merged[k] = np.concatenate(pieces)
+        else:
+            merged[k] = np.concatenate([p[k] for p in parts])
+    return merged
+
+
 @dataloader_registry.register("synthetic")
 class SyntheticDataLoader(ParquetDataLoader):
     """Loader over schema-synthesized data — the test/CI engine (no files needed)."""
