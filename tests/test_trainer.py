@@ -382,6 +382,19 @@ def test_mid_epoch_resume_exact(tmp_path, ecommerce_schema):
     jax.tree_util.tree_map(np.testing.assert_array_equal, pa, pb)
 
 
+def test_training_is_deterministic(tmp_path, ecommerce_schema):
+    """Same seed → bit-identical parameters across independent runs (catches
+    nondeterministic host-side code: unordered dict iteration, unseeded RNG,
+    thread scheduling leaking into batch order)."""
+    def run(tag):
+        t = _make_trainer(tmp_path / tag, ecommerce_schema, max_steps=6)
+        t.train()
+        return jax.device_get(t._train_state.params)
+
+    p1, p2 = run("d1"), run("d2")
+    jax.tree_util.tree_map(np.testing.assert_array_equal, p1, p2)
+
+
 def test_train_resume_from_checkpoint_auto(tmp_path, ecommerce_schema):
     """train(resume_from_checkpoint=True) finds the latest complete
     checkpoint in output_dir, fast-forwards, and finishes the interrupted
