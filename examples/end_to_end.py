@@ -17,8 +17,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import tempfile
-import urllib.request
+import urllib.request  # loopback-only: talks to the local ServingServer daemon
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -146,3 +146,67 @@ def test_two_heads_model(ecommerce_schema):
     # inference over multiple heads returns a list
     preds = model.apply(params, batch)
     assert isinstance(preds, list) and len(preds) == 2
+
+
+def test_binary_regression_streaming_metrics_exact_on_unequal_batches():
+    """Binary/Regression metric states are exact (sum,count) sufficient
+    statistics: merging streamed per-batch states over deliberately UNEQUAL
+    batch sizes must equal the whole-dataset computation exactly (parity with
+    torchmetrics exact streaming, reference prediction_task.py:122-136 —
+    mean-of-batch-means would bias the tail batch)."""
+    from transformers4rec_tpu.data.synthetic import synthetic_data
+    from transformers4rec_tpu.model.ranking_metric import (
+        finalize_metrics,
+        update_metric_state,
+    )
+
+    feature_schema = ms.schema.remove_by_tag(tr.Tags.TARGET)
+    im = tr.TabularSequenceFeatures.from_schema(
+        feature_schema, d_output=16, aggregation="concat"
+    )
+    head = tr.Head.from_body(
+        input_module=im,
+        transformer=tr.BertConfig.build(16, 2, 1, 20),
+        tasks=[
+            tr.BinaryClassificationTask(task_name="click", target_name="click"),
+            tr.RegressionTask(task_name="play_percentage",
+                              target_name="play_percentage"),
+        ],
+    )
+    model = tr.Model(heads=(head,))
+
+    data = synthetic_data(ms.schema, num_rows=23, max_session_length=20, seed=7)
+    full = {k: jnp.asarray(v) for k, v in data.items()}
+    params = model.init(RNGS, full, targets=full, training=True)
+
+    # stream in unequal chunks: 16 + 7 (tail)
+    state = {}
+    all_preds = {}
+    for lo, hi in [(0, 16), (16, 23)]:
+        chunk = {k: v[lo:hi] for k, v in full.items()}
+        _, outs = model.apply(params, chunk, targets=chunk, testing=True)
+        batch_state = {}
+        for name, out in outs.items():
+            batch_state.update(out.metrics)
+            all_preds.setdefault(name, []).append(np.asarray(out.predictions))
+        state = update_metric_state(state, batch_state) if state else batch_state
+    streamed = {k: float(v) for k, v in finalize_metrics(state).items()}
+
+    # whole-dataset oracle from the model's own predictions
+    click = np.asarray(full["click"], dtype=np.float64)
+    preds = np.concatenate(all_preds["click"]).astype(np.float64)
+    hard = (preds > 0.5).astype(np.float64)
+    tp = float((hard * click).sum())
+    oracle_acc = float((hard == click).mean())
+    oracle_prec = tp / max(hard.sum(), 1.0)
+    oracle_rec = tp / max(click.sum(), 1.0)
+    np.testing.assert_allclose(streamed["click/accuracy"], oracle_acc, rtol=1e-6)
+    np.testing.assert_allclose(streamed["click/precision"], oracle_prec, rtol=1e-6)
+    np.testing.assert_allclose(streamed["click/recall"], oracle_rec, rtol=1e-6)
+
+    play = np.asarray(full["play_percentage"], dtype=np.float64)
+    rpred = np.concatenate(all_preds["play_percentage"]).astype(np.float64)
+    oracle_mse = float(np.mean((rpred - play) ** 2))
+    np.testing.assert_allclose(
+        streamed["play_percentage/mse"], oracle_mse, rtol=1e-5
+    )

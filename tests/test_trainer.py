@@ -382,6 +382,37 @@ def test_mid_epoch_resume_exact(tmp_path, ecommerce_schema):
     jax.tree_util.tree_map(np.testing.assert_array_equal, pa, pb)
 
 
+def test_mid_epoch_resume_exact_default_format(tmp_path, ecommerce_schema):
+    """Bit-exact interrupt+resume with the DEFAULT checkpoint format (msgpack,
+    no checkpoint_format override): params, optimizer, AND the rng stream
+    position (rng.msgpack) must all round-trip, so the resumed process
+    continues the masking/dropout/sampling streams instead of replaying them
+    from the initial key. (Reference trainer.py:725-745 makes users reset RNG
+    manually; we restore it exactly in both formats.)"""
+    common = dict(
+        lr_scheduler_type="constant",
+        per_device_train_batch_size=8,
+        seed=11,
+    )
+    ta = _make_trainer(tmp_path / "a", ecommerce_schema, max_steps=7,
+                       save_steps=5, **common)
+    ta.train()
+    ckpt = os.path.join(str(tmp_path / "a"), "checkpoint-5")
+    assert os.path.isdir(ckpt), os.listdir(str(tmp_path / "a"))
+    assert os.path.exists(os.path.join(ckpt, "rng.msgpack"))
+    assert not os.path.isdir(os.path.join(ckpt, "state.orbax"))  # default fmt
+
+    tb = _make_trainer(tmp_path / "b", ecommerce_schema, max_steps=2, **common)
+    tb.evaluate()
+    tb.load(ckpt)
+    assert tb.state.batches_in_epoch > 0  # genuinely mid-epoch
+    tb.train()
+
+    pa = jax.device_get(ta._train_state.params)
+    pb = jax.device_get(tb._train_state.params)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, pa, pb)
+
+
 def test_training_is_deterministic(tmp_path, ecommerce_schema):
     """Same seed → bit-identical parameters across independent runs (catches
     nondeterministic host-side code: unordered dict iteration, unseeded RNG,

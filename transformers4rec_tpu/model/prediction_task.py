@@ -153,10 +153,15 @@ class BinaryClassificationTask(PredictionTask):
         preds = jax.nn.sigmoid(logits)
         hard = (preds > 0.5).astype(jnp.float32)
         tp = (hard * targets).sum()
+        n = jnp.float32(targets.shape[0])
+        # exact streaming sufficient statistics — states merge by elementwise
+        # addition and finalize as s/c, so unequal (tail) batches contribute
+        # with their true weight (parity with torchmetrics' exact streaming,
+        # reference prediction_task.py:122-136; NOT mean-of-batch-means)
         metrics = {
-            f"{self.task_name}/accuracy": ((hard == targets).mean(), jnp.float32(1.0)),
-            f"{self.task_name}/precision": (tp / jnp.maximum(hard.sum(), 1.0), jnp.float32(1.0)),
-            f"{self.task_name}/recall": (tp / jnp.maximum(targets.sum(), 1.0), jnp.float32(1.0)),
+            f"{self.task_name}/accuracy": ((hard == targets).sum(), n),
+            f"{self.task_name}/precision": (tp, hard.sum()),
+            f"{self.task_name}/recall": (tp, targets.sum()),
         }
         return TaskOutput(loss=loss, labels=targets, predictions=preds, metrics=metrics)
 
@@ -177,7 +182,11 @@ class RegressionTask(PredictionTask):
         if targets is None:
             return TaskOutput(loss=jnp.zeros(()), predictions=preds)
         loss = mse_loss(preds, targets)
-        metrics = {f"{self.task_name}/mse": (loss, jnp.float32(1.0))}
+        # exact streaming (sum of squared errors, count) — see binary task
+        sq = jnp.square(preds - targets.astype(jnp.float32)).sum()
+        metrics = {
+            f"{self.task_name}/mse": (sq, jnp.float32(targets.shape[0]))
+        }
         return TaskOutput(loss=loss, labels=targets, predictions=preds, metrics=metrics)
 
 

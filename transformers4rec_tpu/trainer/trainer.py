@@ -875,12 +875,20 @@ class Trainer:
             # serialization + file writes move off-thread
             params_host = jax.device_get(self._train_state.params)
             opt_host = jax.device_get(self._train_state.opt_state)
+            # the rng stream position too: MLM/PLM masking, dropout, and
+            # sampled softmax all draw from TrainState.rng, so a resumed
+            # process must continue the stream, not restart it (reference
+            # trainer.py:725-745 tells users to reset seeds manually — we
+            # restore exactly instead, in BOTH checkpoint formats)
+            rng_host = jax.device_get(self._train_state.rng)
 
             def _write():
                 with open(os.path.join(path, "params.msgpack"), "wb") as f:
                     f.write(serialization.to_bytes(params_host))
                 with open(os.path.join(path, "opt_state.msgpack"), "wb") as f:
                     f.write(serialization.to_bytes(opt_host))
+                with open(os.path.join(path, "rng.msgpack"), "wb") as f:
+                    f.write(serialization.to_bytes(rng_host))
                 _write_state_doc()
 
             if blocking:
@@ -921,6 +929,15 @@ class Trainer:
                     opt_state = serialization.from_bytes(
                         jax.device_get(self._train_state.opt_state), f.read()
                     )
+            rng_path = os.path.join(path, "rng.msgpack")
+            if os.path.exists(rng_path):  # absent only in pre-round-2 ckpts
+                with open(rng_path, "rb") as f:
+                    rng = serialization.from_bytes(
+                        jax.device_get(self._train_state.rng), f.read()
+                    )
+                self._train_state = self._train_state.replace(
+                    rng=jnp.asarray(rng, self._train_state.rng.dtype)
+                )
         with open(os.path.join(path, "trainer_state.json")) as f:
             ts = json.load(f)
         self.state.global_step = ts["global_step"]
