@@ -31,6 +31,14 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="transformers4rec_tpu paper-repro driver")
     # data
     p.add_argument("--data_path", default=None)
+    p.add_argument("--raw_interactions_path", default=None,
+                   help="raw row-per-interaction parquet; runs the full ETL "
+                        "(dedup → first-seen → sessionize → time splits) into "
+                        "{output_dir}/time_windows before training")
+    p.add_argument("--raw_day_col", default=None,
+                   help="per-event 1-based window index column in the raw "
+                        "frame; derived from timestamps when absent")
+    p.add_argument("--minimum_session_length", type=int, default=2)
     p.add_argument("--feature_config", default=None, help="schema pbtxt/json path")
     p.add_argument("--features_schema_path", default=None,
                    help="alias of --feature_config (reference arg name)")
@@ -288,7 +296,24 @@ def main(argv=None):
         schema = schema.select_by_name([schema.item_id_column_name])
 
     data_path = args.data_path
-    if args.use_synthetic and data_path is None:
+    if args.raw_interactions_path:
+        # one command from raw interactions to windowed train/eval
+        # (reference examples/t4rec_paper_experiments preprocessing +
+        # utils/data_utils.py:169-306)
+        from transformers4rec_tpu.utils.data_utils import (
+            etl_interactions_to_time_splits,
+        )
+
+        data_path = etl_interactions_to_time_splits(
+            args.raw_interactions_path,
+            schema,
+            os.path.join(args.output_dir, "time_windows"),
+            num_windows=args.final_time_window_index + 1,
+            day_col=args.raw_day_col,
+            maximum_length=args.session_seq_length_max,
+            minimum_length=args.minimum_session_length,
+        )
+    elif args.use_synthetic and data_path is None:
         data_path = os.path.join(args.output_dir, "synthetic_windows")
         make_synthetic_windows(args, schema, data_path)
 

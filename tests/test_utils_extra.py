@@ -138,3 +138,57 @@ def test_end_to_end_example_runs():
     )
     assert out.returncode == 0, out.stdout[-3000:] + out.stderr[-3000:]
     assert "END-TO-END OK" in out.stdout
+
+
+def test_save_time_based_splits(tmp_path):
+    """Partition-by-window + seeded train/valid/test routing (reference
+    utils/data_utils.py:169-306): every row lands in exactly one split of its
+    window, rows are time-sorted, and the split is deterministic."""
+    import numpy as np
+
+    from transformers4rec_tpu.utils.data_utils import save_time_based_splits
+
+    rng = np.random.RandomState(0)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "session_id": np.arange(n),
+            "day_idx": rng.randint(1, 4, size=n),
+            "ts/first": rng.permutation(n),
+            "item_id": [[1, 2, 3]] * n,
+        }
+    )
+    out = tmp_path / "splits"
+    save_time_based_splits(df, str(out))
+
+    total = 0
+    for day in (1, 2, 3):
+        d = out / str(day)
+        tr_ = pd.read_parquet(d / "train.parquet")
+        va = pd.read_parquet(d / "valid.parquet")
+        te = pd.read_parquet(d / "test.parquet")
+        n_day = int((df.day_idx == day).sum())
+        assert len(tr_) + len(va) + len(te) == n_day
+        # disjoint by session, union == the window
+        ids = np.concatenate([tr_.session_id, va.session_id, te.session_id])
+        assert len(set(ids)) == n_day
+        assert set(ids) == set(df[df.day_idx == day].session_id)
+        # time-sorted within each split
+        for part in (tr_, va, te):
+            assert (np.diff(part["ts/first"].to_numpy()) >= 0).all()
+        # roughly 80/10/10
+        assert len(tr_) > len(va) and len(tr_) > len(te)
+        total += n_day
+    assert total == n
+
+    # deterministic + overwrite=True replaces previous output
+    save_time_based_splits(df, str(out))
+    tr2 = pd.read_parquet(out / "1" / "train.parquet")
+    tr1 = pd.read_parquet(out / "1" / "train.parquet")
+    pd.testing.assert_frame_equal(tr1, tr2)
+
+    # accepts a parquet path as input
+    p = tmp_path / "sessions.parquet"
+    df.to_parquet(p)
+    save_time_based_splits(str(p), str(tmp_path / "splits2"))
+    assert (tmp_path / "splits2" / "2" / "test.parquet").exists()

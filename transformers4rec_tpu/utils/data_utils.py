@@ -4,11 +4,15 @@ Parity: /root/reference/transformers4rec/utils/data_utils.py —
 ``remove_consecutive_interactions`` (:34-47),
 ``add_item_first_seen_col_to_df`` (:50-64), ``session_aggregator`` (:67+, an
 NVTabular groupby workflow; here a pure-pandas groupby with identical output
-shape: one row per session with list columns, trimmed/filtered by length).
+shape: one row per session with list columns, trimmed/filtered by length),
+``save_time_based_splits`` (:169-306, cudf/dask_cudf there; pure
+pandas/numpy here — the splits are host-side ETL, not device work).
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from typing import Optional
 
 from ..schema import Schema
@@ -70,3 +74,129 @@ def session_aggregator(
         for c in cols:
             out[c].append(list(g[c].to_numpy()[:maximum_length]))
     return pd.DataFrame(out)
+
+
+def save_time_based_splits(
+    data,
+    output_dir: str,
+    partition_col: str = "day_idx",
+    timestamp_col: str = "ts/first",
+    test_size: float = 0.1,
+    val_size: float = 0.1,
+    overwrite: bool = True,
+    seed: int = 1,
+):
+    """Partition session rows by a time column into ``{t}/train.parquet`` +
+    ``valid.parquet`` + ``test.parquet`` folders — the layout the paper-repro
+    CLI's incremental train/eval consumes.
+
+    Reference parity: transformers4rec/utils/data_utils.py:169-306
+    (`save_time_based_splits`; cudf/cupy/dask_cudf there). Semantics kept:
+    one folder per distinct ``partition_col`` value, rows sorted by
+    ``timestamp_col`` within the window, then a seeded uniform draw routes
+    each row to train (u ≤ 1−val−test), valid (… ≤ 1−test), or test.
+
+    ``data`` is a pandas DataFrame or a parquet file/directory path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if isinstance(data, (str, os.PathLike)):
+        path = str(data)
+        if os.path.isdir(path):
+            files = sorted(
+                os.path.join(path, f) for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+            data = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        else:
+            data = pd.read_parquet(path)
+
+    if partition_col not in data.columns:
+        raise ValueError(f"partition_col {partition_col!r} not in dataframe")
+    train_size = 1.0 - val_size - test_size
+    if train_size < 0:
+        raise ValueError("train_size cannot be negative.")
+    if overwrite and os.path.exists(output_dir):
+        shutil.rmtree(output_dir)
+
+    for window, df in data.groupby(partition_col, sort=True):
+        if timestamp_col in df.columns:
+            df = df.sort_values(timestamp_col)
+        out_dir = os.path.join(output_dir, str(window))
+        os.makedirs(out_dir, exist_ok=True)
+        # seeded per-window like the reference (cupy.random.seed(1) inside
+        # the loop) so each window's split is independently reproducible
+        u = np.random.RandomState(seed).rand(len(df))
+        df[u <= train_size].to_parquet(os.path.join(out_dir, "train.parquet"))
+        df[(u > train_size) & (u <= train_size + val_size)].to_parquet(
+            os.path.join(out_dir, "valid.parquet")
+        )
+        df[u > 1.0 - test_size].to_parquet(os.path.join(out_dir, "test.parquet"))
+
+
+def etl_interactions_to_time_splits(
+    raw,
+    schema: Schema,
+    output_dir: str,
+    num_windows: Optional[int] = None,
+    day_col: Optional[str] = None,
+    session_id_col: str = "session_id",
+    item_id_col: Optional[str] = None,
+    timestamp_col: str = "timestamp",
+    maximum_length: int = 20,
+    minimum_length: int = 2,
+    test_size: float = 0.1,
+    val_size: float = 0.1,
+    seed: int = 1,
+) -> str:
+    """Raw row-per-interaction events → windowed ``{t}/train.parquet`` +
+    ``valid.parquet`` + ``test.parquet`` folders the paper-repro CLI consumes.
+
+    One call covers the reference's whole preprocessing recipe
+    (examples/t4rec_paper_experiments + transformers4rec/utils/data_utils.py):
+    dedup consecutive repeats (:34-47) → item first-seen column (:50-64) →
+    NVTabular-style session aggregation (:67+) → ``save_time_based_splits``
+    (:169-306). Sessions are assigned to 1-based time windows by their START
+    timestamp (``day_col`` overrides with a precomputed per-event day index);
+    real datasets (e.g. REES46 interactions) drop in with zero code.
+
+    ``raw`` is a pandas DataFrame or parquet path. Returns ``output_dir``.
+    """
+    import pandas as pd
+
+    if isinstance(raw, (str, os.PathLike)):
+        raw = pd.read_parquet(str(raw))
+    item_id_col = item_id_col or schema.item_id_column_name
+
+    df = remove_consecutive_interactions(
+        raw, session_id_col, item_id_col, timestamp_col
+    )
+    df = add_item_first_seen_col_to_df(df, item_id_col, timestamp_col)
+
+    # per-session scalars BEFORE aggregation: start timestamp + window index
+    starts = df.groupby(session_id_col)[timestamp_col].min().rename("ts/first")
+    if day_col is not None:
+        days = df.groupby(session_id_col)[day_col].min().rename("day_idx")
+    else:
+        n = num_windows or 2
+        lo, hi = float(starts.min()), float(starts.max())
+        span = max(hi - lo, 1e-9)
+        days = (
+            ((starts - lo) / span * n).clip(upper=n - 1).astype(int) + 1
+        ).rename("day_idx")
+
+    sessions = session_aggregator(
+        schema, df,
+        maximum_length=maximum_length, minimum_length=minimum_length,
+        session_id_col=session_id_col, timestamp_col=timestamp_col,
+    )
+    sessions = sessions.merge(starts, on=session_id_col).merge(
+        days, on=session_id_col
+    )
+    save_time_based_splits(
+        sessions, output_dir,
+        partition_col="day_idx", timestamp_col="ts/first",
+        test_size=test_size, val_size=val_size, seed=seed,
+    )
+    return output_dir
