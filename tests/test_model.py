@@ -417,3 +417,44 @@ def test_adaptive_loss_budget_matches_unbudgeted(jbatch):
     l_b, _ = budgeted.apply(params, batch, training=True, rngs=APPLY_RNGS)
     l_u, _ = unbudgeted.apply(params, batch, training=True, rngs=APPLY_RNGS)
     np.testing.assert_allclose(float(l_b), float(l_u), rtol=1e-5)
+
+
+def test_label_smoothing_rides_fused_path(jbatch):
+    """label_smoothing>0 must stay on the fused CE path (no silent (N,V)
+    fallback) and produce the SAME loss+grads as the unfused dense reference:
+    train loss, eval loss, and metrics all agree."""
+    schema, batch = jbatch
+    m_f = _build(schema, label_smoothing=0.1)               # fused (default)
+    m_u = _build(schema, label_smoothing=0.1, use_fused_ops=False)
+    params = m_f.init(RNGS, batch, training=True)
+
+    def loss_of(model, p, **kw):
+        l, _ = model.apply(p, batch, training=True, rngs=APPLY_RNGS, **kw)
+        return l
+
+    lf = loss_of(m_f, params)
+    lu = loss_of(m_u, params)
+    np.testing.assert_allclose(float(lf), float(lu), rtol=1e-4)
+
+    # fused kernels GEMM in bf16 (f32 accum); the unfused reference einsums in
+    # f32 — normwise comparison covers that dtype gap, not smoothing error
+    # (exact numerics vs a bf16 dense reference are pinned in tests/test_ops.py)
+    gf = jax.grad(lambda p: loss_of(m_f, p))(params)
+    gu = jax.grad(lambda p: loss_of(m_u, p))(params)
+
+    def normwise(a, b):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        denom = max(np.linalg.norm(b), 1e-6)
+        assert np.linalg.norm(a - b) / denom < 1e-2
+
+    jax.tree_util.tree_map(normwise, gf, gu)
+
+    # eval: fused_ce_and_rank with smoothing == dense logits path
+    lf_t, of_t = m_f.apply(params, batch, testing=True)
+    lu_t, ou_t = m_u.apply(params, batch, testing=True)
+    np.testing.assert_allclose(float(lf_t), float(lu_t), rtol=1e-4)
+    for k, v in of_t["next-item"].metrics.items():
+        np.testing.assert_allclose(
+            float(v[0]), float(ou_t["next-item"].metrics[k][0]), rtol=1e-5,
+            err_msg=k,
+        )

@@ -268,3 +268,77 @@ def test_model_topk_never_returns_padded_ids():
     assert scores.shape == (8, num_items + 1)  # true vocab, not padded
     s, ids = model.apply(params, batch, top_k=20)
     assert int(np.asarray(ids).max()) < num_items + 1
+
+
+def test_fused_ce_label_smoothing_matches_reference(data):
+    """Label-smoothed fused CE == dense torch-semantics reference
+    ((1−ε)·nll + ε·mean(−log_probs)), value AND both gradients — smoothing
+    rides the streamed kernels (extra sum-of-logits accumulator; bwd residual
+    P − y_smooth), it must NOT silently fall back to (N, V) logits."""
+    x, W, labels, weights = data
+    eps = 0.1
+
+    def ref_fn(x_, W_):
+        lp = jax.nn.log_softmax(_ref_logits(x_, W_))
+        nll = -jnp.take_along_axis(lp, labels[:, None], 1)[:, 0]
+        smooth = -lp.mean(axis=-1)
+        per = (1.0 - eps) * nll + eps * smooth
+        return (per * weights).sum() / weights.sum()
+
+    ref = ref_fn(x, W)
+    got = fused_softmax_ce(x, W, labels, weights, 64, 256,
+                           label_smoothing=eps)
+    np.testing.assert_allclose(float(ref), float(got), rtol=1e-4)
+
+    gx_ref, gW_ref = jax.grad(ref_fn, argnums=(0, 1))(x, W)
+    gx, gW = jax.grad(
+        lambda a, b: fused_softmax_ce(a, b, labels, weights, 64, 256,
+                                      label_smoothing=eps),
+        argnums=(0, 1),
+    )(x, W)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref), rtol=2e-2, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gW), np.asarray(gW_ref), rtol=2e-2, atol=1e-5)
+
+
+def test_fused_ce_and_rank_label_smoothing(data):
+    """Eval-fused CE+rank with ε>0: loss matches the smoothed reference,
+    ranks are unaffected by smoothing."""
+    from transformers4rec_tpu.ops import fused_ce_and_rank
+
+    x, W, labels, weights = data
+    eps = 0.2
+    loss, rank = fused_ce_and_rank(x, W, labels, weights, label_smoothing=eps)
+    loss0, rank0 = fused_ce_and_rank(x, W, labels, weights)
+    np.testing.assert_array_equal(np.asarray(rank), np.asarray(rank0))
+
+    lp = jax.nn.log_softmax(_ref_logits(x, W))
+    nll = -jnp.take_along_axis(lp, labels[:, None], 1)[:, 0]
+    per = (1.0 - eps) * nll + eps * (-lp.mean(axis=-1))
+    ref = (per * weights).sum() / weights.sum()
+    np.testing.assert_allclose(float(loss), float(ref), rtol=1e-4)
+    assert abs(float(loss) - float(loss0)) > 1e-4  # smoothing changed the loss
+
+
+def test_fused_ce_label_smoothing_respects_vocab_size_bound(data):
+    """Padded table rows (vocab_size < W.shape[0]) are excluded from the
+    smoothing mass: loss and dW match the unpadded computation, and padded
+    rows get exactly zero gradient."""
+    x, W, labels, weights = data
+    eps = 0.15
+    Wpad = jnp.concatenate([W, jnp.ones((24, E), W.dtype) * 7.0], axis=0)
+    ref = fused_softmax_ce(x, W, labels, weights, 64, 256,
+                           label_smoothing=eps)
+    got = fused_softmax_ce(x, Wpad, labels, weights, 64, 256, None, V,
+                           label_smoothing=eps)
+    np.testing.assert_allclose(float(ref), float(got), rtol=1e-5)
+    g_pad = jax.grad(
+        lambda w_: fused_softmax_ce(x, w_, labels, weights, 64, 256, None, V,
+                                    label_smoothing=eps)
+    )(Wpad)
+    np.testing.assert_array_equal(np.asarray(g_pad[V:]), 0.0)
+    g_ref = jax.grad(
+        lambda w_: fused_softmax_ce(x, w_, labels, weights, 64, 256,
+                                    label_smoothing=eps)
+    )(W)
+    np.testing.assert_allclose(np.asarray(g_pad[:V]), np.asarray(g_ref),
+                               rtol=2e-2, atol=1e-5)

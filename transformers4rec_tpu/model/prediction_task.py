@@ -216,7 +216,8 @@ class NextItemPredictionTask(PredictionTask):
     eval_single_target: bool = True
     # fused large-vocab ops (ops/vocab.py): CE loss + ranking metrics without
     # materializing (N, V) logits — Pallas kernels on TPU, lax.scan elsewhere.
-    # Disabled automatically when label_smoothing > 0 (unfused path supports it).
+    # label_smoothing rides the same streamed kernels (an extra
+    # sum-of-logits accumulator; bwd residual P − y_smooth).
     use_fused_ops: bool = True
     # loss-position budget: at train time gather the masked (target-carrying)
     # positions into M static rows before the vocab CE — under MLM p=0.3 only
@@ -316,7 +317,7 @@ class NextItemPredictionTask(PredictionTask):
             self.target_dim and self.target_dim != W.shape[0]
         ) else None
 
-        fused = self.use_fused_ops and self.label_smoothing == 0.0
+        fused = self.use_fused_ops
         if training or testing:
             targets = info.targets  # (B, S)
             mask = info.mask.astype(jnp.float32)  # (B, S)
@@ -353,12 +354,14 @@ class NextItemPredictionTask(PredictionTask):
                         loss, rank = fused_ce_and_rank(
                             xs, W, labels.astype(jnp.int32), row_valid,
                             vocab_size=vsz,
+                            label_smoothing=self.label_smoothing,
                         )
                         metrics = metrics_from_ranks(rank, self.metrics, weights=row_valid)
                     else:
                         loss = fused_softmax_ce(
                             xs, W, labels.astype(jnp.int32), row_valid,
                             vocab_size=vsz,
+                            label_smoothing=self.label_smoothing,
                         )
                     return TaskOutput(loss=loss, labels=labels, predictions=None,
                                       weights=row_valid, metrics=metrics)
@@ -408,8 +411,10 @@ class NextItemPredictionTask(PredictionTask):
                     flat_mask = jnp.take(flat_mask, order)
                     if training:
                         lb = flat_labels.astype(jnp.int32)
-                        loss = fused_softmax_ce(x2d, W, lb, flat_mask,
-                                                vocab_size=vsz)
+                        loss = fused_softmax_ce(
+                            x2d, W, lb, flat_mask, vocab_size=vsz,
+                            label_smoothing=self.label_smoothing,
+                        )
                         return TaskOutput(loss=loss, labels=lb,
                                           predictions=None, weights=flat_mask)
                 metrics = None
@@ -418,12 +423,14 @@ class NextItemPredictionTask(PredictionTask):
                     loss, rank = fused_ce_and_rank(
                         x2d, W, flat_labels.astype(jnp.int32), flat_mask,
                         vocab_size=vsz,
+                        label_smoothing=self.label_smoothing,
                     )
                     metrics = metrics_from_ranks(rank, self.metrics, weights=flat_mask)
                 else:
                     loss = fused_softmax_ce(
                         x2d, W, flat_labels.astype(jnp.int32), flat_mask,
                         vocab_size=vsz,
+                        label_smoothing=self.label_smoothing,
                     )
                 return TaskOutput(loss=loss, labels=flat_labels, predictions=None,
                                   weights=flat_mask, metrics=metrics)

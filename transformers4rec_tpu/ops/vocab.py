@@ -51,8 +51,15 @@ def _pad_rows(W: jnp.ndarray, multiple: int) -> Tuple[jnp.ndarray, int]:
 # =========================================================================
 
 
-def _ce_fwd_kernel(v_total_ref, x_ref, w_ref, lbl_ref, lse_ref, ll_ref, m_sc, s_sc, ll_sc):
-    """Grid (nN, nV), V minor. Scratch (m, s, ll) persists across the V loop."""
+def _ce_fwd_kernel(smooth, v_total_ref, x_ref, w_ref, lbl_ref, lse_ref, ll_ref,
+                   *rest):
+    """Grid (nN, nV), V minor. Scratch (m, s, ll) persists across the V loop.
+    ``smooth`` (static) adds a streamed sum-of-valid-logits output for the
+    label-smoothing term — loss = lse − (1−ε)·ll − (ε/V)·zsum."""
+    if smooth:
+        zs_ref, m_sc, s_sc, ll_sc, zs_sc = rest
+    else:
+        m_sc, s_sc, ll_sc = rest
     vi = pl.program_id(1)
     nv = pl.num_programs(1)
     BV = w_ref.shape[0]
@@ -62,6 +69,8 @@ def _ce_fwd_kernel(v_total_ref, x_ref, w_ref, lbl_ref, lse_ref, ll_ref, m_sc, s_
         m_sc[:] = jnp.full_like(m_sc, NEG)
         s_sc[:] = jnp.zeros_like(s_sc)
         ll_sc[:] = jnp.zeros_like(ll_sc)
+        if smooth:
+            zs_sc[:] = jnp.zeros_like(zs_sc)
 
     logits = jax.lax.dot_general(
         x_ref[:], w_ref[:],
@@ -71,6 +80,8 @@ def _ce_fwd_kernel(v_total_ref, x_ref, w_ref, lbl_ref, lse_ref, ll_ref, m_sc, s_
     col0 = vi * BV
     col = col0 + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     valid = col < v_total_ref[0]
+    if smooth:
+        zs_sc[:, 0] = zs_sc[:, 0] + jnp.where(valid, logits, 0.0).sum(axis=1)
     logits = jnp.where(valid, logits, NEG)
 
     m_prev = m_sc[:, 0]
@@ -87,15 +98,22 @@ def _ce_fwd_kernel(v_total_ref, x_ref, w_ref, lbl_ref, lse_ref, ll_ref, m_sc, s_
     def _():
         lse_ref[:, 0] = m_sc[:, 0] + jnp.log(s_sc[:, 0])
         ll_ref[:, 0] = ll_sc[:, 0]
+        if smooth:
+            zs_ref[:, 0] = zs_sc[:, 0]
 
 
-def _ce_fwd_kernel_vmajor(v_total_ref, x_ref, w_ref, lbl_ref, lse_ref, ll_ref,
-                          m_sc, s_sc, ll_sc):
+def _ce_fwd_kernel_vmajor(smooth, v_total_ref, x_ref, w_ref, lbl_ref, lse_ref,
+                          ll_ref, *rest):
     """Grid (nV, nN), N minor: the (V, E) table streams through VMEM ONCE for
     the whole pass (vs once per N-block with a V-minor grid — at the REES46
     config that was 7×150MB = 1GB of HBM reads per forward). Online-softmax
     accumulators for ALL row blocks live in a (Np, 1) VMEM scratch, sliced per
-    N block."""
+    N block. ``smooth`` (static) adds the sum-of-valid-logits stream for
+    label smoothing."""
+    if smooth:
+        zs_ref, m_sc, s_sc, ll_sc, zs_sc = rest
+    else:
+        m_sc, s_sc, ll_sc = rest
     vi, ni = pl.program_id(0), pl.program_id(1)
     nv = pl.num_programs(0)
     BN = x_ref.shape[0]
@@ -107,6 +125,8 @@ def _ce_fwd_kernel_vmajor(v_total_ref, x_ref, w_ref, lbl_ref, lse_ref, ll_ref,
         m_sc[sl, :] = jnp.full((BN, 1), NEG, jnp.float32)
         s_sc[sl, :] = jnp.zeros((BN, 1), jnp.float32)
         ll_sc[sl, :] = jnp.zeros((BN, 1), jnp.float32)
+        if smooth:
+            zs_sc[sl, :] = jnp.zeros((BN, 1), jnp.float32)
 
     logits = jax.lax.dot_general(
         x_ref[:], w_ref[:],
@@ -115,6 +135,10 @@ def _ce_fwd_kernel_vmajor(v_total_ref, x_ref, w_ref, lbl_ref, lse_ref, ll_ref,
     )  # (BN, BV)
     col = vi * BV + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     valid = col < v_total_ref[0]
+    if smooth:
+        zs_sc[sl, :] = zs_sc[sl, :] + jnp.where(valid, logits, 0.0).sum(
+            axis=1
+        )[:, None]
     logits = jnp.where(valid, logits, NEG)
 
     m_prev = m_sc[sl, :][:, 0]
@@ -134,9 +158,12 @@ def _ce_fwd_kernel_vmajor(v_total_ref, x_ref, w_ref, lbl_ref, lse_ref, ll_ref,
     def _():
         lse_ref[:, :] = m_sc[sl, :] + jnp.log(s_sc[sl, :])
         ll_ref[:, :] = ll_sc[sl, :]
+        if smooth:
+            zs_ref[:, :] = zs_sc[sl, :]
 
 
-def _ce_fwd_pallas_vmajor(x, W, labels, bn: int, bv: int, vocab_size=None):
+def _ce_fwd_pallas_vmajor(x, W, labels, bn: int, bv: int, vocab_size=None,
+                          smooth: bool = False):
     N, E = x.shape
     V = vocab_size or W.shape[0]
     Wp, Vp = _pad_rows(W, bv)
@@ -144,9 +171,10 @@ def _ce_fwd_pallas_vmajor(x, W, labels, bn: int, bv: int, vocab_size=None):
     xp = jnp.pad(x, ((0, Np - N), (0, 0))) if Np != N else x
     lblp = jnp.pad(labels, (0, Np - N)) if Np != N else labels
 
+    n_out = 3 if smooth else 2
     grid = (Vp // bv, Np // bn)  # V MAJOR: table streamed once
-    lse, ll = pl.pallas_call(
-        _ce_fwd_kernel_vmajor,
+    outs = pl.pallas_call(
+        functools.partial(_ce_fwd_kernel_vmajor, smooth),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -156,26 +184,26 @@ def _ce_fwd_pallas_vmajor(x, W, labels, bn: int, bv: int, vocab_size=None):
                 pl.BlockSpec((bn, 1), lambda j, i, *_: (i, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((bn, 1), lambda j, i, *_: (i, 0)),
-                pl.BlockSpec((bn, 1), lambda j, i, *_: (i, 0)),
-            ],
+                pl.BlockSpec((bn, 1), lambda j, i, *_: (i, 0))
+            ] * n_out,
             scratch_shapes=[
-                pltpu.VMEM((Np, 1), jnp.float32),
-                pltpu.VMEM((Np, 1), jnp.float32),
-                pltpu.VMEM((Np, 1), jnp.float32),
-            ],
+                pltpu.VMEM((Np, 1), jnp.float32)
+            ] * (n_out + 1),
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((Np, 1), jnp.float32),
-            jax.ShapeDtypeStruct((Np, 1), jnp.float32),
-        ],
+            jax.ShapeDtypeStruct((Np, 1), jnp.float32)
+        ] * n_out,
     )(
         jnp.asarray([V], jnp.int32),
         xp.astype(jnp.bfloat16),
         Wp.astype(jnp.bfloat16),
         lblp[:, None].astype(jnp.int32),
     )
-    return lse[:N, 0], ll[:N, 0]
+    if smooth:
+        lse, ll, zs = outs
+        return lse[:N, 0], ll[:N, 0], zs[:N, 0]
+    lse, ll = outs
+    return lse[:N, 0], ll[:N, 0], None
 
 
 # full-row scratch caps: stay well under the ~16MB VMEM budget
@@ -183,13 +211,15 @@ _FWD_SCRATCH_MAX_ROWS = 1 << 20
 _BWD_DX_SCRATCH_MAX_BYTES = 8 << 20
 
 
-def _ce_fwd_pallas(x, W, labels, bn: int, bv: int, vocab_size=None):
+def _ce_fwd_pallas(x, W, labels, bn: int, bv: int, vocab_size=None,
+                   smooth: bool = False):
     if x.shape[0] <= _FWD_SCRATCH_MAX_ROWS:
-        return _ce_fwd_pallas_vmajor(x, W, labels, bn, bv, vocab_size)
-    return _ce_fwd_pallas_nmajor(x, W, labels, bn, bv, vocab_size)
+        return _ce_fwd_pallas_vmajor(x, W, labels, bn, bv, vocab_size, smooth)
+    return _ce_fwd_pallas_nmajor(x, W, labels, bn, bv, vocab_size, smooth)
 
 
-def _ce_fwd_pallas_nmajor(x, W, labels, bn: int, bv: int, vocab_size=None):
+def _ce_fwd_pallas_nmajor(x, W, labels, bn: int, bv: int, vocab_size=None,
+                          smooth: bool = False):
     N, E = x.shape
     V = vocab_size or W.shape[0]
     Wp, Vp = _pad_rows(W, bv)
@@ -197,9 +227,10 @@ def _ce_fwd_pallas_nmajor(x, W, labels, bn: int, bv: int, vocab_size=None):
     xp = jnp.pad(x, ((0, Np - N), (0, 0))) if Np != N else x
     lblp = jnp.pad(labels, (0, Np - N)) if Np != N else labels
 
+    n_out = 3 if smooth else 2
     grid = (Np // bn, Vp // bv)
-    lse, ll = pl.pallas_call(
-        _ce_fwd_kernel,
+    outs = pl.pallas_call(
+        functools.partial(_ce_fwd_kernel, smooth),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -209,29 +240,30 @@ def _ce_fwd_pallas_nmajor(x, W, labels, bn: int, bv: int, vocab_size=None):
                 pl.BlockSpec((bn, 1), lambda i, j, *_: (i, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((bn, 1), lambda i, j, *_: (i, 0)),
-                pl.BlockSpec((bn, 1), lambda i, j, *_: (i, 0)),
-            ],
+                pl.BlockSpec((bn, 1), lambda i, j, *_: (i, 0))
+            ] * n_out,
             scratch_shapes=[
-                pltpu.VMEM((bn, 1), jnp.float32),
-                pltpu.VMEM((bn, 1), jnp.float32),
-                pltpu.VMEM((bn, 1), jnp.float32),
-            ],
+                pltpu.VMEM((bn, 1), jnp.float32)
+            ] * (n_out + 1),
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((Np, 1), jnp.float32),
-            jax.ShapeDtypeStruct((Np, 1), jnp.float32),
-        ],
+            jax.ShapeDtypeStruct((Np, 1), jnp.float32)
+        ] * n_out,
     )(
         jnp.asarray([V], jnp.int32),
         xp.astype(jnp.bfloat16),
         Wp.astype(jnp.bfloat16),
         lblp[:, None].astype(jnp.int32),
     )
-    return lse[:N, 0], ll[:N, 0]
+    if smooth:
+        lse, ll, zs = outs
+        return lse[:N, 0], ll[:N, 0], zs[:N, 0]
+    lse, ll = outs
+    return lse[:N, 0], ll[:N, 0], None
 
 
-def _ce_fwd_scan(x, W, labels, chunk: int, vocab_size=None):
+def _ce_fwd_scan(x, W, labels, chunk: int, vocab_size=None,
+                 smooth: bool = False):
     N, E = x.shape
     V = vocab_size or W.shape[0]
     Wp, Vp = _pad_rows(W, chunk)
@@ -239,20 +271,24 @@ def _ce_fwd_scan(x, W, labels, chunk: int, vocab_size=None):
     Wb = Wp.astype(jnp.bfloat16).reshape(Vp // chunk, chunk, E)
 
     def body(carry, args):
-        m, s, ll = carry
+        m, s, ll, zs = carry
         Wc, idx0 = args
         logits = jnp.einsum("ne,ce->nc", xb, Wc, preferred_element_type=jnp.float32)
         col = idx0 + jnp.arange(chunk)
-        logits = jnp.where((col < V)[None, :], logits, NEG)
+        valid = (col < V)[None, :]
+        if smooth:
+            zs = zs + jnp.where(valid, logits, 0.0).sum(-1)
+        logits = jnp.where(valid, logits, NEG)
         m_new = jnp.maximum(m, logits.max(-1))
         s = s * jnp.exp(m - m_new) + jnp.exp(logits - m_new[:, None]).sum(-1)
         ll = ll + jnp.where(col[None, :] == labels[:, None], logits, 0.0).sum(-1)
-        return (m_new, s, ll), None
+        return (m_new, s, ll, zs), None
 
-    init = (jnp.full((N,), NEG), jnp.zeros((N,)), jnp.zeros((N,)))
+    init = (jnp.full((N,), NEG), jnp.zeros((N,)), jnp.zeros((N,)),
+            jnp.zeros((N,)))
     idxs = jnp.arange(Vp // chunk) * chunk
-    (m, s, ll), _ = jax.lax.scan(body, init, (Wb, idxs))
-    return m + jnp.log(s), ll
+    (m, s, ll, zs), _ = jax.lax.scan(body, init, (Wb, idxs))
+    return m + jnp.log(s), ll, (zs if smooth else None)
 
 
 # =========================================================================
@@ -260,11 +296,12 @@ def _ce_fwd_scan(x, W, labels, chunk: int, vocab_size=None):
 # =========================================================================
 
 
-def _ce_bwd_fused_kernel(v_total_ref, x_ref, w_ref, lbl_ref, lse_ref, coef_ref,
-                         dw_ref, dxp_ref, acc_sc):
+def _ce_bwd_fused_kernel(eps, eps_over_v, v_total_ref, x_ref, w_ref, lbl_ref,
+                         lse_ref, coef_ref, dw_ref, dxp_ref, acc_sc):
     """One logits pass produces BOTH gradients: grid (nV outer, nN inner);
     dW tile accumulates in scratch across N, dx partials per V-tile are
-    written out and summed by the caller."""
+    written out and summed by the caller. ``eps`` (static label smoothing)
+    turns the residual into P − y_smooth = P − (1−ε)·onehot − ε/V."""
     ni = pl.program_id(1)
     nn = pl.num_programs(1)
     vi = pl.program_id(0)
@@ -281,8 +318,12 @@ def _ce_bwd_fused_kernel(v_total_ref, x_ref, w_ref, lbl_ref, lse_ref, coef_ref,
     )
     col = vi * BV + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     valid = col < v_total_ref[0]
-    p = jnp.where(valid, jnp.exp(logits - lse_ref[:]), 0.0)
-    p = p - jnp.where(col == lbl_ref[:], 1.0, 0.0)
+    if eps:
+        p = jnp.where(valid, jnp.exp(logits - lse_ref[:]) - eps_over_v, 0.0)
+        p = p - (1.0 - eps) * jnp.where(col == lbl_ref[:], 1.0, 0.0)
+    else:
+        p = jnp.where(valid, jnp.exp(logits - lse_ref[:]), 0.0)
+        p = p - jnp.where(col == lbl_ref[:], 1.0, 0.0)
     p = (p * coef_ref[:]).astype(jnp.bfloat16)
     acc_sc[:, :] += jax.lax.dot_general(
         p, x_ref[:],
@@ -300,8 +341,9 @@ def _ce_bwd_fused_kernel(v_total_ref, x_ref, w_ref, lbl_ref, lse_ref, coef_ref,
         dw_ref[:, :] = acc_sc[:, :]
 
 
-def _ce_bwd_fused_kernel_dxsc(v_total_ref, x_ref, w_ref, lbl_ref, lse_ref,
-                              coef_ref, dw_ref, dx_ref, dw_sc, dx_sc):
+def _ce_bwd_fused_kernel_dxsc(eps, eps_over_v, v_total_ref, x_ref, w_ref,
+                              lbl_ref, lse_ref, coef_ref, dw_ref, dx_ref,
+                              dw_sc, dx_sc):
     """Like _ce_bwd_fused_kernel but dx accumulates in a full-N (Np, E) VMEM
     scratch instead of writing per-V-tile partials to HBM (which cost ~0.5GB
     of round-trip traffic per step at the REES46 config)."""
@@ -327,8 +369,12 @@ def _ce_bwd_fused_kernel_dxsc(v_total_ref, x_ref, w_ref, lbl_ref, lse_ref,
     )
     col = vi * BV + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     valid = col < v_total_ref[0]
-    p = jnp.where(valid, jnp.exp(logits - lse_ref[:]), 0.0)
-    p = p - jnp.where(col == lbl_ref[:], 1.0, 0.0)
+    if eps:
+        p = jnp.where(valid, jnp.exp(logits - lse_ref[:]) - eps_over_v, 0.0)
+        p = p - (1.0 - eps) * jnp.where(col == lbl_ref[:], 1.0, 0.0)
+    else:
+        p = jnp.where(valid, jnp.exp(logits - lse_ref[:]), 0.0)
+        p = p - jnp.where(col == lbl_ref[:], 1.0, 0.0)
     p = (p * coef_ref[:]).astype(jnp.bfloat16)
     dw_sc[:, :] += jax.lax.dot_general(
         p, x_ref[:],
@@ -350,7 +396,8 @@ def _ce_bwd_fused_kernel_dxsc(v_total_ref, x_ref, w_ref, lbl_ref, lse_ref,
         dx_ref[:, :] = dx_sc[sl, :]
 
 
-def _ce_bwd_pallas_dxsc(x, W, labels, lse, coef, bn: int, bv: int, vocab_size=None):
+def _ce_bwd_pallas_dxsc(x, W, labels, lse, coef, bn: int, bv: int,
+                        vocab_size=None, eps: float = 0.0):
     bv = min(bv, 2048)
     N, E = x.shape
     V = vocab_size or W.shape[0]
@@ -364,7 +411,7 @@ def _ce_bwd_pallas_dxsc(x, W, labels, lse, coef, bn: int, bv: int, vocab_size=No
 
     nv = Vp // bv
     dW, dx = pl.pallas_call(
-        _ce_bwd_fused_kernel_dxsc,
+        functools.partial(_ce_bwd_fused_kernel_dxsc, eps, eps / V),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nv, Np // bn),  # V outer, N inner: W streamed once
@@ -399,15 +446,19 @@ def _ce_bwd_pallas_dxsc(x, W, labels, lse, coef, bn: int, bv: int, vocab_size=No
     return dx[:N], dW[:W.shape[0]]
 
 
-def _ce_bwd_pallas_fused(x, W, labels, lse, coef, bn: int, bv: int, vocab_size=None):
+def _ce_bwd_pallas_fused(x, W, labels, lse, coef, bn: int, bv: int,
+                         vocab_size=None, eps: float = 0.0):
     N, E = x.shape
     Np = ((N + bn - 1) // bn) * bn
     if Np * E * 4 <= _BWD_DX_SCRATCH_MAX_BYTES:
-        return _ce_bwd_pallas_dxsc(x, W, labels, lse, coef, bn, bv, vocab_size)
-    return _ce_bwd_pallas_fused_partials(x, W, labels, lse, coef, bn, bv, vocab_size)
+        return _ce_bwd_pallas_dxsc(x, W, labels, lse, coef, bn, bv, vocab_size,
+                                   eps)
+    return _ce_bwd_pallas_fused_partials(x, W, labels, lse, coef, bn, bv,
+                                         vocab_size, eps)
 
 
-def _ce_bwd_pallas_fused_partials(x, W, labels, lse, coef, bn: int, bv: int, vocab_size=None):
+def _ce_bwd_pallas_fused_partials(x, W, labels, lse, coef, bn: int, bv: int,
+                                  vocab_size=None, eps: float = 0.0):
     bv = min(bv, 2048)
     N, E = x.shape
     V = vocab_size or W.shape[0]
@@ -421,7 +472,7 @@ def _ce_bwd_pallas_fused_partials(x, W, labels, lse, coef, bn: int, bv: int, voc
 
     nv = Vp // bv
     dW, dxp = pl.pallas_call(
-        _ce_bwd_fused_kernel,
+        functools.partial(_ce_bwd_fused_kernel, eps, eps / V),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nv, Np // bn),  # V outer, N inner
@@ -454,7 +505,8 @@ def _ce_bwd_pallas_fused_partials(x, W, labels, lse, coef, bn: int, bv: int, voc
     return dx[:N], dW[:W.shape[0]]
 
 
-def _ce_bwd_scan(x, W, labels, lse, coef, chunk: int, vocab_size=None):
+def _ce_bwd_scan(x, W, labels, lse, coef, chunk: int, vocab_size=None,
+                 eps: float = 0.0):
     N, E = x.shape
     V = vocab_size or W.shape[0]
     Wp, Vp = _pad_rows(W, chunk)
@@ -465,8 +517,15 @@ def _ce_bwd_scan(x, W, labels, lse, coef, chunk: int, vocab_size=None):
         Wc, idx0 = args
         logits = jnp.einsum("ne,ce->nc", xb, Wc, preferred_element_type=jnp.float32)
         col = idx0 + jnp.arange(chunk)
-        p = jnp.where((col < V)[None, :], jnp.exp(logits - lse[:, None]), 0.0)
-        p = p - (col[None, :] == labels[:, None]).astype(jnp.float32)
+        valid = (col < V)[None, :]
+        if eps:
+            p = jnp.where(valid, jnp.exp(logits - lse[:, None]) - eps / V, 0.0)
+            p = p - (1.0 - eps) * (col[None, :] == labels[:, None]).astype(
+                jnp.float32
+            )
+        else:
+            p = jnp.where(valid, jnp.exp(logits - lse[:, None]), 0.0)
+            p = p - (col[None, :] == labels[:, None]).astype(jnp.float32)
         p = p * coef[:, None]
         dWc = jnp.einsum("nc,ne->ce", p.astype(jnp.bfloat16), xb,
                          preferred_element_type=jnp.float32)
@@ -485,7 +544,7 @@ def _ce_bwd_scan(x, W, labels, lse, coef, chunk: int, vocab_size=None):
 # =========================================================================
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
 def fused_softmax_ce(
     x: jnp.ndarray,
     W: jnp.ndarray,
@@ -495,45 +554,58 @@ def fused_softmax_ce(
     block_v: int = 4096,
     use_pallas: Optional[bool] = None,
     vocab_size: Optional[int] = None,
+    label_smoothing: float = 0.0,
 ) -> jnp.ndarray:
     """Weighted-mean CE of ``x @ W.T`` vs ``labels`` without materializing
     logits. x: (N, E); W: (V, E); labels: (N,) int; weights: (N,) float.
     ``vocab_size`` bounds the true vocab when W carries padded rows
     (features/embedding.py vocab_padding_multiple) — rows ≥ vocab_size are
     excluded from the softmax and receive zero gradient."""
-    lse, ll = _ce_forward_dispatch(x, W, labels, block_n, block_v, use_pallas,
-                                   vocab_size)
-    w = weights.astype(jnp.float32)
-    return ((lse - ll) * w).sum() / jnp.maximum(w.sum(), 1.0)
+    loss, _ = _fused_ce_fwd(x, W, labels, weights, block_n, block_v,
+                            use_pallas, vocab_size, label_smoothing)
+    return loss
 
 
 def _ce_forward_dispatch(x, W, labels, block_n, block_v, use_pallas,
-                         vocab_size=None):
+                         vocab_size=None, smooth=False):
     on_tpu = _on_tpu() if use_pallas is None else use_pallas
     if on_tpu:
-        return _ce_fwd_pallas(x, W, labels, block_n, block_v, vocab_size)
-    return _ce_fwd_scan(x, W, labels, block_v, vocab_size)
+        return _ce_fwd_pallas(x, W, labels, block_n, block_v, vocab_size,
+                              smooth)
+    return _ce_fwd_scan(x, W, labels, block_v, vocab_size, smooth)
+
+
+def _smoothed_nll(lse, ll, zs, eps, V):
+    """Per-row loss: lse − (1−ε)·ll − (ε/V)·zsum (== torch CrossEntropyLoss
+    label_smoothing semantics, losses.py:32-35)."""
+    if eps:
+        return lse - (1.0 - eps) * ll - (eps / V) * zs
+    return lse - ll
 
 
 def _fused_ce_fwd(x, W, labels, weights, block_n, block_v, use_pallas,
-                  vocab_size):
-    lse, ll = _ce_forward_dispatch(x, W, labels, block_n, block_v, use_pallas,
-                                   vocab_size)
+                  vocab_size, label_smoothing=0.0):
+    eps = label_smoothing
+    lse, ll, zs = _ce_forward_dispatch(x, W, labels, block_n, block_v,
+                                       use_pallas, vocab_size, smooth=eps > 0)
+    V = vocab_size or W.shape[0]
     w = weights.astype(jnp.float32)
     wsum = jnp.maximum(w.sum(), 1.0)
-    loss = ((lse - ll) * w).sum() / wsum
+    loss = (_smoothed_nll(lse, ll, zs, eps, V) * w).sum() / wsum
     return loss, (x, W, labels, w, wsum, lse)
 
 
-def _fused_ce_bwd(block_n, block_v, use_pallas, vocab_size, res, g):
+def _fused_ce_bwd(block_n, block_v, use_pallas, vocab_size, label_smoothing,
+                  res, g):
     x, W, labels, w, wsum, lse = res
     coef = g * w / wsum  # (N,)
     on_tpu = _on_tpu() if use_pallas is None else use_pallas
     if on_tpu:
         dx, dW = _ce_bwd_pallas_fused(x, W, labels, lse, coef, block_n, block_v,
-                                      vocab_size)
+                                      vocab_size, label_smoothing)
     else:
-        dx, dW = _ce_bwd_scan(x, W, labels, lse, coef, block_v, vocab_size)
+        dx, dW = _ce_bwd_scan(x, W, labels, lse, coef, block_v, vocab_size,
+                              label_smoothing)
     return dx.astype(x.dtype), dW.astype(W.dtype), None, None
 
 
@@ -586,7 +658,7 @@ def fused_label_rank(
     V = vocab_size or W.shape[0]
     # label logit first (reuse CE forward machinery)
     if on_tpu:
-        _, ll = _ce_fwd_pallas(x, W, labels, block_n, block_v, vocab_size)
+        _, ll, _ = _ce_fwd_pallas(x, W, labels, block_n, block_v, vocab_size)
         Wp, Vp = _pad_rows(W, block_v)
         Np = ((N + block_n - 1) // block_n) * block_n
         xp = jnp.pad(x, ((0, Np - N), (0, 0))) if Np != N else x
@@ -616,7 +688,7 @@ def fused_label_rank(
         )
         return rank[:N, 0]
     # scan fallback
-    _, ll = _ce_fwd_scan(x, W, labels, block_v, vocab_size)
+    _, ll, _ = _ce_fwd_scan(x, W, labels, block_v, vocab_size)
     Wp, Vp = _pad_rows(W, block_v)
     xb = x.astype(jnp.bfloat16)
     Wb = Wp.astype(jnp.bfloat16).reshape(Vp // block_v, block_v, E)
@@ -638,14 +710,19 @@ def fused_label_rank(
 # =========================================================================
 
 
-def _ce_rank_kernel(v_total_ref, x_ref, w_ref, lbl_ref, ll_ref,
-                    lse_ref, rank_ref, m_sc, s_sc, cnt_sc):
+def _ce_rank_kernel(smooth, v_total_ref, x_ref, w_ref, lbl_ref, ll_ref,
+                    lse_ref, rank_ref, *rest):
     """Grid (nV, nN), V MAJOR (table streamed once). The label logit arrives
     precomputed (an O(N·E) gather-dot outside the kernel), so ONE streaming
     pass yields both the online logsumexp and the count-of-greater rank —
     eval previously needed three (N, V) GEMM passes (CE fwd, rank's
     label-logit pass, rank pass). Accumulators for all row blocks live in
-    (Np, 1) VMEM scratch."""
+    (Np, 1) VMEM scratch. ``smooth`` (static) streams the sum of valid
+    logits too, for label-smoothed eval CE."""
+    if smooth:
+        zs_ref, m_sc, s_sc, cnt_sc, zs_sc = rest
+    else:
+        m_sc, s_sc, cnt_sc = rest
     vi, ni = pl.program_id(0), pl.program_id(1)
     nv = pl.num_programs(0)
     BN = x_ref.shape[0]
@@ -657,6 +734,8 @@ def _ce_rank_kernel(v_total_ref, x_ref, w_ref, lbl_ref, ll_ref,
         m_sc[sl, :] = jnp.full((BN, 1), NEG, jnp.float32)
         s_sc[sl, :] = jnp.zeros((BN, 1), jnp.float32)
         cnt_sc[sl, :] = jnp.zeros((BN, 1), jnp.float32)
+        if smooth:
+            zs_sc[sl, :] = jnp.zeros((BN, 1), jnp.float32)
 
     logits = jax.lax.dot_general(
         x_ref[:], w_ref[:],
@@ -665,6 +744,10 @@ def _ce_rank_kernel(v_total_ref, x_ref, w_ref, lbl_ref, ll_ref,
     )  # (BN, BV)
     col = vi * BV + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     valid = col < v_total_ref[0]
+    if smooth:
+        zs_sc[sl, :] = zs_sc[sl, :] + jnp.where(valid, logits, 0.0).sum(
+            axis=1
+        )[:, None]
     masked = jnp.where(valid, logits, NEG)
 
     m_prev = m_sc[sl, :][:, 0]
@@ -686,6 +769,8 @@ def _ce_rank_kernel(v_total_ref, x_ref, w_ref, lbl_ref, ll_ref,
     def _():
         lse_ref[:, :] = m_sc[sl, :] + jnp.log(s_sc[sl, :])
         rank_ref[:, :] = cnt_sc[sl, :].astype(jnp.int32)
+        if smooth:
+            zs_ref[:, :] = zs_sc[sl, :]
 
 
 def fused_ce_and_rank(
@@ -697,6 +782,7 @@ def fused_ce_and_rank(
     block_v: int = 4096,
     use_pallas: Optional[bool] = None,
     vocab_size: Optional[int] = None,
+    label_smoothing: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Eval-fused weighted-mean CE **and** exact label ranks in a single
     streamed vocab pass (eval-only: not differentiable). Returns
@@ -711,14 +797,20 @@ def fused_ce_and_rank(
     on_tpu = _on_tpu() if use_pallas is None else use_pallas
     N, E = x.shape
     V = vocab_size or W.shape[0]
+    eps = label_smoothing
+    smooth = eps > 0
     if on_tpu:
         Wp, Vp = _pad_rows(W, block_v)
         Np = ((N + block_n - 1) // block_n) * block_n
         xp = jnp.pad(x, ((0, Np - N), (0, 0))) if Np != N else x
         lblp = jnp.pad(labels, (0, Np - N)) if Np != N else labels
         llp = jnp.pad(ll, (0, Np - N)) if Np != N else ll
-        lse, rank = pl.pallas_call(
-            _ce_rank_kernel,
+        out_shape = [
+            jax.ShapeDtypeStruct((Np, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Np, 1), jnp.int32),
+        ] + ([jax.ShapeDtypeStruct((Np, 1), jnp.float32)] if smooth else [])
+        outs = pl.pallas_call(
+            functools.partial(_ce_rank_kernel, smooth),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(Vp // block_v, Np // block_n),  # V major
@@ -729,19 +821,13 @@ def fused_ce_and_rank(
                     pl.BlockSpec((block_n, 1), lambda j, i, *_: (i, 0)),
                 ],
                 out_specs=[
-                    pl.BlockSpec((block_n, 1), lambda j, i, *_: (i, 0)),
-                    pl.BlockSpec((block_n, 1), lambda j, i, *_: (i, 0)),
-                ],
+                    pl.BlockSpec((block_n, 1), lambda j, i, *_: (i, 0))
+                ] * len(out_shape),
                 scratch_shapes=[
-                    pltpu.VMEM((Np, 1), jnp.float32),
-                    pltpu.VMEM((Np, 1), jnp.float32),
-                    pltpu.VMEM((Np, 1), jnp.float32),
-                ],
+                    pltpu.VMEM((Np, 1), jnp.float32)
+                ] * (len(out_shape) + 1),
             ),
-            out_shape=[
-                jax.ShapeDtypeStruct((Np, 1), jnp.float32),
-                jax.ShapeDtypeStruct((Np, 1), jnp.int32),
-            ],
+            out_shape=out_shape,
         )(
             jnp.asarray([V], jnp.int32),
             xp.astype(jnp.bfloat16),
@@ -749,33 +835,42 @@ def fused_ce_and_rank(
             lblp[:, None].astype(jnp.int32),
             llp[:, None].astype(jnp.float32),
         )
+        if smooth:
+            lse, rank, zs = outs
+            zs = zs[:N, 0]
+        else:
+            (lse, rank), zs = outs, None
         lse, rank = lse[:N, 0], rank[:N, 0]
     else:
         Wp, Vp = _pad_rows(W, block_v)
         Wb = Wp.astype(jnp.bfloat16).reshape(Vp // block_v, block_v, E)
 
         def body(carry, args):
-            m, s, cnt = carry
+            m, s, cnt, zsum = carry
             Wc, idx0 = args
             logits = jnp.einsum("ne,ce->nc", xb, Wc,
                                 preferred_element_type=jnp.float32)
             col = idx0 + jnp.arange(block_v)
             valid = (col < V)[None, :]
+            if smooth:
+                zsum = zsum + jnp.where(valid, logits, 0.0).sum(-1)
             masked = jnp.where(valid, logits, NEG)
             m_new = jnp.maximum(m, masked.max(-1))
             s = s * jnp.exp(m - m_new) + jnp.exp(masked - m_new[:, None]).sum(-1)
             greater = valid & (col[None, :] != labels[:, None]) & (
                 logits > ll[:, None]
             )
-            return (m_new, s, cnt + greater.sum(-1).astype(jnp.int32)), None
+            return (m_new, s, cnt + greater.sum(-1).astype(jnp.int32), zsum), None
 
-        init = (jnp.full((N,), NEG), jnp.zeros((N,)), jnp.zeros((N,), jnp.int32))
+        init = (jnp.full((N,), NEG), jnp.zeros((N,)),
+                jnp.zeros((N,), jnp.int32), jnp.zeros((N,)))
         idxs = jnp.arange(Vp // block_v) * block_v
-        (m, s, rank), _ = jax.lax.scan(body, init, (Wb, idxs))
+        (m, s, rank, zs), _ = jax.lax.scan(body, init, (Wb, idxs))
         lse = m + jnp.log(s)
 
     w = weights.astype(jnp.float32)
-    loss = ((lse - ll) * w).sum() / jnp.maximum(w.sum(), 1.0)
+    nll = _smoothed_nll(lse, ll, zs, eps, V)
+    loss = (nll * w).sum() / jnp.maximum(w.sum(), 1.0)
     return jax.lax.stop_gradient(loss), rank
 
 
