@@ -266,3 +266,26 @@ def test_registry_dispatch():
     assert dataloader_registry.parse("merlin") is ParquetDataLoader
     with pytest.raises(KeyError):
         dataloader_registry.parse("nope")
+
+
+def test_tiny_dataset_wrap_fill_full_batches(tmp_path, ecommerce_schema):
+    """Regression: when num_rows < batch_size/2 the old single-concat
+    wrap-fill under-filled (19 rows + batch 64 → a ragged 38-row batch that
+    breaks 'data'-axis sharding). Tiling must always yield full batches."""
+    from transformers4rec_tpu.data.loader import ParquetDataLoader
+    from transformers4rec_tpu.data.synthetic import (
+        generate_item_interactions,
+        interactions_to_sessions,
+    )
+
+    df = generate_item_interactions(160, ecommerce_schema, seed=12)
+    sessions = interactions_to_sessions(df, ecommerce_schema, max_session_length=20)
+    assert len(sessions) < 32  # genuinely tiny vs the batch size below
+    p = tmp_path / "tiny.parquet"
+    sessions.to_parquet(p)
+    dl = ParquetDataLoader.from_schema(
+        ecommerce_schema, str(p), batch_size=64, max_sequence_length=20
+    )
+    batches = list(dl)
+    assert len(batches) == 1
+    assert all(b["item_id"].shape == (64, 20) for b in batches)

@@ -458,3 +458,46 @@ def test_label_smoothing_rides_fused_path(jbatch):
             float(v[0]), float(ou_t["next-item"].metrics[k][0]), rtol=1e-5,
             err_msg=k,
         )
+
+
+def test_summary_modes(jbatch):
+    """All four HF SequenceSummary modes (reference model/base.py:76):
+    last = last non-padded position, first, mean = pad-weighted mean,
+    cls_index = final sequence position regardless of padding."""
+    from transformers4rec_tpu.model.prediction_task import PredictionTask
+
+    hidden = jnp.arange(2 * 4 * 3, dtype=jnp.float32).reshape(2, 4, 3)
+    pad = jnp.asarray([[1, 1, 0, 0], [1, 1, 1, 1]], jnp.float32)
+
+    def s(mode):
+        return np.asarray(PredictionTask(summary_type=mode).summarize(hidden, pad))
+
+    np.testing.assert_allclose(s("first"), np.asarray(hidden[:, 0]))
+    np.testing.assert_allclose(s("cls_index"), np.asarray(hidden[:, -1]))
+    np.testing.assert_allclose(s("last")[0], np.asarray(hidden[0, 1]))  # 2 valid
+    np.testing.assert_allclose(s("last")[1], np.asarray(hidden[1, 3]))
+    np.testing.assert_allclose(s("mean")[0], np.asarray(hidden[0, :2].mean(0)))
+    np.testing.assert_allclose(s("mean")[1], np.asarray(hidden[1].mean(0)))
+
+
+def test_attention_window_build_arg():
+    """Longformer/Reformer fidelity: reference ``attention_window``
+    (config/transformer.py:304) and Reformer ``local_attn_chunk_length``
+    (:185-204) plumb through build() to the unified encoder's local_window;
+    a window covering the whole sequence degrades to dense (None)."""
+    c = tr.transformer_registry.parse("longformer").build(
+        32, 2, 1, 20, attention_window=4
+    )
+    assert c.local_window == 4
+    # whole-sequence window == dense attention (the reference DEFAULT:
+    # attention_window=total_seq_length)
+    c2 = tr.transformer_registry.parse("longformer").build(
+        32, 2, 1, 20, attention_window=22
+    )
+    assert c2.local_window is None
+    c3 = tr.transformer_registry.parse("reformer").build(
+        32, 2, 1, 20, local_attn_chunk_length=6, axial_pos_shape_first_dim=4
+    )
+    assert c3.local_window == 6
+    # default windows unchanged
+    assert tr.transformer_registry.parse("reformer").build(32, 2, 1, 20).local_window == 8

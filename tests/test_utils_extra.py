@@ -192,3 +192,74 @@ def test_save_time_based_splits(tmp_path):
     df.to_parquet(p)
     save_time_based_splits(str(p), str(tmp_path / "splits2"))
     assert (tmp_path / "splits2" / "2" / "test.parquet").exists()
+
+
+def test_trainer_args_reference_audit_fields(tmp_path, ecommerce_schema):
+    """Named-audit fields from reference config/trainer.py:23-134:
+    eval_on_test_set routes fit_and_evaluate at the test split,
+    dataloader_drop_last=False wrap-fills the tail batch,
+    experiments_group stamps metrics.jsonl records."""
+    import json
+    import os
+
+    import numpy as np
+
+    from transformers4rec_tpu.utils.examples_utils import fit_and_evaluate
+
+    # windowed folders where test.parquet and valid.parquet DIFFER in size
+    from transformers4rec_tpu.data.synthetic import (
+        generate_item_interactions,
+        interactions_to_sessions,
+    )
+
+    for t in (1, 2):
+        d = tmp_path / "win" / str(t)
+        os.makedirs(d)
+        for split, n in (("train", 640), ("valid", 2560), ("test", 320)):
+            df = generate_item_interactions(n, ecommerce_schema, seed=t * 10 + n)
+            sessions = interactions_to_sessions(df, ecommerce_schema,
+                                                max_session_length=20)
+            sessions.to_parquet(d / f"{split}.parquet")
+
+    im = tr.TabularSequenceFeatures.from_schema(
+        ecommerce_schema, d_output=16, masking="clm", aggregation="concat"
+    )
+    cfg = tr.transformer_registry.parse("gpt2").build(16, 2, 1, 20)
+    model = cfg.to_model(im, tr.NextItemPredictionTask(weight_tying=True))
+    args = tr.T4RecTrainingArguments(
+        output_dir=str(tmp_path / "out"), data_loader_engine="parquet",
+        per_device_train_batch_size=8, per_device_eval_batch_size=2,
+        num_train_epochs=1, max_sequence_length=20,
+        eval_on_test_set=True, experiments_group="audit-group", log_json=True,
+    )
+    trainer = tr.Trainer(model=model, args=args, schema=ecommerce_schema)
+    results = fit_and_evaluate(trainer, 1, 1, str(tmp_path / "win"))
+    assert results  # evaluated on window 2's TEST split
+    n_test = len(trainer.get_eval_dataloader())
+    trainer2_args = tr.T4RecTrainingArguments(
+        output_dir=str(tmp_path / "out2"), data_loader_engine="parquet",
+        per_device_eval_batch_size=2, max_sequence_length=20,
+    )
+    # valid is 2x test rows → more eval batches when pointed at valid
+    t2 = tr.Trainer(model=model, args=trainer2_args, schema=ecommerce_schema)
+    n_valid = len(t2.get_eval_dataloader(str(tmp_path / "win" / "2" / "valid.parquet")))
+    assert n_valid > n_test
+
+    with open(tmp_path / "out" / "metrics.jsonl") as f:
+        recs = [json.loads(line) for line in f]
+    assert recs and all(r["experiments_group"] == "audit-group" for r in recs)
+
+    # dataloader_drop_last=False: tail batch kept (wrap-filled to full size)
+    from transformers4rec_tpu.data.loader import ParquetDataLoader
+
+    keep = ParquetDataLoader.from_schema(
+        ecommerce_schema, str(tmp_path / "win" / "1" / "valid.parquet"),
+        batch_size=7, max_sequence_length=20, drop_last=False,
+    )
+    drop = ParquetDataLoader.from_schema(
+        ecommerce_schema, str(tmp_path / "win" / "1" / "valid.parquet"),
+        batch_size=7, max_sequence_length=20, drop_last=True,
+    )
+    assert len(keep) == len(drop) + (1 if keep.num_rows % 7 else 0)
+    sizes = {b["item_id"].shape[0] for b in keep}
+    assert sizes == {7}  # full-size (wrap-filled), never ragged

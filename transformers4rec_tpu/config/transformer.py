@@ -117,6 +117,23 @@ def _register(name: str, **defaults):
         def build(cls, d_model, n_head, n_layer, total_seq_length, **kwargs):
             merged = {**defaults, **kwargs}
             pad = merged.pop("_seq_headroom", 0)
+            # reference arg-name parity (config/transformer.py:304
+            # Longformer ``attention_window``; Reformer local chunks
+            # ``local_attn_chunk_length`` :185-204): both bound how far a
+            # query attends → the unified encoder's ``local_window`` bias.
+            # A window covering the whole (headroom-padded) sequence is
+            # dense attention — local_window=None keeps the fast path.
+            for alias in ("attention_window", "local_attn_chunk_length"):
+                if alias in merged:
+                    win = merged.pop(alias)
+                    merged["local_window"] = (
+                        None if win is None or win >= total_seq_length + pad
+                        else int(win)
+                    )
+            # accepted-for-parity no-ops (Reformer axial positions don't
+            # apply: the unified encoder uses learned/relative positions;
+            # LSH is a documented non-goal at session lengths — PARITY.md)
+            merged.pop("axial_pos_shape_first_dim", None)
             return cls(
                 d_model=d_model, n_head=n_head, n_layer=n_layer,
                 total_seq_length=total_seq_length + pad, **merged,

@@ -196,7 +196,9 @@ class ParquetDataLoader(T4RecDataLoader):
         # wrap-around fill so every batch is full-size (static shapes for jit)
         total = len(self) * self.batch_size
         if total > self.num_rows:
-            order = np.concatenate([order, order[: total - self.num_rows]])
+            # tile: a single concat under-fills when num_rows < batch_size/2
+            reps = -(-total // self.num_rows)
+            order = np.tile(order, reps)[:total]
         else:
             order = order[:total]
         return order

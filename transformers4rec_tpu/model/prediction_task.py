@@ -109,14 +109,20 @@ class PredictionTask(nn.Module):
 
     target_name: Optional[str] = None
     task_name: str = "task"
-    summary_type: str = "last"  # last | first | mean
+    summary_type: str = "last"  # last | first | mean | cls_index
 
     def summarize(self, hidden: jnp.ndarray, pad_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
-        """3-D (B, S, D) → 2-D (B, D) (HF SequenceSummary analog)."""
+        """3-D (B, S, D) → 2-D (B, D) (HF SequenceSummary analog; reference
+        model/base.py:76 exposes last/first/mean/cls_index)."""
         if hidden.ndim == 2:
             return hidden
         if self.summary_type == "first":
             return hidden[:, 0]
+        if self.summary_type == "cls_index":
+            # HF SequenceSummary cls_index semantics with no explicit index:
+            # the FINAL sequence position (independent of padding — distinct
+            # from 'last', which picks the last non-padded position)
+            return hidden[:, -1]
         if self.summary_type == "mean":
             if pad_mask is not None:
                 w = pad_mask[..., : hidden.shape[1]].astype(hidden.dtype)

@@ -13,9 +13,12 @@ Design (what makes it faster than materialized attention):
 - an optional additive ``bias`` (perm/local/relative) is loaded tile-by-tile
   at its natural broadcast shape (1|B, 1|H, S, S) — never broadcast in HBM.
 
-The backward pass rematerializes through the pure-jnp reference
-(custom_vjp → jax.vjp of ``reference_attention``): training gradients match
-XLA's, while the forward (and the whole eval/serving path) runs fused.
+The backward pass is a SINGLE-PASS fused Pallas kernel (one logits recompute
+→ dq/dk/dv, dq accumulated in a full-Sq VMEM scratch under an 8MB cap) and is
+the live path whenever the forward kernel engages (``FUSED_BWD_MIN_SEQ = 0``:
+measured 2.20 vs 2.24 ms at S=1024 and 23.0 vs 351.9 ms at S=8192 against the
+older split dq/dkv pair, which remains only as the >cap fallback). Numerics
+are validated against jax.vjp of ``reference_attention`` in tests.
 
 Dispatch policy: sessions in this domain are short (S≈20 — SURVEY.md §5), where
 XLA's fused attention is already optimal; the kernel engages at S ≥ 128.

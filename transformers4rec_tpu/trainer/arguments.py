@@ -30,6 +30,19 @@ class T4RecTrainingArguments:
     log_predictions: bool = False
     compute_metrics_each_n_steps: int = 1
     learning_rate_num_cosine_cycles_by_epoch: float = 1.25
+    # evaluate on {t}/test.parquet instead of valid.parquet in the
+    # incremental fit_and_evaluate loop (reference config/trainer.py:85-88)
+    eval_on_test_set: bool = False
+    # bounded shuffle-buffer rows for the streaming parquet engine
+    # (reference config/trainer.py:67-73; 0 = the engine's default)
+    shuffle_buffer_size: int = 0
+    # experiment-group label stamped into metrics.jsonl records (reference
+    # config/trainer.py:122-125 uses it to organize W&B runs)
+    experiments_group: str = "default"
+    # HF TrainingArguments field the reference exercises in tests. Batches
+    # are ALWAYS full-size (static TPU shapes): True drops the ragged tail,
+    # False keeps a final batch wrap-filled with repeated rows
+    dataloader_drop_last: bool = True
 
     # optimization (HF TrainingArguments subset)
     learning_rate: float = 5e-4

@@ -119,6 +119,9 @@ class Trainer:
     def _make_loader(self, dataset, batch_size: int, shuffle: bool, **kwargs):
         engine = self.args.data_loader_engine
         cls = dataloader_registry.parse("parquet" if engine == "merlin" else engine)
+        kwargs.setdefault("drop_last", self.args.dataloader_drop_last)
+        if engine == "parquet_streaming" and self.args.shuffle_buffer_size > 0:
+            kwargs.setdefault("buffer_rows", self.args.shuffle_buffer_size)
         # batch_size is GLOBAL; each process loads its 1/process_count shard
         # and shard_batch assembles the global array
         # (jax.make_array_from_process_local_data — parallel/mesh.py)
@@ -612,8 +615,11 @@ class Trainer:
             return
         os.makedirs(self.args.output_dir, exist_ok=True)
         with open(os.path.join(self.args.output_dir, "metrics.jsonl"), "a") as f:
-            f.write(json.dumps(
-                {"global_step": self.state.global_step, **record}) + "\n")
+            f.write(json.dumps({
+                "global_step": self.state.global_step,
+                "experiments_group": self.args.experiments_group,
+                **record,
+            }) + "\n")
 
     # ------------------------------------------------------------------- eval
     def evaluate(

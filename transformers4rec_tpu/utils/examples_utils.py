@@ -21,9 +21,16 @@ def fit_and_evaluate(trainer, start_time_index: int, end_time_index: int,
     Returns ``{"indexed_by_time_<metric>@k": [scores per window]}``.
     """
     indexed_by_time_metrics: Dict[str, List[float]] = {}
+    # eval_on_test_set (reference config/trainer.py:85-88): score each
+    # window's test split instead of the validation split
+    eval_file = (
+        "test.parquet"
+        if getattr(trainer.args, "eval_on_test_set", False)
+        else "valid.parquet"
+    )
     for time_index in range(start_time_index, end_time_index + 1):
         train_paths = glob.glob(os.path.join(input_dir, f"{time_index}/train.parquet"))
-        eval_paths = glob.glob(os.path.join(input_dir, f"{time_index + 1}/valid.parquet"))
+        eval_paths = glob.glob(os.path.join(input_dir, f"{time_index + 1}/{eval_file}"))
 
         print(f"\n***** Launch training for day {time_index}: *****")
         trainer.train_dataset = train_paths
