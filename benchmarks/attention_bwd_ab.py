@@ -7,6 +7,11 @@ Arms per sequence length:
 
 Usage: python benchmarks/attention_bwd_ab.py [--seqs 1024,2048,4096] [--iters 30]
 """
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import time
 

@@ -16,6 +16,12 @@ held-out full-vocab ranking metrics. Two data modes:
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import functools
 import json
@@ -57,6 +63,10 @@ def main():
                          "(block-diagonal attention, data/packing.py); eval "
                          "stays unpacked. Steps consume PACKED rows, so each "
                          "step sees ~1/fill more sessions than unpacked")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="offsets the train-data seed and all RNG keys "
+                         "(eval data stays fixed at seed 999 for "
+                         "cross-seed comparability)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -108,7 +118,7 @@ def main():
     )
 
     train_np = synthetic_data(schema, num_rows=args.train_rows,
-                              max_session_length=SEQ, seed=0,
+                              max_session_length=SEQ, seed=args.seed,
                               item_popularity=args.popularity,
                               ragged=args.packed)
     if args.packed:
@@ -125,10 +135,10 @@ def main():
     n_eval_batches = args.eval_rows // EBATCH
 
     rngs = {
-        "params": jax.random.PRNGKey(0),
-        "masking": jax.random.PRNGKey(1),
-        "dropout": jax.random.PRNGKey(2),
-        "sampling": jax.random.PRNGKey(3),
+        "params": jax.random.PRNGKey(args.seed * 101),
+        "masking": jax.random.PRNGKey(args.seed * 101 + 1),
+        "dropout": jax.random.PRNGKey(args.seed * 101 + 2),
+        "sampling": jax.random.PRNGKey(args.seed * 101 + 3),
     }
     tiny = {k: jnp.asarray(v[:8]) for k, v in train_np.items()}
     params = model.init(rngs, tiny, training=True)
@@ -197,7 +207,7 @@ def main():
         out["eval_loss"] = round(float(loss_sum) / n_eval_batches, 4)
         return out
 
-    rng = jax.random.PRNGKey(7)
+    rng = jax.random.PRNGKey(7 + args.seed * 977)
     t0 = time.perf_counter()
     losses = []
     for i in range(args.steps):

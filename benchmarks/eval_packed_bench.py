@@ -15,6 +15,12 @@ Run on the TPU (default backend); --cpu for a smoke run.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import functools
 import json

@@ -18,6 +18,12 @@ Usage:  python benchmarks/run_all.py [--quick] [--cpu] [--configs 1,2,3,5]
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import json
 import time

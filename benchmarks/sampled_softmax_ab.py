@@ -13,6 +13,12 @@ Run one arm per process (tunnel compiles contend badly):
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import functools
 import json

@@ -9,6 +9,12 @@ REES46-scale vocabulary, across batch sizes.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import json
 import time

@@ -21,6 +21,12 @@ Prints one JSON line per arm with ms/step for each rep.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import functools
 import json
 import os

@@ -167,3 +167,29 @@ def test_export_bf16_weights(trained, tmp_path):
         overlap = len(set(a.tolist()) & set(b.tolist())) / len(a)
         assert overlap >= 0.7, f"bf16 top-k drifted too far: {overlap}"
     assert rbf.metadata["weights_dtype"] == "bfloat16"
+
+
+def test_runner_accepts_ragged_sessions(trained, tmp_path):
+    """Serving accepts RAW variable-length sessions (the reference ensemble's
+    TransformWorkflow padding stage, notebook 03:656-680): ragged input must
+    score identically to the caller pre-padding (keep-first, right-pad 0)."""
+    schema, model, params, batch = trained
+    path = export_model(model, params, batch, str(tmp_path / "rag"), top_k=5)
+    runner = load_runner(path)
+    dense = {k: np.asarray(v)[:3] for k, v in batch.items()}
+    s_ref, i_ref = runner.predict(dense)
+
+    # strip trailing zeros per row → ragged lists
+    ragged = {}
+    for k, v in dense.items():
+        if v.ndim == 2:
+            rows = []
+            for r in v:
+                n = int(np.nonzero(r)[0].max()) + 1 if r.any() else 0
+                rows.append(list(r[:n]))
+            ragged[k] = rows
+        else:
+            ragged[k] = v
+    s_rag, i_rag = runner.predict(ragged)
+    np.testing.assert_array_equal(i_ref, i_rag)
+    np.testing.assert_allclose(s_ref, s_rag, rtol=1e-6)

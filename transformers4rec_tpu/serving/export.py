@@ -121,7 +121,7 @@ class InferenceRunner:
         feats = self.metadata["features"]
         dtypes = self.metadata["dtypes"]
         arrs = {
-            k: jnp.asarray(np.asarray(v, dtype=dtypes[k]))
+            k: jnp.asarray(self._densify(k, v, feats[k], dtypes[k]))
             for k, v in batch.items()
             if k in feats
         }
@@ -130,6 +130,28 @@ class InferenceRunner:
             scores, ids = out
             return np.asarray(scores), np.asarray(ids)
         return np.asarray(out)
+
+    def _densify(self, name: str, v, feat_shape, dtype) -> np.ndarray:
+        """Accept RAGGED sequence inputs (list of variable-length sessions) in
+        addition to pre-padded dense arrays — the padding/truncation the
+        reference's serving ensemble performs in its TransformWorkflow stage
+        (notebook 03:656-680): keep the first ``max_len`` items, right-pad 0.
+        """
+        if feat_shape and isinstance(v, (list, tuple)) and len(v) and isinstance(
+            v[0], (list, tuple, np.ndarray)
+        ):
+            lens = {len(r) for r in v}
+            if len(lens) > 1 or lens != {feat_shape[0]}:
+                from ..data.padding import pad_ragged
+
+                max_len = feat_shape[0]
+                values = np.concatenate(
+                    [np.asarray(r, dtype=dtype) for r in v]
+                ) if v else np.zeros(0, dtype=dtype)
+                offsets = np.zeros(len(v) + 1, np.int64)
+                np.cumsum([len(r) for r in v], out=offsets[1:])
+                return pad_ragged(values, offsets, max_len)
+        return np.asarray(v, dtype=dtype)
 
 
 def load_runner(path: str) -> InferenceRunner:
