@@ -261,11 +261,16 @@ def make_synthetic_windows(args, schema, base_dir):
 
 def incremental_train_eval(trainer, args, input_dir):
     """Per time-window train → evaluate next window
-    (reference transf_exp_main.py:250-335)."""
+    (reference transf_exp_main.py:250-335). --no_incremental_training
+    switches to the sliding-window retrain-from-scratch protocol
+    (reference transf_exp_args.py:64-83)."""
     from transformers4rec_tpu.utils.examples_utils import fit_and_evaluate
 
     return fit_and_evaluate(
-        trainer, args.start_time_window_index, args.final_time_window_index, input_dir
+        trainer, args.start_time_window_index, args.final_time_window_index,
+        input_dir,
+        no_incremental_training=args.no_incremental_training,
+        training_time_window_size=args.training_time_window_size,
     )
 
 

@@ -91,3 +91,27 @@ def test_paper_cli_from_raw_interactions(tmp_path):
     with open(tmp_path / "out" / "results.json") as f:
         on_disk = json.load(f)
     assert set(on_disk) == set(results)
+
+
+def test_paper_cli_sliding_window_protocol(tmp_path):
+    """--no_incremental_training retrains from scratch each window on the
+    last --training_time_window_size windows (reference
+    transf_exp_args.py:64-83 declares the flags; here they are functional)."""
+    cli = _load_cli()
+    results = cli.main([
+        "--use_synthetic",
+        "--no_incremental_training",
+        "--training_time_window_size", "1",
+        "--model_type", "gpt2",
+        "--masking", "clm",
+        "--d_model", "32",
+        "--n_layer", "1",
+        "--n_head", "2",
+        "--session_seq_length_max", "10",
+        "--per_device_train_batch_size", "8",
+        "--per_device_eval_batch_size", "8",
+        "--start_time_window_index", "1",
+        "--final_time_window_index", "2",
+        "--output_dir", str(tmp_path),
+    ])
+    assert results and all(len(v) == 2 for v in results.values())

@@ -13,12 +13,21 @@ from typing import Dict, List
 
 
 def fit_and_evaluate(trainer, start_time_index: int, end_time_index: int,
-                     input_dir: str) -> Dict[str, List[float]]:
+                     input_dir: str,
+                     no_incremental_training: bool = False,
+                     training_time_window_size: int = 0) -> Dict[str, List[float]]:
     """Time-window incremental training: train on window t, evaluate on t+1.
 
     Expects ``input_dir/{t}/train.parquet`` and ``input_dir/{t+1}/valid.parquet``
     partitions (same layout the reference's NVTabular preprocessing emits).
     Returns ``{"indexed_by_time_<metric>@k": [scores per window]}``.
+
+    ``no_incremental_training=True`` switches to the paper's SLIDING-WINDOW
+    protocol (reference transf_exp_args.py:64-83 declares these flags; this
+    implementation makes them functional): instead of continuing the model
+    from the previous window, each step RETRAINS FROM SCRATCH on the last
+    ``training_time_window_size`` windows of train data (0 = all windows from
+    the start index up to the current one).
     """
     indexed_by_time_metrics: Dict[str, List[float]] = {}
     # eval_on_test_set (reference config/trainer.py:85-88): score each
@@ -29,7 +38,22 @@ def fit_and_evaluate(trainer, start_time_index: int, end_time_index: int,
         else "valid.parquet"
     )
     for time_index in range(start_time_index, end_time_index + 1):
-        train_paths = glob.glob(os.path.join(input_dir, f"{time_index}/train.parquet"))
+        if no_incremental_training:
+            lo = (
+                max(start_time_index, time_index - training_time_window_size + 1)
+                if training_time_window_size > 0 else start_time_index
+            )
+            train_paths = [
+                p for t in range(lo, time_index + 1)
+                for p in glob.glob(os.path.join(input_dir, f"{t}/train.parquet"))
+            ]
+            # fresh model per window: drop the train state so the next
+            # train() re-initializes parameters and optimizer
+            trainer._train_state = None
+        else:
+            train_paths = glob.glob(
+                os.path.join(input_dir, f"{time_index}/train.parquet")
+            )
         eval_paths = glob.glob(os.path.join(input_dir, f"{time_index + 1}/{eval_file}"))
 
         print(f"\n***** Launch training for day {time_index}: *****")
