@@ -616,3 +616,50 @@ def test_report_to_tensorboard(tmp_path, ecommerce_schema):
     t2.train()
     assert t2._tb_writer is None
     assert not os.path.exists(os.path.join(str(tmp_path / "plain"), "runs"))
+
+
+def test_load_best_model_at_end(tmp_path, ecommerce_schema):
+    """HF best-checkpoint semantics (reference
+    test_trainer.py::test_saves_checkpoints_best_metric): saves at eval
+    boundaries record metric_for_best_model, rotation never deletes the best
+    checkpoint, and train() ends with the BEST checkpoint's parameters."""
+    t = _make_trainer(
+        tmp_path, ecommerce_schema,
+        max_steps=12, save_steps=4, eval_steps=4,
+        save_total_limit=1,
+        load_best_model_at_end=True,
+        metric_for_best_model="/next-item/recall_at_10",
+        lr_scheduler_type="constant",
+        per_device_train_batch_size=8,
+    )
+    t.train()
+    assert t._best_checkpoint is not None
+    best_name = os.path.basename(t._best_checkpoint)
+    remaining = sorted(
+        d for d in os.listdir(tmp_path) if d.startswith("checkpoint-")
+    )
+    # rotation kept the best + at most save_total_limit most-recent others
+    assert best_name in remaining and len(remaining) <= 2
+
+    # final params == best checkpoint params, regardless of later steps
+    with open(os.path.join(t._best_checkpoint, "params.msgpack"), "rb") as f:
+        from flax import serialization
+
+        best_params = serialization.from_bytes(
+            jax.device_get(t._train_state.params), f.read()
+        )
+    jax.tree_util.tree_map(
+        np.testing.assert_array_equal,
+        jax.device_get(t._train_state.params),
+        best_params,
+    )
+    # trainer state untouched by the restore
+    assert t.state.global_step == 12
+
+    # greater_is_better inference: best recall must be the max over evals
+    evals = [
+        h["eval_/next-item/recall_at_10"]
+        for h in t.state.log_history
+        if "eval_/next-item/recall_at_10" in h
+    ]
+    np.testing.assert_allclose(t._best_metric, max(evals), rtol=1e-6)

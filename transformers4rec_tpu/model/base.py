@@ -204,6 +204,12 @@ class Model(nn.Module):
     ):
         top_k = top_k if top_k is not None else self.top_k
         weights = list(self.head_weights or [1.0] * len(self.heads))
+        if len(weights) != len(self.heads):
+            raise ValueError(
+                f"head_weights must match the number of heads "
+                f"({len(weights)} weights for {len(self.heads)} heads — "
+                f"reference model/base.py:528-534 raises likewise)"
+            )
         if not (training or testing):
             if len(self.heads) == 1:
                 return self.heads[0](

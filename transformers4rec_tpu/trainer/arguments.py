@@ -116,6 +116,16 @@ class T4RecTrainingArguments:
     eval_steps: Optional[int] = None
     save_steps: Optional[int] = None
     save_total_limit: Optional[int] = None
+    # HF best-checkpoint tracking (exercised by reference
+    # tests/unit/torch/test_trainer.py::test_saves_checkpoints_best_metric):
+    # each save at an eval boundary records metric_for_best_model; rotation
+    # never deletes the best checkpoint; train() ends by restoring the best
+    # checkpoint's PARAMETERS (trainer state/global_step stay).
+    load_best_model_at_end: bool = False
+    # e.g. "/next-item/recall_at_10" (an "eval_" prefix is added if absent)
+    metric_for_best_model: Optional[str] = None
+    # None → inferred: False when the metric name contains "loss", else True
+    greater_is_better: Optional[bool] = None
     report_to: str = "none"
     disable_tqdm: bool = True
     # observability (SURVEY.md §5): device trace + JSONL metrics stream

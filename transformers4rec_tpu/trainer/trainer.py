@@ -513,16 +513,18 @@ class Trainer:
                         )
                 if pbar is not None:
                     pbar.update(len(group))
-                if a.save_steps and step_in_run % a.save_steps == 0:
-                    self._save_checkpoint()
                 if (
                     a.eval_steps
                     and step_in_run % a.eval_steps == 0
                     and self._has_eval_data()
                 ):
                     # periodic mid-train evaluation (HF evaluation_strategy=
-                    # "steps"); evaluate() logs/reports at this global step
+                    # "steps"); evaluate() logs/reports at this global step.
+                    # Runs BEFORE a same-boundary save so best-checkpoint
+                    # tracking sees this step's metric (HF order).
                     self.evaluate()
+                if a.save_steps and step_in_run % a.save_steps == 0:
+                    self._save_checkpoint()
                 if step_in_run >= num_steps:
                     done = True
 
@@ -572,6 +574,20 @@ class Trainer:
         # an async save started near the end must be durable before train()
         # returns (callers read checkpoint dirs right after)
         self.wait_for_checkpoints()
+        if a.load_best_model_at_end:
+            best = getattr(self, "_best_checkpoint", None)
+            if best and os.path.isdir(best):
+                # HF semantics: restore the best checkpoint's PARAMETERS;
+                # global_step/log_history/optimizer state stay as-is
+                self._load_params_only(best)
+            elif a.metric_for_best_model:
+                import warnings
+
+                warnings.warn(
+                    "load_best_model_at_end: no checkpoint recorded "
+                    f"{a.metric_for_best_model!r} (set eval_steps at save "
+                    "boundaries); keeping final parameters"
+                )
         runtime = time.time() - start
         metrics = {
             "train_loss": losses[-1] if losses else float("nan"),
@@ -721,6 +737,10 @@ class Trainer:
         self.state.log_history.append(results)
         self._report(results, self.state.global_step)
         self._log_json(results)
+        if metric_key_prefix == "eval":
+            # best-checkpoint tracking reads the metrics of the most recent
+            # eval boundary (load_best_model_at_end)
+            self._last_eval_metrics = results
         if self.args.log_predictions and not on_train_set:
             self.log_predictions(eval_dataset, metric_key_prefix=metric_key_prefix)
         return results
@@ -798,20 +818,48 @@ class Trainer:
             self.args.output_dir, f"checkpoint-{self.state.global_step}"
         )
         self.save(path)
+        self._track_best_checkpoint(path)
         self._rotate_checkpoints()
         return path
+
+    def _track_best_checkpoint(self, path: str) -> None:
+        """Record this checkpoint as best when args.metric_for_best_model
+        improved at its eval boundary (HF load_best_model_at_end semantics —
+        reference test_trainer.py::test_saves_checkpoints_best_metric)."""
+        a = self.args
+        if not (a.load_best_model_at_end and a.metric_for_best_model):
+            return
+        metrics = getattr(self, "_last_eval_metrics", None)
+        if not metrics:
+            return
+        key = a.metric_for_best_model
+        if key not in metrics and not key.startswith("eval_"):
+            key = f"eval_{key}"
+        if key not in metrics:
+            return
+        value = float(metrics[key])
+        greater = a.greater_is_better
+        if greater is None:
+            greater = "loss" not in a.metric_for_best_model
+        best = getattr(self, "_best_metric", None)
+        if best is None or (value > best if greater else value < best):
+            self._best_metric = value
+            self._best_checkpoint = path
 
     def _rotate_checkpoints(self):
         limit = self.args.save_total_limit
         if not limit:
             return
         root = self.args.output_dir
+        keep = os.path.basename(getattr(self, "_best_checkpoint", "") or "")
         cks = sorted(
             (d for d in os.listdir(root) if d.startswith("checkpoint-")),
             key=lambda d: int(d.split("-")[1]),
         )
+        # the best checkpoint is never rotated away (HF semantics)
         for d in cks[:-limit]:
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+            if d != keep:
+                shutil.rmtree(os.path.join(root, d), ignore_errors=True)
 
     def wait_for_checkpoints(self) -> None:
         """Block until every in-flight async checkpoint write (args.save_async)
@@ -903,6 +951,25 @@ class Trainer:
                 t = threading.Thread(target=_write, daemon=True)
                 t.start()
                 register_pending(t.join)
+
+    def _load_params_only(self, path: str) -> None:
+        """Restore PARAMETERS from a checkpoint dir, leaving trainer state,
+        optimizer state, rng, and step counters untouched (the
+        load_best_model_at_end restore — HF loads best weights only)."""
+        self.wait_for_checkpoints()
+        orbax_path = os.path.join(path, "state.orbax")
+        if os.path.isdir(orbax_path):
+            from .checkpoint import restore_sharded
+
+            restored = restore_sharded(orbax_path, self._train_state, self.mesh)
+            params = restored.params
+        else:
+            with open(os.path.join(path, "params.msgpack"), "rb") as f:
+                params = serialization.from_bytes(
+                    jax.device_get(self._train_state.params), f.read()
+                )
+            params = jax.device_put(params, param_shardings(params, self.mesh))
+        self._train_state = self._train_state.replace(params=params)
 
     def load(self, path: str) -> None:
         """Restore params (+ optimizer + step) — reference
