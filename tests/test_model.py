@@ -501,3 +501,27 @@ def test_attention_window_build_arg():
     assert c3.local_window == 6
     # default windows unchanged
     assert tr.transformer_registry.parse("reformer").build(32, 2, 1, 20).local_window == 8
+
+
+def test_model_fit_evaluate_with_ragged_inputs(jbatch):
+    """Ragged __values/__offsets batches work at the Model entry: fit and
+    evaluate densify host-side before the jitted step (reference
+    test_sequential_prediction_model_with_ragged_inputs; reference
+    model/base.py:545-551 pads at forward)."""
+    import optax
+
+    from transformers4rec_tpu.data.synthetic import synthetic_data
+
+    schema, _ = jbatch
+    model = _build(schema, masking="clm", arch="gpt2")
+    ragged = synthetic_data(schema, num_rows=16, max_session_length=20,
+                            seed=9, ragged=True)
+    assert any(k.endswith("__offsets") for k in ragged)
+
+    loader = [ragged, ragged]  # two identical ragged batches
+    params, losses = model.fit(loader, optimizer=optax.adam(1e-3),
+                               num_epochs=1)
+    assert losses and all(np.isfinite(l) for l in losses)
+    results = model.evaluate(loader, params)
+    assert np.isfinite(results["eval_loss"])
+    assert any("recall" in k for k in results)

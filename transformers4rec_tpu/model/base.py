@@ -231,6 +231,18 @@ class Model(nn.Module):
         return total, all_outputs
 
     # -------------------------------------------------- self-contained loops
+    @staticmethod
+    def _as_dense(batch, max_sequence_length=None):
+        """Host-side model-entry densify: ragged ``__values``/``__offsets``
+        batches are padded to a static shape before the jitted step
+        (reference Model.forward pads ragged inputs at entry —
+        model/base.py:545-551; here padding stays OUT of the traced graph)."""
+        if any(k.endswith("__offsets") for k in batch):
+            from ..data.padding import pad_inputs
+
+            batch = pad_inputs(batch, max_sequence_length)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
     def fit(
         self,
         dataloader,
@@ -255,7 +267,7 @@ class Model(nn.Module):
         first = None
         if params is None:
             first = next(iter(dataloader))
-            batch = {k: jnp.asarray(v) for k, v in first.items()}
+            batch = self._as_dense(first)
             init_rngs = {
                 "params": jax.random.fold_in(rng, 0),
                 "masking": jax.random.fold_in(rng, 1),
@@ -291,7 +303,7 @@ class Model(nn.Module):
         for epoch in range(num_epochs):
             epoch_loss, n = jnp.zeros(()), 0
             for batch in dataloader:
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                batch = self._as_dense(batch)
                 rng, step_rng = jax.random.split(rng)
                 params, opt_state, loss = train_step(
                     params, opt_state, step_rng, batch
@@ -340,7 +352,7 @@ class Model(nn.Module):
         for i, batch in enumerate(dataloader):
             if max_steps is not None and i >= max_steps:
                 break
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            batch = self._as_dense(batch)
             loss, metrics = eval_step(params, batch)
             loss_sum = loss_sum + loss
             n += 1
