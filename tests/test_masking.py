@@ -6,6 +6,7 @@ properties, RTD replacement."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from transformers4rec_tpu.masking import (
     PermutationLanguageModeling,
@@ -303,3 +304,28 @@ def test_plm_span_sampler_golden_vs_reference_semantics():
         # ≥1 masked per session in both
         assert (got_mask.sum(axis=1) >= 1).all()
         assert (ref_mask.sum(axis=1) >= 1).all()
+
+
+@pytest.mark.parametrize("scheme", ["clm", "mlm"])
+def test_mask_all_next_items_for_eval(scheme):
+    """eval_on_last_item_seq_only=False: EVERY next item is an eval target
+    (reference test_masking.py::test_mask_all_next_item_for_eval)."""
+    ids = jnp.asarray([[3, 7, 9, 2, 0, 0], [5, 4, 0, 0, 0, 0]])
+    m_all = masking_registry.parse(scheme)(
+        hidden_size=8, eval_on_last_item_seq_only=False
+    )
+    info = m_all.compute_masked_targets(
+        jax.random.PRNGKey(0), ids, training=False, testing=True
+    )
+    # CLM: target at position i is item i+1 → n_valid-1 targets per row;
+    # MLM eval-all mirrors the reference (all non-pad shifted positions)
+    n_targets = np.asarray(info.mask.sum(axis=1))
+    np.testing.assert_array_equal(n_targets, [3, 1])
+
+    m_last = masking_registry.parse(scheme)(
+        hidden_size=8, eval_on_last_item_seq_only=True
+    )
+    info_last = m_last.compute_masked_targets(
+        jax.random.PRNGKey(0), ids, training=False, testing=True
+    )
+    np.testing.assert_array_equal(np.asarray(info_last.mask.sum(axis=1)), [1, 1])
