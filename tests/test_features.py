@@ -132,3 +132,55 @@ def test_tsf_no_masking_no_projection(ecommerce_schema, yoochoose_like_batch):
     assert info is None
     assert hidden.shape == (100, 20, 34)  # 16+16+1+1
     assert mod.output_size() == 34
+
+
+def test_from_schema_pretrained_embeddings_routes(ecommerce_schema, yoochoose_like_batch):
+    """from_schema wires pretrained embeddings (reference tabular.py:125-190):
+    (a) explicit {col: matrix} tables looked up in-model, (b) Tags.EMBEDDING
+    columns whose batch values are precomputed vectors."""
+    import numpy as onp
+
+    from transformers4rec_tpu.schema import ColumnSchema, Tags
+
+    # (a) explicit table for item_id alongside the learned embeddings
+    pre = onp.random.default_rng(0).normal(size=(1001, 12)).astype(onp.float32)
+    mod = TabularSequenceFeatures.from_schema(
+        ecommerce_schema,
+        d_output=32,
+        masking="clm",
+        pretrained_embeddings={"item_id": pre},
+        pretrained_projection_dim=8,
+    )
+    batch = _jax_batch(yoochoose_like_batch)
+    params = mod.init(
+        {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1)},
+        batch, training=True,
+    )
+    out, info = mod.apply(
+        params, batch, training=True, rngs={"masking": jax.random.PRNGKey(1)}
+    )
+    assert out.shape[-1] == 32
+    # the pretrained lookup contributes params (projection) and runs
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    assert any("pretrained" in jax.tree_util.keystr(p) for p, _ in flat)
+
+    # (b) a Tags.EMBEDDING column: the batch carries (B, S, D) vectors
+    emb_col = ColumnSchema.create_continuous("txt_emb", tags=[Tags.EMBEDDING])
+    schema2 = ecommerce_schema + type(ecommerce_schema)([emb_col])
+    mod2 = TabularSequenceFeatures.from_schema(
+        schema2, d_output=32, masking="clm", pretrained_output_dims={"txt_emb": 6},
+    )
+    batch2 = dict(batch)
+    batch2["txt_emb"] = jnp.asarray(
+        onp.random.default_rng(1).normal(size=(batch["item_id"].shape[0], 20, 6)),
+        jnp.float32,
+    )
+    params2 = mod2.init(
+        {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1)},
+        batch2, training=True,
+    )
+    out2, info2 = mod2.apply(
+        params2, batch2, training=True, rngs={"masking": jax.random.PRNGKey(1)}
+    )
+    assert out2.shape[-1] == 32
+    assert jnp.isfinite(out2).all()

@@ -18,7 +18,7 @@ tables over the mesh (see transformers4rec_tpu/parallel/).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -298,13 +298,36 @@ class SoftEmbeddingFeatures(TabularBlock):
 
 
 class PretrainedEmbeddingFeatures(TabularBlock):
-    """Fixed (optionally frozen) pretrained embedding matrices with optional
-    projection and sequence combiner (reference embedding.py:599-737)."""
+    """Pretrained embeddings, two modes (reference embedding.py:599-737):
+
+    - ``pretrained_embeddings``: fixed (optionally trainable) matrices looked
+      up IN-MODEL by the column's integer ids.
+    - ``precomputed_features``: columns whose batch values are ALREADY
+      embedding vectors (the reference's ``Tags.EMBEDDING`` route — the
+      dataloader's EmbeddingOperator attaches (B, S, D) floats); consumed
+      as-is with optional projection/combiner. ``precomputed_dims`` declares
+      D per column for analytic output sizing.
+    """
 
     pretrained_embeddings: Dict[str, jnp.ndarray] = dataclasses.field(default_factory=dict)
+    precomputed_features: Tuple[str, ...] = ()
+    precomputed_dims: Dict[str, int] = dataclasses.field(default_factory=dict)
     trainable: bool = False
     projection_dim: Optional[int] = None
     sequence_combiner: Optional[str] = None  # None | 'mean' | 'sum'
+
+    def _finish(self, name: str, emb: jnp.ndarray, ids) -> jnp.ndarray:
+        if self.projection_dim:
+            emb = nn.Dense(self.projection_dim, name=f"{name}_proj")(emb)
+        if self.sequence_combiner and emb.ndim == 3:
+            if ids is not None:
+                valid = (ids != 0).sum(axis=-1, keepdims=True).astype(emb.dtype)
+            else:
+                valid = jnp.full((emb.shape[0], 1), emb.shape[1], emb.dtype)
+            emb = emb.sum(axis=1)
+            if self.sequence_combiner == "mean":
+                emb = emb / jnp.maximum(valid, 1.0)
+        return emb
 
     @nn.compact
     def __call__(self, inputs: TabularData, training: bool = False, **kwargs):
@@ -321,14 +344,12 @@ class PretrainedEmbeddingFeatures(TabularBlock):
                 table = jax.lax.stop_gradient(table)
             ids = inputs[name].astype(jnp.int32)
             emb = table[ids] * (ids != 0)[..., None].astype(jnp.float32)
-            if self.projection_dim:
-                emb = nn.Dense(self.projection_dim, name=f"{name}_proj")(emb)
-            if self.sequence_combiner and emb.ndim == 3:
-                valid = (ids != 0).sum(axis=-1, keepdims=True).astype(emb.dtype)
-                emb = emb.sum(axis=1)
-                if self.sequence_combiner == "mean":
-                    emb = emb / jnp.maximum(valid, 1.0)
-            out[name] = emb
+            out[name] = self._finish(name, emb, ids)
+        for name in self.precomputed_features:
+            if name not in inputs:
+                continue
+            emb = inputs[name].astype(jnp.float32)
+            out[name] = self._finish(name, emb, None)
         agg = kwargs.get("aggregation") or self.aggregation
         if agg is not None:
             from ..tabular.base import parse_aggregation
@@ -337,10 +358,13 @@ class PretrainedEmbeddingFeatures(TabularBlock):
         return out
 
     def feature_sizes(self) -> Dict[str, int]:
-        return {
+        sizes = {
             name: (self.projection_dim or m.shape[-1])
             for name, m in self.pretrained_embeddings.items()
         }
+        for name in self.precomputed_features:
+            sizes[name] = self.projection_dim or self.precomputed_dims.get(name, 0)
+        return sizes
 
 
 class PretrainedEmbeddingsInitializer:

@@ -81,6 +81,28 @@ class TabularFeatures(TabularBlock):
         if isinstance(continuous_projection, int):
             continuous_projection = [continuous_projection]
 
+        # pretrained embeddings (reference tabular.py:125-190): either
+        # explicit {col: matrix} tables looked up in-model, or columns tagged
+        # Tags.EMBEDDING whose batch values are precomputed vectors
+        maybe_pretrained = None
+        pretrained_tables = kwargs.get("pretrained_embeddings") or {}
+        pre_schema = schema.select_by_tag([Tags.EMBEDDING])
+        precomputed = tuple(
+            n for n in pre_schema.column_names if n not in pretrained_tables
+        )
+        if pretrained_tables or precomputed:
+            dims = kwargs.get("pretrained_output_dims") or {}
+            if isinstance(dims, int):
+                dims = {n: dims for n in precomputed}
+            maybe_pretrained = cls.PRETRAINED_MODULE_CLASS(
+                pretrained_embeddings=dict(pretrained_tables),
+                precomputed_features=precomputed,
+                precomputed_dims=dims,
+                trainable=kwargs.get("pretrained_trainable", False),
+                projection_dim=kwargs.get("pretrained_projection_dim"),
+                sequence_combiner=kwargs.get("pretrained_sequence_combiner"),
+            )
+
         extra = {
             k: v
             for k, v in kwargs.items()
@@ -89,6 +111,7 @@ class TabularFeatures(TabularBlock):
         return cls(
             continuous_module=maybe_continuous,
             categorical_module=maybe_categorical,
+            pretrained_module=maybe_pretrained,
             continuous_projection=tuple(continuous_projection) if continuous_projection else None,
             aggregation=aggregation,
             schema=schema,
