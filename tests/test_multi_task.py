@@ -187,7 +187,7 @@ def test_binary_regression_streaming_metrics_exact_on_unequal_batches():
         _, outs = model.apply(params, chunk, targets=chunk, testing=True)
         batch_state = {}
         for name, out in outs.items():
-            batch_state.update(out.metrics)
+            batch_state.update({f"{name}/{k}": v for k, v in out.metrics.items()})
             all_preds.setdefault(name, []).append(np.asarray(out.predictions))
         state = update_metric_state(state, batch_state) if state else batch_state
     streamed = {k: float(v) for k, v in finalize_metrics(state).items()}

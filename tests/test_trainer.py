@@ -663,3 +663,41 @@ def test_load_best_model_at_end(tmp_path, ecommerce_schema):
         if "eval_/next-item/recall_at_10" in h
     ]
     np.testing.assert_allclose(t._best_metric, max(evals), rtol=1e-6)
+
+
+def test_trainer_multi_task_music_streaming(tmp_path):
+    """Trainer-level multi-task run (reference
+    test_trainer.py::test_trainer_music_streaming /
+    test_trainer_with_multiple_tasks): next-item + binary + regression heads
+    train and evaluate through the full Trainer loop, with each task's
+    metrics in the eval results."""
+    from transformers4rec_tpu.data import music_streaming_testing_data as ms
+
+    feature_schema = ms.schema.remove_by_tag(tr.Tags.TARGET)
+    im = tr.TabularSequenceFeatures.from_schema(
+        feature_schema, d_output=32, masking="mlm", aggregation="concat"
+    )
+    head = tr.Head.from_body(
+        input_module=im,
+        transformer=tr.BertConfig.build(32, 2, 1, 20),
+        tasks=[
+            tr.NextItemPredictionTask(weight_tying=True),
+            tr.BinaryClassificationTask(task_name="click", target_name="click"),
+            tr.RegressionTask(task_name="play_percentage",
+                              target_name="play_percentage"),
+        ],
+        task_weights=[1.0, 0.5, 0.5],
+    )
+    model = tr.Model(heads=(head,))
+    args = tr.T4RecTrainingArguments(
+        output_dir=str(tmp_path), data_loader_engine="synthetic",
+        per_device_train_batch_size=8, per_device_eval_batch_size=8,
+        num_train_epochs=1, max_steps=6, max_sequence_length=20,
+    )
+    trainer = tr.Trainer(model=model, args=args, schema=ms.schema)
+    m = trainer.train()
+    assert np.isfinite(m["train_loss"])
+    e = trainer.evaluate()
+    assert "eval_/next-item/recall_at_10" in e
+    assert "eval_/click/accuracy" in e and 0.0 <= e["eval_/click/accuracy"] <= 1.0
+    assert "eval_/play_percentage/mse" in e and e["eval_/play_percentage/mse"] >= 0

@@ -164,10 +164,13 @@ class BinaryClassificationTask(PredictionTask):
         # addition and finalize as s/c, so unequal (tail) batches contribute
         # with their true weight (parity with torchmetrics' exact streaming,
         # reference prediction_task.py:122-136; NOT mean-of-batch-means)
+        # bare metric names: the metric collector (Head/Model/Trainer)
+        # prefixes the task name exactly once — same contract as the
+        # ranking metrics ("ndcg_at_10" → "next-item/ndcg_at_10")
         metrics = {
-            f"{self.task_name}/accuracy": ((hard == targets).sum(), n),
-            f"{self.task_name}/precision": (tp, hard.sum()),
-            f"{self.task_name}/recall": (tp, targets.sum()),
+            "accuracy": ((hard == targets).sum(), n),
+            "precision": (tp, hard.sum()),
+            "recall": (tp, targets.sum()),
         }
         return TaskOutput(loss=loss, labels=targets, predictions=preds, metrics=metrics)
 
@@ -190,9 +193,7 @@ class RegressionTask(PredictionTask):
         loss = mse_loss(preds, targets)
         # exact streaming (sum of squared errors, count) — see binary task
         sq = jnp.square(preds - targets.astype(jnp.float32)).sum()
-        metrics = {
-            f"{self.task_name}/mse": (sq, jnp.float32(targets.shape[0]))
-        }
+        metrics = {"mse": (sq, jnp.float32(targets.shape[0]))}
         return TaskOutput(loss=loss, labels=targets, predictions=preds, metrics=metrics)
 
 
