@@ -111,3 +111,59 @@ def test_masking_compat_accepts_reference_pairs():
                           ("reformer", "clm"), ("bert", "mlm"),
                           ("roberta", "rtd"), ("albert", "mlm")]:
         check_masking_compat(arch, masking)  # must not raise
+
+
+def test_rnn_body_next_item_prediction(ecommerce_schema):
+    """GRU4Rec-style model: input module → MLP → RNNBlock body → tied
+    next-item head trains end-to-end (reference
+    test_head.py::test_item_prediction_with_rnn wraps torch.nn.GRU in
+    tr.Block; here RNNBlock = flax nn.RNN/lax.scan)."""
+    import optax
+
+    from transformers4rec_tpu.data.synthetic import synthetic_data
+
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_data(ecommerce_schema, num_rows=8,
+                                   max_session_length=20, seed=1).items()
+    }
+    im = tr.TabularSequenceFeatures.from_schema(
+        ecommerce_schema, d_output=32, masking="clm", aggregation="concat"
+    )
+    for cell in ("gru", "lstm"):
+        head = tr.Head(
+            body=tr.SequentialBlock(blocks=(
+                im,
+                tr.MLPBlock(dimensions=(32,)),
+                tr.RNNBlock(units=32, cell_type=cell, num_layers=2),
+            )),
+            tasks=(tr.NextItemPredictionTask(weight_tying=True),),
+        )
+        model = tr.Model(heads=(head,))
+        rngs = {"params": jax.random.PRNGKey(0),
+                "masking": jax.random.PRNGKey(1),
+                "dropout": jax.random.PRNGKey(2),
+                "sampling": jax.random.PRNGKey(3)}
+        params = model.init(rngs, batch, training=True)
+        apply_rngs = {k: v for k, v in rngs.items() if k != "params"}
+
+        opt = optax.adam(5e-3)
+        st = opt.init(params)
+
+        @jax.jit
+        def step(p, s):
+            def lf(pp):
+                loss, _ = model.apply(pp, batch, training=True, rngs=apply_rngs)
+                return loss
+            l, g = jax.value_and_grad(lf)(p)
+            u, s = opt.update(g, s)
+            return optax.apply_updates(p, u), s, l
+
+        losses = []
+        for _ in range(8):
+            params, st, l = step(params, st)
+            losses.append(float(l))
+        assert losses[-1] < losses[0], (cell, losses)
+        # inference path: per-session next-item top-k
+        scores, ids = model.apply(params, batch, top_k=5)
+        assert ids.shape == (8, 5)

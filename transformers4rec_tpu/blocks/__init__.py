@@ -4,6 +4,7 @@ from .base import (
     BlockBase,
     build_blocks,
     MLPBlock,
+    RNNBlock,
     SequentialBlock,
     TransformerBlock,
     check_masking_compat,
@@ -22,6 +23,7 @@ __all__ = [
     "BlockBase",
     "build_blocks",
     "MLPBlock",
+    "RNNBlock",
     "MASKING_COMPAT",
     "MultiHeadAttention",
     "RelativePositionBias",

@@ -96,6 +96,44 @@ class MLPBlock(nn.Module):
         return x
 
 
+class RNNBlock(nn.Module):
+    """Recurrent body block — GRU4Rec-style session models (the reference
+    supports arbitrary ``torch.nn.GRU``/``LSTM`` bodies wrapped in
+    ``tr.Block`` — tests/unit/torch/model/test_head.py
+    ``test_item_prediction_with_rnn``). TPU-first: ``flax.linen.RNN`` over a
+    GRU/LSTM cell — an ``lax.scan`` under jit, static shapes, no Python
+    recurrence. Stacked ``num_layers`` deep; (B, S, D) → (B, S, units).
+
+    Left-to-right recurrence is causal by construction, so the natural
+    masking scheme is CLM (MLM would leak nothing rightward anyway — the RNN
+    simply cannot see the future)."""
+
+    units: int = 64
+    cell_type: str = "gru"  # gru | lstm
+    num_layers: int = 1
+    dropout: float = 0.0
+
+    def output_size(self) -> int:
+        return self.units
+
+    @nn.compact
+    def __call__(self, inputs: jnp.ndarray, training: bool = False, **kwargs):
+        cell_cls = {"gru": nn.GRUCell, "lstm": nn.OptimizedLSTMCell}.get(
+            self.cell_type
+        )
+        if cell_cls is None:
+            raise ValueError(f"unknown cell_type {self.cell_type!r}")
+        x = inputs
+        for i in range(self.num_layers):
+            rnn = nn.RNN(
+                cell_cls(features=self.units), name=f"{self.cell_type}_{i}"
+            )
+            x = rnn(x)
+            if self.dropout and i < self.num_layers - 1:
+                x = nn.Dropout(self.dropout)(x, deterministic=not training)
+        return x
+
+
 class TransformerBlock(nn.Module):
     """Adapter from the tabular-sequence pipeline into the unified encoder
     (reference block/transformer.py:76-206). Accepts a ``T4RecConfig``, a
