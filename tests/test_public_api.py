@@ -31,6 +31,7 @@ TPU_ADDITIONS = {
     # this framework's own additions beyond the reference surface
     "BertConfig", "RobertaConfig", "ColumnSchema", "Tags", "MaskingInfo",
     "TransformerEncoder", "masking_registry", "transformer_registry",
+    "RNNBlock",  # GRU4Rec-style recurrent bodies (flax nn.RNN/lax.scan)
     # subpackages
     "blocks", "config", "experimental", "features", "masking", "model",
     "native", "ops", "parallel", "schema", "serving", "tabular", "trainer",
