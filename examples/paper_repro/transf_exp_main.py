@@ -48,6 +48,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--final_time_window_index", type=int, default=2)
     p.add_argument("--time_window_folder_pad_digits", type=int, default=0)
     p.add_argument("--no_incremental_training", action="store_true")
+    # reference command-line compat (ci/test_integration.sh tuned configs run
+    # unchanged): the driver always trains+evaluates, these are accepted
+    p.add_argument("--do_train", action="store_true",
+                   help="accepted for parity; this driver always trains")
+    p.add_argument("--do_eval", action="store_true",
+                   help="accepted for parity; this driver always evaluates")
+    p.add_argument("--overwrite_output_dir", action="store_true",
+                   help="accepted for parity; output_dir is always reusable")
+    p.add_argument("--fp16", action="store_true",
+                   help="mapped to bf16 on TPU (SURVEY.md §2.10)")
+    p.add_argument("--eval_on_test_set", action="store_true",
+                   help="evaluate each window's test.parquet instead of "
+                        "valid.parquet")
+    p.add_argument("--dataloader_drop_last", action="store_true")
+    p.add_argument("--report_to", default="none")
+    p.add_argument("--logging_steps", type=int, default=100)
+    p.add_argument("--save_steps", type=int, default=0,
+                   help="checkpoint every N steps (0 = no checkpoints, "
+                        "reference default in the tuned configs)")
+    p.add_argument("--data_loader_engine", default="parquet",
+                   help='"merlin" accepted as an alias of "parquet"')
     p.add_argument("--session_seq_length_max", type=int, default=20)
     # model
     p.add_argument("--model_type", default="xlnet",
@@ -75,7 +96,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--numeric_features_soft_one_hot_encoding_num_embeddings",
                    type=int, default=0)
     # masking / training scheme
-    p.add_argument("--masking", default="mlm", choices=["clm", "mlm", "plm", "rtd"])
+    p.add_argument("--masking", default=None,
+                   choices=["clm", "mlm", "plm", "rtd"],
+                   help="explicit scheme; otherwise bare --mlm/--plm/--rtd "
+                        "(reference style), else the arch default "
+                        "(causal archs → clm, encoder archs → mlm)")
+    # reference scheme flags (bare --mlm/--plm/--rtd select the training
+    # scheme; CLM otherwise — transf_exp_args.py); they override --masking
+    p.add_argument("--mlm", action="store_true")
+    p.add_argument("--plm", action="store_true")
+    p.add_argument("--rtd", action="store_true")
     p.add_argument("--mlm_probability", type=float, default=0.3)
     p.add_argument("--plm_probability", type=float, default=0.25)
     p.add_argument("--plm_max_span_length", type=int, default=5)
@@ -129,7 +159,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--per_device_eval_batch_size", type=int, default=32)
     p.add_argument("--learning_rate", type=float, default=6.7e-4)
     p.add_argument("--learning_rate_schedule", default="linear",
-                   choices=["linear", "cosine", "constant", "constant_with_warmup"])
+                   choices=["linear", "cosine", "constant",
+                            "constant_with_warmup",
+                            # reference names (transf_exp_args.py:428-429):
+                            # warmup comes from --learning_rate_warmup_steps
+                            "linear_with_warmup", "cosine_with_warmup"])
     p.add_argument("--learning_rate_warmup_steps", type=int, default=0)
     p.add_argument("--learning_rate_num_cosine_cycles_by_epoch", type=float, default=1.25)
     p.add_argument("--num_train_epochs", type=float, default=1.0)
@@ -153,6 +187,18 @@ def build_parser() -> argparse.ArgumentParser:
 def get_model(args, schema):
     import transformers4rec_tpu as tr
 
+    # scheme resolution: explicit --masking > bare reference flags
+    # (--mlm/--plm/--rtd, transf_exp_args.py) > arch default (the reference
+    # trains CLM when no scheme flag is given — causal archs; encoder archs
+    # default to mlm here, matching this CLI's historical behavior)
+    if args.masking is None:
+        bare = [f for f in ("mlm", "plm", "rtd") if getattr(args, f, False)]
+        if bare:
+            args.masking = bare[0]
+        elif args.model_type in ("gpt2", "transfoxl"):
+            args.masking = "clm"
+        else:
+            args.masking = "mlm"
     masking_kwargs = {}
     if args.masking == "mlm":
         masking_kwargs["mlm_probability"] = args.mlm_probability
@@ -325,14 +371,19 @@ def main(argv=None):
     model = get_model(args, schema)
     targs = tr.T4RecTrainingArguments(
         output_dir=args.output_dir,
-        data_loader_engine="parquet",
+        data_loader_engine=args.data_loader_engine,
+        logging_steps=args.logging_steps,
+        save_steps=args.save_steps or None,
         per_device_train_batch_size=args.per_device_train_batch_size,
         per_device_eval_batch_size=args.per_device_eval_batch_size,
         steps_per_execution=args.steps_per_execution,
         pack_sessions=args.pack_sessions,
         pack_eval_sessions=args.pack_eval_sessions,
         learning_rate=args.learning_rate,
-        lr_scheduler_type=args.learning_rate_schedule,
+        lr_scheduler_type=args.learning_rate_schedule.replace("_with_warmup", "")
+        if args.learning_rate_schedule in ("linear_with_warmup",
+                                           "cosine_with_warmup")
+        else args.learning_rate_schedule,
         warmup_steps=args.learning_rate_warmup_steps,
         learning_rate_num_cosine_cycles_by_epoch=args.learning_rate_num_cosine_cycles_by_epoch,
         num_train_epochs=args.num_train_epochs,
@@ -344,6 +395,11 @@ def main(argv=None):
         compute_metrics_each_n_steps=args.compute_metrics_each_n_steps,
         predict_top_k=args.predict_top_k,
         log_predictions=args.log_predictions,
+        eval_on_test_set=args.eval_on_test_set,
+        # HF default is False; the reference configs pass the flag explicitly
+        dataloader_drop_last=args.dataloader_drop_last,
+        report_to=args.report_to,
+        bf16=True,  # --fp16 maps here; bf16 is the TPU-native precision
     )
     trainer = tr.Trainer(model=model, args=targs, schema=schema)
 

@@ -115,3 +115,89 @@ def test_paper_cli_sliding_window_protocol(tmp_path):
         "--output_dir", str(tmp_path),
     ])
     assert results and all(len(v) == 2 for v in results.values())
+
+
+def test_reference_tuned_command_lines_parse():
+    """The EXACT tuned command lines from the reference's integration script
+    (ci/test_integration.sh — the paper's five model configs + README) parse
+    against our CLI: every flag is accepted with reference names."""
+    import re
+
+    cli = _load_cli()
+    src = open("/root/reference/ci/test_integration.sh").read()
+    cmds = [
+        line for line in src.splitlines()
+        if line.startswith("python3 transf_exp_main.py")
+    ]
+    assert len(cmds) >= 5
+    parser = cli.build_parser()
+    for cmd in cmds:
+        argv = cmd.split()[2:]
+        # substitute environment placeholders
+        argv = [
+            a.replace("$DATA_PATH", "/tmp/data").replace(
+                "$FEATURE_SCHEMA_PATH", "/tmp/schema.pbtxt"
+            )
+            for a in argv
+        ]
+        args = parser.parse_args(argv)
+        assert args.model_type in {"gpt2", "transfoxl", "albert", "xlnet"}
+        assert args.d_model > 0 and args.session_seq_length_max == 20
+        # the tuned configs exercise label smoothing heavily (0.0–0.9) —
+        # it must ride the fused CE path (tests/test_ops.py pins numerics)
+        assert 0.0 <= args.label_smoothing <= 0.9
+
+
+def test_reference_tuned_xlnet_command_runs(tmp_path):
+    """The reference's tuned XLNet-MLM command line (ci/test_integration.sh
+    line for the REES46 headline config) RUNS end-to-end through our CLI —
+    schema + windowed data substituted with synthetic fixtures, size knobs
+    overridden by appending (argparse last-wins) so CPU CI stays fast.
+    Validates every flag flows through main(), incl. --eval_on_test_set."""
+    import numpy as np
+
+    from transformers4rec_tpu.data.synthetic import (
+        generate_item_interactions,
+        interactions_to_sessions,
+        synthetic_ecommerce_data_schema,
+    )
+
+    schema = synthetic_ecommerce_data_schema(
+        num_items=300, num_categories=20, max_session_length=20
+    )
+    schema_path = tmp_path / "schema.json"
+    schema_path.write_text(schema.to_json())
+    for t in (1, 2, 3):
+        d = tmp_path / "win" / str(t)
+        os.makedirs(d)
+        for split, n in (("train", 800), ("valid", 300), ("test", 300)):
+            df = generate_item_interactions(n, schema, seed=t * 7 + n)
+            sessions = interactions_to_sessions(df, schema, max_session_length=20)
+            sessions.to_parquet(d / f"{split}.parquet")
+
+    src = open("/root/reference/ci/test_integration.sh").read()
+    cmd = next(
+        line for line in src.splitlines()
+        if line.startswith("python3 transf_exp_main.py") and "--mlm " in line
+        and "--model_type xlnet" in line and "label_smoothing 0.0" in line
+    )
+    argv = [
+        a.replace("$DATA_PATH", str(tmp_path / "win")).replace(
+            "$FEATURE_SCHEMA_PATH", str(schema_path)
+        )
+        for a in cmd.split()[2:]
+    ]
+    argv += [  # CPU-CI size overrides (argparse: last occurrence wins)
+        "--d_model", "32", "--n_layer", "1", "--n_head", "2",
+        "--item_embedding_dim", "16",
+        "--per_device_train_batch_size", "8",
+        "--per_device_eval_batch_size", "8",
+        "--num_train_epochs", "1",
+        "--time_window_folder_pad_digits", "0",
+        "--output_dir", str(tmp_path / "out"),
+        "--cpu",
+    ]
+    cli = _load_cli()
+    results = cli.main(argv)
+    assert results and all(isinstance(v, list) and v for v in results.values())
+    assert any("recall" in k for k in results)

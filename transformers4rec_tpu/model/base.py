@@ -273,6 +273,7 @@ class Model(nn.Module):
                 "masking": jax.random.fold_in(rng, 1),
                 "dropout": jax.random.fold_in(rng, 2),
                 "sampling": jax.random.fold_in(rng, 3),
+                "augment": jax.random.fold_in(rng, 4),
             }
             params = self.init(init_rngs, batch, targets=batch, training=True)
         opt_state = optimizer.init(params)
@@ -285,6 +286,7 @@ class Model(nn.Module):
                 "masking": jax.random.fold_in(step_rng, 0),
                 "dropout": jax.random.fold_in(step_rng, 1),
                 "sampling": jax.random.fold_in(step_rng, 2),
+                "augment": jax.random.fold_in(step_rng, 3),
             }
 
             def loss_fn(p):

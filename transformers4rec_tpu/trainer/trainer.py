@@ -260,6 +260,7 @@ class Trainer:
             "masking": jax.random.PRNGKey(self.args.seed + 1),
             "dropout": jax.random.PRNGKey(self.args.seed + 2),
             "sampling": jax.random.PRNGKey(self.args.seed + 3),
+            "augment": jax.random.PRNGKey(self.args.seed + 4),
         }
         batch = {k: jnp.asarray(v) for k, v in example_batch.items()}
         params = self.model.init(rngs, batch, targets=batch, training=True)
@@ -289,6 +290,8 @@ class Trainer:
                 "masking": jax.random.fold_in(rng, 0),
                 "dropout": jax.random.fold_in(rng, 1),
                 "sampling": jax.random.fold_in(rng, 2),
+                # train-time augmentations (StochasticSwapNoise)
+                "augment": jax.random.fold_in(rng, 3),
             }
 
             def loss_fn(params):
@@ -323,6 +326,8 @@ class Trainer:
                 "masking": jax.random.fold_in(rng, 0),
                 "dropout": jax.random.fold_in(rng, 1),
                 "sampling": jax.random.fold_in(rng, 2),
+                # train-time augmentations (StochasticSwapNoise)
+                "augment": jax.random.fold_in(rng, 3),
             }
 
             def loss_fn(params):
