@@ -64,8 +64,18 @@ def test_random_schema_end_to_end(trial):
     d_model = int(rng.choice([16, 32, 48]))
     schema = _random_schema(rng, seq_len)
 
+    # sometimes add a pretrained precomputed-vector column
+    # (Tags.EMBEDDING route — features/tabular.py from_schema)
+    pre_dim = int(rng.choice([0, 0, 4, 8]))
+    if pre_dim:
+        schema = schema + Schema([
+            ColumnSchema.create_continuous(
+                "pre_emb", tags=[Tags.EMBEDDING], value_count=ValueCount(2, seq_len)
+            )
+        ])
     im = tr.TabularSequenceFeatures.from_schema(
         schema, d_output=d_model, masking=masking, aggregation="concat",
+        pretrained_output_dims={"pre_emb": pre_dim} if pre_dim else None,
     )
     cfg = tr.transformer_registry.parse(ARCH_FOR[masking]).build(
         d_model=d_model, n_head=2, n_layer=1, total_seq_length=seq_len
@@ -75,9 +85,14 @@ def test_random_schema_end_to_end(trial):
     batch = {
         k: jnp.asarray(v)
         for k, v in synthetic_data(
-            schema, num_rows=8, max_session_length=seq_len, seed=trial
+            schema.remove_by_tag(Tags.EMBEDDING), num_rows=8,
+            max_session_length=seq_len, seed=trial
         ).items()
     }
+    if pre_dim:
+        batch["pre_emb"] = jnp.asarray(
+            rng.normal(size=(8, seq_len, pre_dim)), jnp.float32
+        )
     rngs = {
         "params": jax.random.PRNGKey(trial),
         "masking": jax.random.PRNGKey(trial + 1),
