@@ -701,3 +701,30 @@ def test_trainer_multi_task_music_streaming(tmp_path):
     assert "eval_/next-item/recall_at_10" in e
     assert "eval_/click/accuracy" in e and 0.0 <= e["eval_/click/accuracy"] <= 1.0
     assert "eval_/play_percentage/mse" in e and e["eval_/play_percentage/mse"] >= 0
+
+
+def test_streaming_engine_with_shuffle_buffer(tmp_path, ecommerce_schema):
+    """parquet_streaming engine through the Trainer with a bounded shuffle
+    buffer (shuffle_buffer_size → the loader's buffer_rows)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from transformers4rec_tpu.data.synthetic import synthetic_data
+
+    rows = synthetic_data(ecommerce_schema, num_rows=128,
+                          max_session_length=20, seed=0)
+    table = pa.table({k: list(v) for k, v in rows.items()})
+    p = tmp_path / "train.parquet"
+    pq.write_table(table, p, row_group_size=32)
+
+    t = _make_trainer(
+        tmp_path, ecommerce_schema,
+        data_loader_engine="parquet_streaming",
+        shuffle_buffer_size=64,
+        max_steps=4,
+    )
+    t.train_dataset = str(p)
+    m = t.train()
+    assert m["train_steps"] == 4 and np.isfinite(m["train_loss"])
+    loader = t.get_train_dataloader()
+    assert loader.buffer_rows == 64
