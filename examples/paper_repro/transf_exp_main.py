@@ -317,6 +317,7 @@ def incremental_train_eval(trainer, args, input_dir):
         input_dir,
         no_incremental_training=args.no_incremental_training,
         training_time_window_size=args.training_time_window_size,
+        pad_digits=args.time_window_folder_pad_digits,
     )
 
 
@@ -412,7 +413,11 @@ def main(argv=None):
     # last eval window and recompute recall@10 by hand
 
     last_eval = os.path.join(
-        data_path, str(args.final_time_window_index + 1), "valid.parquet"
+        data_path,
+        str(args.final_time_window_index + 1).zfill(
+            args.time_window_folder_pad_digits or 1
+        ),
+        "valid.parquet",
     )
     scores, ids = trainer.predict(last_eval, top_k=10)
     print(f"\nsimulated inference: predicted top-10 for {ids.shape[0]} sessions")

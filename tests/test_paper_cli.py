@@ -201,3 +201,27 @@ def test_reference_tuned_xlnet_command_runs(tmp_path):
     results = cli.main(argv)
     assert results and all(isinstance(v, list) and v for v in results.values())
     assert any("recall" in k for k in results)
+
+
+def test_paper_cli_padded_window_folders(tmp_path):
+    """--time_window_folder_pad_digits 4: the CLI reads '0001'-style window
+    folders — the layout real NVTabular preprocessing emits (reference CI
+    commands all pass pad_digits 4)."""
+    cli = _load_cli()
+    results = cli.main([
+        "--use_synthetic",
+        "--model_type", "gpt2",
+        "--masking", "clm",
+        "--d_model", "16",
+        "--n_layer", "1",
+        "--n_head", "2",
+        "--session_seq_length_max", "10",
+        "--per_device_train_batch_size", "8",
+        "--per_device_eval_batch_size", "8",
+        "--start_time_window_index", "1",
+        "--final_time_window_index", "2",
+        "--time_window_folder_pad_digits", "4",
+        "--output_dir", str(tmp_path),
+    ])
+    assert results and all(v for v in results.values())
+    assert (tmp_path / "synthetic_windows" / "0001" / "train.parquet").exists()

@@ -15,12 +15,16 @@ from typing import Dict, List
 def fit_and_evaluate(trainer, start_time_index: int, end_time_index: int,
                      input_dir: str,
                      no_incremental_training: bool = False,
-                     training_time_window_size: int = 0) -> Dict[str, List[float]]:
+                     training_time_window_size: int = 0,
+                     pad_digits: int = 0) -> Dict[str, List[float]]:
     """Time-window incremental training: train on window t, evaluate on t+1.
 
     Expects ``input_dir/{t}/train.parquet`` and ``input_dir/{t+1}/valid.parquet``
     partitions (same layout the reference's NVTabular preprocessing emits).
     Returns ``{"indexed_by_time_<metric>@k": [scores per window]}``.
+
+    ``pad_digits`` zero-pads window folder names (reference
+    ``time_window_folder_pad_digits`` — real NVTabular output uses '0001').
 
     ``no_incremental_training=True`` switches to the paper's SLIDING-WINDOW
     protocol (reference transf_exp_args.py:64-83 declares these flags; this
@@ -37,6 +41,7 @@ def fit_and_evaluate(trainer, start_time_index: int, end_time_index: int,
         if getattr(trainer.args, "eval_on_test_set", False)
         else "valid.parquet"
     )
+    fmt = (lambda t: str(t).zfill(pad_digits)) if pad_digits else str
     for time_index in range(start_time_index, end_time_index + 1):
         if no_incremental_training:
             lo = (
@@ -45,16 +50,20 @@ def fit_and_evaluate(trainer, start_time_index: int, end_time_index: int,
             )
             train_paths = [
                 p for t in range(lo, time_index + 1)
-                for p in glob.glob(os.path.join(input_dir, f"{t}/train.parquet"))
+                for p in glob.glob(
+                    os.path.join(input_dir, fmt(t), "train.parquet")
+                )
             ]
             # fresh model per window: drop the train state so the next
             # train() re-initializes parameters and optimizer
             trainer._train_state = None
         else:
             train_paths = glob.glob(
-                os.path.join(input_dir, f"{time_index}/train.parquet")
+                os.path.join(input_dir, fmt(time_index), "train.parquet")
             )
-        eval_paths = glob.glob(os.path.join(input_dir, f"{time_index + 1}/{eval_file}"))
+        eval_paths = glob.glob(
+            os.path.join(input_dir, fmt(time_index + 1), eval_file)
+        )
 
         print(f"\n***** Launch training for day {time_index}: *****")
         trainer.train_dataset = train_paths
