@@ -744,8 +744,10 @@ class Trainer:
         self._log_json(results)
         if metric_key_prefix == "eval":
             # best-checkpoint tracking reads the metrics of the most recent
-            # eval boundary (load_best_model_at_end)
+            # eval boundary (load_best_model_at_end); the step tag prevents
+            # a save at a NON-eval boundary from claiming a stale metric
             self._last_eval_metrics = results
+            self._last_eval_step = self.state.global_step
         if self.args.log_predictions and not on_train_set:
             self.log_predictions(eval_dataset, metric_key_prefix=metric_key_prefix)
         return results
@@ -836,6 +838,10 @@ class Trainer:
             return
         metrics = getattr(self, "_last_eval_metrics", None)
         if not metrics:
+            return
+        # only pair a checkpoint with an eval from the SAME step boundary —
+        # a save between eval boundaries must not claim a stale metric
+        if getattr(self, "_last_eval_step", -1) != self.state.global_step:
             return
         key = a.metric_for_best_model
         if key not in metrics and not key.startswith("eval_"):
