@@ -364,6 +364,7 @@ def main(argv=None):
             day_col=args.raw_day_col,
             maximum_length=args.session_seq_length_max,
             minimum_length=args.minimum_session_length,
+            pad_digits=args.time_window_folder_pad_digits,
         )
     elif args.use_synthetic and data_path is None:
         data_path = os.path.join(args.output_dir, "synthetic_windows")

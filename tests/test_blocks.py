@@ -167,3 +167,30 @@ def test_rnn_body_next_item_prediction(ecommerce_schema):
         # inference path: per-session next-item top-k
         scores, ids = model.apply(params, batch, top_k=5)
         assert ids.shape == (8, 5)
+
+
+def test_rnn_rejects_packed_sessions(ecommerce_schema):
+    """RNN recurrence would leak hidden state across packed sessions —
+    SequentialBlock raises loudly (same contract as PLM×packing)."""
+    import pytest as _pytest
+
+    from transformers4rec_tpu.data.packing import pack_sessions
+    from transformers4rec_tpu.data.synthetic import synthetic_data
+
+    ragged = synthetic_data(ecommerce_schema, num_rows=12,
+                            max_session_length=20, seed=2, ragged=True)
+    packed = pack_sessions(ragged, max_len=20, item_id_col="item_id")
+    batch = {k: jnp.asarray(v) for k, v in packed.items()}
+
+    im = tr.TabularSequenceFeatures.from_schema(
+        ecommerce_schema, d_output=16, masking="clm", aggregation="concat"
+    )
+    head = tr.Head(
+        body=tr.SequentialBlock(blocks=(im, tr.RNNBlock(units=16))),
+        tasks=(tr.NextItemPredictionTask(weight_tying=True),),
+    )
+    model = tr.Model(heads=(head,))
+    rngs = {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2), "sampling": jax.random.PRNGKey(3)}
+    with _pytest.raises(ValueError, match="packed"):
+        model.init(rngs, batch, training=True)

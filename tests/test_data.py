@@ -268,10 +268,11 @@ def test_registry_dispatch():
         dataloader_registry.parse("nope")
 
 
-def test_tiny_dataset_wrap_fill_full_batches(tmp_path, ecommerce_schema):
-    """Regression: when num_rows < batch_size/2 the old single-concat
-    wrap-fill under-filled (19 rows + batch 64 → a ragged 38-row batch that
-    breaks 'data'-axis sharding). Tiling must always yield full batches."""
+def test_tiny_dataset_zero_fill_full_batches(tmp_path, ecommerce_schema):
+    """Tail/tiny batches are ZERO-filled to full size: static shapes for the
+    'data'-axis sharding (the old wrap-fill double-counted duplicated rows in
+    eval metrics, and its single-concat variant under-filled when
+    num_rows < batch_size/2 → a ragged 38-row batch)."""
     from transformers4rec_tpu.data.loader import ParquetDataLoader
     from transformers4rec_tpu.data.synthetic import (
         generate_item_interactions,
@@ -288,4 +289,74 @@ def test_tiny_dataset_wrap_fill_full_batches(tmp_path, ecommerce_schema):
     )
     batches = list(dl)
     assert len(batches) == 1
-    assert all(b["item_id"].shape == (64, 20) for b in batches)
+    b = batches[0]
+    assert b["item_id"].shape == (64, 20)
+    n_real = len(sessions)
+    # fill rows are all-padding (zero ids → empty target masks downstream)
+    assert (b["item_id"][n_real:] == 0).all()
+    assert (b["item_id"][:n_real].sum(axis=1) > 0).all()
+
+
+def test_eval_counts_each_session_exactly_once_with_keep_last(tmp_path, ecommerce_schema):
+    """drop_last=False zero-fills the tail batch: eval metric sums over a
+    dataset whose size is NOT a batch multiple must equal the whole-dataset
+    computation (the old wrap-fill scored duplicated tail rows twice)."""
+    import jax
+    import jax.numpy as jnp
+
+    import transformers4rec_tpu as tr
+    from transformers4rec_tpu.data.loader import ParquetDataLoader
+    from transformers4rec_tpu.data.synthetic import (
+        generate_item_interactions,
+        interactions_to_sessions,
+    )
+
+    df = generate_item_interactions(900, ecommerce_schema, seed=5)
+    sessions = interactions_to_sessions(df, ecommerce_schema, max_session_length=20)
+    n = len(sessions)
+    assert n % 16 != 0  # genuinely ragged tail
+    p = tmp_path / "eval.parquet"
+    sessions.to_parquet(p)
+
+    im = tr.TabularSequenceFeatures.from_schema(
+        ecommerce_schema, d_output=16, masking="clm", aggregation="concat"
+    )
+    cfg = tr.transformer_registry.parse("gpt2").build(16, 2, 1, 20)
+    model = cfg.to_model(im, tr.NextItemPredictionTask(weight_tying=True))
+    rngs = {"params": jax.random.PRNGKey(0), "masking": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2), "sampling": jax.random.PRNGKey(3)}
+    def _pad_col(col):
+        rows = [np.asarray(r) for r in col]
+        return np.stack([np.pad(r, (0, 20 - len(r))) for r in rows])
+
+    batch_all = {
+        k: jnp.asarray(_pad_col(sessions[k]))
+        if isinstance(sessions[k].iloc[0], (list, np.ndarray))
+        else jnp.asarray(sessions[k].to_numpy())
+        for k in sessions.columns
+    }
+    params = model.init(rngs, batch_all, training=True)
+
+    # whole-dataset metric sums in one batch
+    _, outs_all = model.apply(params, batch_all, testing=True)
+    want = {k: float(v[0]) for k, v in outs_all["next-item"].metrics.items()}
+    want_counts = {k: float(v[1]) for k, v in outs_all["next-item"].metrics.items()}
+
+    # streamed over batches of 16 with a zero-filled tail
+    loader = ParquetDataLoader.from_schema(
+        ecommerce_schema, str(p), batch_size=16, max_sequence_length=20,
+        shuffle=False, drop_last=False,
+    )
+    got = {k: 0.0 for k in want}
+    got_counts = {k: 0.0 for k in want}
+    for b in loader:
+        assert b["item_id"].shape[0] == 16  # always full-size
+        _, outs = model.apply(params, {k: jnp.asarray(v) for k, v in b.items()},
+                              testing=True)
+        for k, v in outs["next-item"].metrics.items():
+            got[k] += float(v[0])
+            got_counts[k] += float(v[1])
+    for k in want:
+        np.testing.assert_allclose(got_counts[k], want_counts[k], rtol=1e-6,
+                                   err_msg=f"{k} count")
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-4, err_msg=k)

@@ -184,3 +184,26 @@ def test_from_schema_pretrained_embeddings_routes(ecommerce_schema, yoochoose_li
     )
     assert out2.shape[-1] == 32
     assert jnp.isfinite(out2).all()
+
+
+def test_precomputed_mean_combiner_ignores_padding():
+    """sequence_combiner='mean' over a precomputed-vector column divides by
+    the count of REAL (nonzero-vector) positions, not the full length S."""
+    from transformers4rec_tpu.features.embedding import PretrainedEmbeddingFeatures
+
+    mod = PretrainedEmbeddingFeatures(
+        precomputed_features=("v",), precomputed_dims={"v": 2},
+        sequence_combiner="mean",
+    )
+    emb = np.zeros((1, 4, 2), np.float32)
+    emb[0, 0] = [2.0, 4.0]
+    emb[0, 1] = [4.0, 0.0]  # positions 2,3 are padding (zero vectors)
+    out = mod.apply({}, {"v": jnp.asarray(emb)})
+    np.testing.assert_allclose(np.asarray(out["v"][0]), [3.0, 2.0])
+
+    # undeclared dim raises at sizing time instead of returning 0
+    bad = PretrainedEmbeddingFeatures(precomputed_features=("v",))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pretrained_output_dims"):
+        bad.feature_sizes()

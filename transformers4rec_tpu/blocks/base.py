@@ -208,6 +208,21 @@ class SequentialBlock(nn.Module):
             if isinstance(block, TransformerBlock):
                 x = block((x, info), pad_mask=pad_mask, training=training, testing=testing)
             else:
+                if (
+                    isinstance(block, RNNBlock)
+                    and info is not None
+                    and info.segment_ids is not None
+                ):
+                    # packing guard: the recurrence would carry hidden state
+                    # ACROSS packed sessions in a row (transformers get a
+                    # block-diagonal attention bias; an RNN has no analog
+                    # here). Same contract as PLM×packing: fail loudly.
+                    raise ValueError(
+                        "RNNBlock does not support packed sessions "
+                        "(segment_ids present): left-to-right recurrence "
+                        "would leak state across session boundaries. Train "
+                        "RNN bodies with pack_sessions=False."
+                    )
                 x = block(x, training=training, testing=testing, **kwargs) \
                     if _accepts_testing(block) else block(x, training=training)
             if isinstance(x, tuple):

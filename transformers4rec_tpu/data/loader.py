@@ -9,8 +9,9 @@ TPU-native replacement for the reference's dataloader stack
   on TPU the chips have no general-purpose cores, so input processing lives on
   the host CPU and the device only ever sees fixed-shape, ready-to-shard arrays.
 
-Every batch has IDENTICAL shapes (drop_last semantics with wrap-around fill) so
-the jitted train step compiles exactly once. Per-host sharding for multi-host
+Every batch has IDENTICAL shapes (tail batches are zero-filled: fill rows are
+all-padding and carry zero loss/metric weight, so each real row counts exactly
+once) and the jitted train step compiles exactly once. Per-host sharding for multi-host
 training is row-striped by ``global_rank``/``global_size``.
 """
 
@@ -193,12 +194,15 @@ class ParquetDataLoader(T4RecDataLoader):
             order = rng.permutation(self.num_rows)
         else:
             order = np.arange(self.num_rows)
-        # wrap-around fill so every batch is full-size (static shapes for jit)
+        # zero-fill so every batch is full-size (static shapes for jit): fill
+        # slots are marked -1 and gathered as ALL-ZERO rows, whose empty
+        # target masks carry zero loss/metric weight — each real row counts
+        # EXACTLY once (wrap-filling with duplicate rows double-counted tail
+        # sessions in eval metrics; HF drop_last=False semantics preserved)
         total = len(self) * self.batch_size
         if total > self.num_rows:
-            # tile: a single concat under-fills when num_rows < batch_size/2
-            reps = -(-total // self.num_rows)
-            order = np.tile(order, reps)[:total]
+            pad = np.full(total - self.num_rows, -1, dtype=order.dtype)
+            order = np.concatenate([order, pad])
         else:
             order = order[:total]
         return order
@@ -233,7 +237,14 @@ class ParquetDataLoader(T4RecDataLoader):
         )
         for start in range(skip, len(order), self.batch_size):
             sel = order[start : start + self.batch_size]
-            if use_native:
+            fill = sel < 0
+            if fill.any():  # tail batch only: numpy path + zeroed fill rows
+                safe = np.where(fill, 0, sel)
+                out = {k: v[safe].copy() for k, v in self.data.items()}
+                for v in out.values():
+                    v[fill] = 0
+                yield out
+            elif use_native:
                 yield {k: native.gather_rows(v, sel) for k, v in self.data.items()}
             else:
                 yield {k: v[sel] for k, v in self.data.items()}

@@ -316,12 +316,21 @@ class PretrainedEmbeddingFeatures(TabularBlock):
     projection_dim: Optional[int] = None
     sequence_combiner: Optional[str] = None  # None | 'mean' | 'sum'
 
-    def _finish(self, name: str, emb: jnp.ndarray, ids) -> jnp.ndarray:
+    def _finish(self, name: str, emb: jnp.ndarray,
+                pos_valid: Optional[jnp.ndarray]) -> jnp.ndarray:
+        """``pos_valid``: (B, S) bool of real (non-padded) positions — from
+        nonzero ids (lookup mode) or nonzero vectors (precomputed mode);
+        padded positions are zeroed out and excluded from the mean."""
+        if pos_valid is not None and emb.ndim == 3:
+            emb = emb * pos_valid[..., None].astype(emb.dtype)
         if self.projection_dim:
             emb = nn.Dense(self.projection_dim, name=f"{name}_proj")(emb)
+            if pos_valid is not None and emb.ndim == 3:
+                # re-zero padded positions (the projection bias fills them)
+                emb = emb * pos_valid[..., None].astype(emb.dtype)
         if self.sequence_combiner and emb.ndim == 3:
-            if ids is not None:
-                valid = (ids != 0).sum(axis=-1, keepdims=True).astype(emb.dtype)
+            if pos_valid is not None:
+                valid = pos_valid.sum(axis=-1, keepdims=True).astype(emb.dtype)
             else:
                 valid = jnp.full((emb.shape[0], 1), emb.shape[1], emb.dtype)
             emb = emb.sum(axis=1)
@@ -344,12 +353,18 @@ class PretrainedEmbeddingFeatures(TabularBlock):
                 table = jax.lax.stop_gradient(table)
             ids = inputs[name].astype(jnp.int32)
             emb = table[ids] * (ids != 0)[..., None].astype(jnp.float32)
-            out[name] = self._finish(name, emb, ids)
+            out[name] = self._finish(
+                name, emb, (ids != 0) if ids.ndim == 2 else None
+            )
         for name in self.precomputed_features:
             if name not in inputs:
                 continue
             emb = inputs[name].astype(jnp.float32)
-            out[name] = self._finish(name, emb, None)
+            # padded positions carry zero vectors in the precomputed layout
+            pos_valid = (
+                (jnp.abs(emb).sum(axis=-1) > 0) if emb.ndim == 3 else None
+            )
+            out[name] = self._finish(name, emb, pos_valid)
         agg = kwargs.get("aggregation") or self.aggregation
         if agg is not None:
             from ..tabular.base import parse_aggregation
@@ -363,7 +378,15 @@ class PretrainedEmbeddingFeatures(TabularBlock):
             for name, m in self.pretrained_embeddings.items()
         }
         for name in self.precomputed_features:
-            sizes[name] = self.projection_dim or self.precomputed_dims.get(name, 0)
+            dim = self.projection_dim or self.precomputed_dims.get(name, 0)
+            if not dim:
+                raise ValueError(
+                    f"precomputed embedding column {name!r} needs its vector "
+                    "dim declared for analytic output sizing: pass "
+                    "pretrained_output_dims={name: D} (or a projection_dim) "
+                    "to from_schema"
+                )
+            sizes[name] = dim
         return sizes
 
 

@@ -236,12 +236,30 @@ class Model(nn.Module):
         """Host-side model-entry densify: ragged ``__values``/``__offsets``
         batches are padded to a static shape before the jitted step
         (reference Model.forward pads ragged inputs at entry —
-        model/base.py:545-551; here padding stays OUT of the traced graph)."""
+        model/base.py:545-551; here padding stays OUT of the traced graph).
+        fit/evaluate resolve ``max_sequence_length`` ONCE (first batch) so
+        every step sees the same shape — one compile, and batches whose
+        sessions exceed it truncate (keep-first) instead of growing the
+        position tables past the encoder's configured length."""
         if any(k.endswith("__offsets") for k in batch):
             from ..data.padding import pad_inputs
 
             batch = pad_inputs(batch, max_sequence_length)
         return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    @staticmethod
+    def _ragged_max_len(batch) -> Optional[int]:
+        """Longest session in a ragged batch (None for dense batches)."""
+        import numpy as np
+
+        out = None
+        for k, v in batch.items():
+            if k.endswith("__offsets"):
+                off = np.asarray(v)
+                if len(off) > 1:
+                    m = int((off[1:] - off[:-1]).max())
+                    out = max(out or 0, m)
+        return out
 
     def fit(
         self,
@@ -252,6 +270,7 @@ class Model(nn.Module):
         rng=None,
         verbose: bool = False,
         max_steps: Optional[int] = None,
+        max_sequence_length: Optional[int] = None,
     ):
         """Self-contained training loop (reference Model.fit,
         model/base.py:669-707) — the no-Trainer path. Pure-functional: returns
@@ -267,7 +286,9 @@ class Model(nn.Module):
         first = None
         if params is None:
             first = next(iter(dataloader))
-            batch = self._as_dense(first)
+            if max_sequence_length is None:
+                max_sequence_length = self._ragged_max_len(first)
+            batch = self._as_dense(first, max_sequence_length)
             init_rngs = {
                 "params": jax.random.fold_in(rng, 0),
                 "masking": jax.random.fold_in(rng, 1),
@@ -305,7 +326,9 @@ class Model(nn.Module):
         for epoch in range(num_epochs):
             epoch_loss, n = jnp.zeros(()), 0
             for batch in dataloader:
-                batch = self._as_dense(batch)
+                if max_sequence_length is None:
+                    max_sequence_length = self._ragged_max_len(batch)
+                batch = self._as_dense(batch, max_sequence_length)
                 rng, step_rng = jax.random.split(rng)
                 params, opt_state, loss = train_step(
                     params, opt_state, step_rng, batch
@@ -328,6 +351,7 @@ class Model(nn.Module):
         params,
         mode: str = "eval",
         max_steps: Optional[int] = None,
+        max_sequence_length: Optional[int] = None,
     ) -> Dict[str, float]:
         """Self-contained eval loop (reference Model.evaluate,
         model/base.py:709-739): streams batches, accumulates (sum,count)
@@ -354,7 +378,9 @@ class Model(nn.Module):
         for i, batch in enumerate(dataloader):
             if max_steps is not None and i >= max_steps:
                 break
-            batch = self._as_dense(batch)
+            if max_sequence_length is None:
+                max_sequence_length = self._ragged_max_len(batch)
+            batch = self._as_dense(batch, max_sequence_length)
             loss, metrics = eval_step(params, batch)
             loss_sum = loss_sum + loss
             n += 1

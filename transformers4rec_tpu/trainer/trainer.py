@@ -100,6 +100,24 @@ class Trainer:
         self._eval_dataloader = eval_dataloader
         self.compute_metrics = compute_metrics
 
+        if args.load_best_model_at_end:
+            # fail fast (HF errors up front too): best tracking pairs a save
+            # with the eval at the SAME step, so saves must land on eval
+            # boundaries; default the metric to eval loss like HF
+            if args.metric_for_best_model is None:
+                args.metric_for_best_model = "loss"
+            if not (args.save_steps and args.eval_steps):
+                raise ValueError(
+                    "load_best_model_at_end requires save_steps AND "
+                    "eval_steps (saves record the same-step eval metric)"
+                )
+            if args.save_steps % args.eval_steps != 0:
+                raise ValueError(
+                    f"load_best_model_at_end: save_steps ({args.save_steps}) "
+                    f"must be a multiple of eval_steps ({args.eval_steps}) "
+                    "so every save lands on an eval boundary"
+                )
+
         self.mesh = mesh or make_mesh(model=args.mesh_model_axis)
         self.state = TrainerState()
         self._train_state: Optional[TrainState] = None
@@ -240,6 +258,19 @@ class Trainer:
             tx = optax.MultiSteps(tx, a.gradient_accumulation_steps)
         self._tx = tx
         return tx
+
+    def reset_model(self) -> None:
+        """Drop all trained state so the next train() re-initializes
+        parameters and optimizer from scratch (the sliding-window
+        retrain-from-scratch protocol — examples_utils.fit_and_evaluate with
+        no_incremental_training=True). Compiled step caches are cleared too;
+        global_step stays monotonic (incremental-logging semantics)."""
+        self._train_state = None
+        self._jit_train_step = None
+        self._jit_train_step_multi = None
+        self._jit_eval_step = None
+        self._jit_eval_step_multi = None
+        self._jit_predict_step = None
 
     def reset_lr_scheduler(self) -> None:
         """Restart the schedule for a new incremental time window

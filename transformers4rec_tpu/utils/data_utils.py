@@ -85,6 +85,7 @@ def save_time_based_splits(
     val_size: float = 0.1,
     overwrite: bool = True,
     seed: int = 1,
+    pad_digits: int = 0,
 ):
     """Partition session rows by a time column into ``{t}/train.parquet`` +
     ``valid.parquet`` + ``test.parquet`` folders — the layout the paper-repro
@@ -123,7 +124,18 @@ def save_time_based_splits(
     for window, df in data.groupby(partition_col, sort=True):
         if timestamp_col in df.columns:
             df = df.sort_values(timestamp_col)
-        out_dir = os.path.join(output_dir, str(window))
+        # integral windows print as '1' not '1.0'; pad_digits gives the
+        # '0001'-style names real NVTabular layouts (and
+        # --time_window_folder_pad_digits) use
+        try:
+            name = (
+                str(int(window)) if float(window) == int(window) else str(window)
+            )
+        except (TypeError, ValueError):  # non-numeric partition values
+            name = str(window)
+        if pad_digits:
+            name = name.zfill(pad_digits)
+        out_dir = os.path.join(output_dir, name)
         os.makedirs(out_dir, exist_ok=True)
         # seeded per-window like the reference (cupy.random.seed(1) inside
         # the loop) so each window's split is independently reproducible
@@ -149,6 +161,7 @@ def etl_interactions_to_time_splits(
     test_size: float = 0.1,
     val_size: float = 0.1,
     seed: int = 1,
+    pad_digits: int = 0,
 ) -> str:
     """Raw row-per-interaction events → windowed ``{t}/train.parquet`` +
     ``valid.parquet`` + ``test.parquet`` folders the paper-repro CLI consumes.
@@ -198,5 +211,6 @@ def etl_interactions_to_time_splits(
         sessions, output_dir,
         partition_col="day_idx", timestamp_col="ts/first",
         test_size=test_size, val_size=val_size, seed=seed,
+        pad_digits=pad_digits,
     )
     return output_dir

@@ -54,9 +54,8 @@ def fit_and_evaluate(trainer, start_time_index: int, end_time_index: int,
                     os.path.join(input_dir, fmt(t), "train.parquet")
                 )
             ]
-            # fresh model per window: drop the train state so the next
-            # train() re-initializes parameters and optimizer
-            trainer._train_state = None
+            # fresh model per window (params + optimizer + step caches)
+            trainer.reset_model()
         else:
             train_paths = glob.glob(
                 os.path.join(input_dir, fmt(time_index), "train.parquet")
