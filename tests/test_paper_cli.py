@@ -148,12 +148,18 @@ def test_reference_tuned_command_lines_parse():
         assert 0.0 <= args.label_smoothing <= 0.9
 
 
-def test_reference_tuned_xlnet_command_runs(tmp_path):
-    """The reference's tuned XLNet-MLM command line (ci/test_integration.sh
-    line for the REES46 headline config) RUNS end-to-end through our CLI —
-    schema + windowed data substituted with synthetic fixtures, size knobs
-    overridden by appending (argparse last-wins) so CPU CI stays fast.
-    Validates every flag flows through main(), incl. --eval_on_test_set."""
+import pytest
+
+
+@pytest.mark.parametrize("pick", ["gpt2", "transfoxl", "albert", "xlnet-plm",
+                                  "xlnet-mlm"])
+def test_reference_tuned_command_runs(tmp_path, pick):
+    """EVERY tuned command line from the reference's integration script
+    (ci/test_integration.sh — the paper's five model configs) RUNS end-to-end
+    through our CLI — schema + windowed data substituted with synthetic
+    fixtures, size knobs overridden by appending (argparse last-wins) so CPU
+    CI stays fast. Exercises the bare scheme flags, label smoothing 0.0-0.9
+    through the fused CE kernels, SSN, and --eval_on_test_set."""
     import numpy as np
 
     from transformers4rec_tpu.data.synthetic import (
@@ -176,11 +182,22 @@ def test_reference_tuned_xlnet_command_runs(tmp_path):
             sessions.to_parquet(d / f"{split}.parquet")
 
     src = open("/root/reference/ci/test_integration.sh").read()
-    cmd = next(
-        line for line in src.splitlines()
-        if line.startswith("python3 transf_exp_main.py") and "--mlm " in line
-        and "--model_type xlnet" in line and "label_smoothing 0.0" in line
-    )
+    cmds = [line for line in src.splitlines()
+            if line.startswith("python3 transf_exp_main.py")]
+
+    def match(line):
+        if pick == "gpt2":
+            return "--model_type gpt2" in line
+        if pick == "transfoxl":
+            return "--model_type transfoxl" in line
+        if pick == "albert":
+            return "--model_type albert" in line
+        if pick == "xlnet-plm":
+            return "--model_type xlnet" in line and "--plm " in line
+        return ("--model_type xlnet" in line and "--mlm " in line
+                and "label_smoothing 0.0" in line)
+
+    cmd = next(line for line in cmds if match(line))
     argv = [
         a.replace("$DATA_PATH", str(tmp_path / "win")).replace(
             "$FEATURE_SCHEMA_PATH", str(schema_path)
