@@ -38,6 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--raw_day_col", default=None,
                    help="per-event 1-based window index column in the raw "
                         "frame; derived from timestamps when absent")
+    p.add_argument("--categorify", action="store_true",
+                   help="with --raw_interactions_path: Categorify-encode raw "
+                        "categorical values (NVTabular-style: 0=pad, 1=null, "
+                        "2=OOV, frequency order from 3), writing "
+                        "categories/unique.<col>.parquet + an updated "
+                        "schema.pbtxt next to the windowed splits")
     p.add_argument("--minimum_session_length", type=int, default=2)
     p.add_argument("--feature_config", default=None, help="schema pbtxt/json path")
     p.add_argument("--features_schema_path", default=None,
@@ -365,7 +371,11 @@ def main(argv=None):
             maximum_length=args.session_seq_length_max,
             minimum_length=args.minimum_session_length,
             pad_digits=args.time_window_folder_pad_digits,
+            categorify_columns=True if args.categorify else None,
         )
+        if args.categorify:
+            # the encoded splits carry post-encoding cardinalities
+            schema = tr.Schema.load(os.path.join(data_path, "schema.pbtxt"))
     elif args.use_synthetic and data_path is None:
         data_path = os.path.join(args.output_dir, "synthetic_windows")
         make_synthetic_windows(args, schema, data_path)

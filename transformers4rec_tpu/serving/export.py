@@ -13,9 +13,11 @@ directory artifact bundles:
 
 - ``model.stablehlo``  — serialized exported function (params closed over)
 - ``input_schema.json`` / ``output_schema.json`` — feature wiring for the
-  serving frontend (NVTabular-workflow analog is the client's responsibility,
-  as in the reference's TransformWorkflow stage)
+  serving frontend
 - ``metadata.json``    — top_k, sequence length, batch-size axis info
+- ``categories/``      — optional Categorify mappings (``categories=`` arg):
+  the reference ensemble's TransformWorkflow stage embedded in the artifact —
+  raw ids in, raw top-k ids out
 
 ``load`` returns a callable server-side predictor. ``InferenceRunner`` gives an
 in-process Triton-like predict(dict-of-ndarray)→(scores, ids) interface.
@@ -43,6 +45,7 @@ def export_model(
     top_k: Optional[int] = None,
     batch_polymorphic: bool = True,
     weights_dtype: Optional[str] = None,
+    categories=None,
 ) -> str:
     """Trace + AOT-serialize the inference path and write the artifact dir.
 
@@ -54,6 +57,13 @@ def export_model(
     (V, E) item table, so bf16 weights halve the per-request table read (and
     the artifact size). Scores still accumulate in f32
     (``preferred_element_type`` in the scoring ops).
+
+    ``categories`` bundles ``Categorify`` mappings into the artifact — a
+    ``{col: raw_values}`` dict from ``utils.data_utils.categorify`` or a path
+    to a ``categories/`` dir of ``unique.<col>.parquet`` files (the ETL writes
+    one). The runner/server then accept RAW categorical values and decode
+    predicted top-k indices back to raw item ids — the reference ensemble's
+    TransformWorkflow stage (notebook 03:656-680), embedded in the artifact.
     """
     from jax import export as jexport
 
@@ -89,6 +99,14 @@ def export_model(
         f.write(model.input_schema.to_json())
     with open(os.path.join(path, "output_schema.json"), "w") as f:
         f.write(model.clone(top_k=top_k or model.top_k).output_schema.to_json())
+    category_cols = []
+    if categories is not None:
+        from ..utils.data_utils import load_categories, save_categories
+
+        if isinstance(categories, (str, os.PathLike)):
+            categories = load_categories(str(categories))
+        save_categories(categories, os.path.join(path, "categories"))
+        category_cols = sorted(categories)
     with open(os.path.join(path, "metadata.json"), "w") as f:
         json.dump(
             {
@@ -98,6 +116,9 @@ def export_model(
                 "batch_polymorphic": batch_polymorphic,
                 "weights_dtype": weights_dtype,
                 "example_batch_size": int(next(iter(example.values())).shape[0]),
+                "categories": category_cols,
+                "item_id_column": model.input_schema.item_id_column_name
+                if category_cols else None,
             },
             f,
         )
@@ -116,20 +137,62 @@ class InferenceRunner:
             self.metadata = json.load(f)
         self.input_schema = Schema.from_json(os.path.join(path, "input_schema.json"))
         self.output_schema = Schema.from_json(os.path.join(path, "output_schema.json"))
+        self.categories: Dict[str, np.ndarray] = {}
+        if self.metadata.get("categories"):
+            from ..utils.data_utils import load_categories
 
-    def predict(self, batch: Dict[str, np.ndarray]):
+            self.categories = load_categories(os.path.join(path, "categories"))
+
+    def predict(self, batch: Dict[str, np.ndarray], decode_ids: bool = True):
+        """Run inference. With bundled ``categories`` mappings, categorical
+        inputs are accepted as RAW values (any dtype; 0/"" = padding in dense
+        arrays) and — when ``decode_ids`` — the returned top-k item ids are
+        decoded back to raw values (ids the mapping can't invert, i.e. the
+        pad/null/OOV codes, decode to -1 / "")."""
         feats = self.metadata["features"]
         dtypes = self.metadata["dtypes"]
         arrs = {
-            k: jnp.asarray(self._densify(k, v, feats[k], dtypes[k]))
+            k: jnp.asarray(self._densify(k, self.encode(k, v), feats[k], dtypes[k]))
             for k, v in batch.items()
             if k in feats
         }
         out = self._exported.call(arrs)
         if isinstance(out, (tuple, list)) and len(out) == 2:
             scores, ids = out
-            return np.asarray(scores), np.asarray(ids)
+            ids = np.asarray(ids)
+            if decode_ids:
+                ids = self.decode_item_ids(ids)
+            return np.asarray(scores), ids
         return np.asarray(out)
+
+    # ---------------------------------------------------------- categorify
+    def encode(self, name: str, v):
+        """Raw values → contiguous ids when a Categorify mapping is bundled
+        (reference TransformWorkflow stage); pass-through otherwise."""
+        if name not in self.categories:
+            return v
+        from ..utils.data_utils import encode_with_categories
+
+        raw_values = self.categories[name]
+        if isinstance(v, (list, tuple)) and len(v) and isinstance(
+            v[0], (list, tuple, np.ndarray)
+        ) and len({len(r) for r in v}) > 1:
+            return [encode_with_categories(r, raw_values) for r in v]
+        return encode_with_categories(v, raw_values, zero_is_padding=True)
+
+    def decode_item_ids(self, ids: np.ndarray) -> np.ndarray:
+        """Predicted contiguous item indices → raw item ids via the bundled
+        mapping (inverse of the Categorify the ETL applied)."""
+        item_col = self.metadata.get("item_id_column")
+        if not item_col or item_col not in self.categories:
+            return ids
+        from ..utils.data_utils import CATEGORIFY_START_INDEX as START
+
+        raw_values = self.categories[item_col]
+        idx = np.clip(ids - START, 0, len(raw_values) - 1)
+        raw = raw_values[idx]
+        fill = -1 if np.issubdtype(raw.dtype, np.number) else ""
+        return np.where(ids >= START, raw, np.asarray(fill, raw.dtype))
 
     def _densify(self, name: str, v, feat_shape, dtype) -> np.ndarray:
         """Accept RAGGED sequence inputs (list of variable-length sessions) in

@@ -170,6 +170,7 @@ class ServingServer:
         dtypes = self.runner.metadata["dtypes"]
         batcher = self.batcher
         meta = self.runner.metadata
+        runner = self.runner
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *a):  # quiet
@@ -202,7 +203,16 @@ class ServingServer:
                     for k, spec_shape in feats.items():
                         if k not in payload.get("inputs", {}):
                             raise KeyError(f"missing input column '{k}'")
-                        arr = np.asarray(payload["inputs"][k], dtype=dtypes[k])
+                        if k in runner.categories:
+                            # bundled Categorify mapping: accept RAW values
+                            # (any JSON type; 0 = padding) and encode here so
+                            # the batcher coalesces plain int arrays
+                            arr = np.asarray(
+                                runner.encode(k, payload["inputs"][k]),
+                                dtype=dtypes[k],
+                            )
+                        else:
+                            arr = np.asarray(payload["inputs"][k], dtype=dtypes[k])
                         if list(arr.shape[1:]) != list(spec_shape):
                             raise ValueError(
                                 f"column '{k}': expected trailing shape "

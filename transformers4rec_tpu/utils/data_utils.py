@@ -11,13 +11,139 @@ pandas/numpy here — the splits are host-side ETL, not device work).
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import shutil
-from typing import Optional
+from typing import Dict, Optional, Sequence, Union
 
 from ..schema import Schema
 
 FIRST_SEEN_ITEM_COL_NAME = "item_ts_first"
+
+# NVTabular Categorify conventions (reference getting-started ETL notebook
+# 01-ETL-with-NVTabular.ipynb: "Categorify encodes nulls to 1, OOVs to 2;
+# 0 is preserved for padding; other categories start from 3").
+CATEGORIFY_PAD_INDEX = 0
+CATEGORIFY_NULL_INDEX = 1
+CATEGORIFY_OOV_INDEX = 2
+CATEGORIFY_START_INDEX = 3
+
+
+def categorify(
+    df,
+    columns: Sequence[str],
+    start_index: int = CATEGORIFY_START_INDEX,
+    freq_threshold: int = 0,
+    max_size: Optional[int] = None,
+):
+    """Encode raw categorical values to contiguous ids — the NVTabular
+    ``Categorify`` op of the reference preprocessing workflows
+    (getting-started-session-based/01-ETL-with-NVTabular.ipynb: `categ_feats =
+    ['item_id', 'category'] >> nvt.ops.Categorify()`).
+
+    Ids are assigned by DESCENDING frequency (most frequent item gets the
+    smallest id — ties broken by raw value for determinism), starting at
+    ``start_index``; 0 is reserved for padding, 1 for nulls, 2 for
+    out-of-vocabulary values (values below ``freq_threshold`` or beyond
+    ``max_size`` uniques).
+
+    Returns ``(encoded_df, mappings)`` where ``mappings[col]`` is a numpy
+    array of raw values such that raw ``mappings[col][i]`` ↔ encoded
+    ``start_index + i`` (the layout of NVTabular's ``unique.<col>.parquet``).
+    """
+    import pandas as pd
+
+    df = df.copy()
+    mappings: Dict[str, "np.ndarray"] = {}
+    for col in columns:
+        counts = df[col].value_counts(dropna=True)
+        # stable frequency order with deterministic tie-break on raw value
+        order = counts.reset_index()
+        order.columns = ["value", "count"]
+        order = order.sort_values(["count", "value"], ascending=[False, True])
+        if freq_threshold > 0:
+            order = order[order["count"] >= freq_threshold]
+        if max_size is not None:
+            order = order.iloc[:max_size]
+        raw_values = order["value"].to_numpy()
+        mappings[col] = raw_values
+        code = {v: start_index + i for i, v in enumerate(raw_values)}
+        enc = df[col].map(code)
+        enc = enc.where(~df[col].isna(), CATEGORIFY_NULL_INDEX)
+        df[col] = enc.fillna(CATEGORIFY_OOV_INDEX).astype("int64")
+    return df, mappings
+
+
+def encode_with_categories(
+    values,
+    raw_values,
+    start_index: int = CATEGORIFY_START_INDEX,
+    zero_is_padding: bool = False,
+):
+    """Apply a ``categorify`` mapping to new data (the serving-time
+    TransformWorkflow stage of the reference Triton ensemble). Unseen values
+    encode to the OOV index; ``zero_is_padding`` keeps raw 0 → 0 (for
+    already-padded dense arrays).
+    """
+    import numpy as np
+    import pandas as pd
+
+    arr = np.asarray(values)
+    code = pd.Series(
+        np.arange(len(raw_values), dtype=np.int64) + start_index,
+        index=pd.Index(raw_values),
+    )
+    flat = pd.Series(arr.ravel())
+    enc = flat.map(code).fillna(CATEGORIFY_OOV_INDEX).astype("int64").to_numpy()
+    if zero_is_padding:
+        enc = np.where(flat.to_numpy() == 0, CATEGORIFY_PAD_INDEX, enc)
+    return enc.reshape(arr.shape)
+
+
+def save_categories(mappings: Dict[str, "np.ndarray"], path: str) -> str:
+    """Write ``unique.<col>.parquet`` files (NVTabular ``categories/`` layout:
+    row i holds the raw value encoded as ``start_index + i``)."""
+    import pandas as pd
+
+    os.makedirs(path, exist_ok=True)
+    for col, raw_values in mappings.items():
+        pd.DataFrame({col: raw_values}).to_parquet(
+            os.path.join(path, f"unique.{col}.parquet")
+        )
+    return path
+
+
+def load_categories(path: str) -> Dict[str, "np.ndarray"]:
+    """Load ``unique.<col>.parquet`` mappings written by ``save_categories``
+    (or by NVTabular itself — same layout)."""
+    import pandas as pd
+
+    mappings = {}
+    for f in sorted(os.listdir(path)):
+        if f.startswith("unique.") and f.endswith(".parquet"):
+            col = f[len("unique."):-len(".parquet")]
+            mappings[col] = pd.read_parquet(os.path.join(path, f))[col].to_numpy()
+    return mappings
+
+
+def categorify_schema(
+    schema: Schema,
+    mappings: Dict[str, "np.ndarray"],
+    start_index: int = CATEGORIFY_START_INDEX,
+) -> Schema:
+    """Return a schema whose mapped columns carry the POST-encoding
+    cardinality (``int_domain.max = start_index + num_uniques - 1``), the way
+    NVTabular stamps the workflow's output schema."""
+    from ..schema.schema import IntDomain
+
+    out = Schema([dataclasses.replace(c) for c in schema])
+    for col in out:
+        if col.name in mappings:
+            hi = start_index + len(mappings[col.name]) - 1
+            col.int_domain = IntDomain(
+                name=col.name, min=0, max=int(hi), is_categorical=True
+            )
+    return out
 
 
 def remove_consecutive_interactions(
@@ -162,17 +288,30 @@ def etl_interactions_to_time_splits(
     val_size: float = 0.1,
     seed: int = 1,
     pad_digits: int = 0,
+    categorify_columns: Optional[Union[bool, Sequence[str]]] = None,
+    categorify_freq_threshold: int = 0,
+    categorify_max_size: Optional[int] = None,
 ) -> str:
     """Raw row-per-interaction events → windowed ``{t}/train.parquet`` +
     ``valid.parquet`` + ``test.parquet`` folders the paper-repro CLI consumes.
 
     One call covers the reference's whole preprocessing recipe
     (examples/t4rec_paper_experiments + transformers4rec/utils/data_utils.py):
-    dedup consecutive repeats (:34-47) → item first-seen column (:50-64) →
-    NVTabular-style session aggregation (:67+) → ``save_time_based_splits``
-    (:169-306). Sessions are assigned to 1-based time windows by their START
-    timestamp (``day_col`` overrides with a precomputed per-event day index);
-    real datasets (e.g. REES46 interactions) drop in with zero code.
+    optional ``Categorify`` encoding (the NVTabular op in every reference ETL
+    notebook) → dedup consecutive repeats (:34-47) → item first-seen column
+    (:50-64) → NVTabular-style session aggregation (:67+) →
+    ``save_time_based_splits`` (:169-306). Sessions are assigned to 1-based
+    time windows by their START timestamp (``day_col`` overrides with a
+    precomputed per-event day index); real datasets (e.g. REES46
+    interactions) drop in with zero code.
+
+    ``categorify_columns=True`` encodes every categorical schema column found
+    in the raw frame (raw values of ANY dtype → contiguous ids by frequency);
+    the mapping is written to ``{output_dir}/categories/unique.<col>.parquet``
+    and a schema with post-encoding cardinalities to
+    ``{output_dir}/schema.pbtxt`` — hand both to serving
+    (``export_model(categories=...)``) to accept/return raw ids, the way the
+    reference ensemble embeds its TransformWorkflow.
 
     ``raw`` is a pandas DataFrame or parquet path. Returns ``output_dir``.
     """
@@ -181,6 +320,22 @@ def etl_interactions_to_time_splits(
     if isinstance(raw, (str, os.PathLike)):
         raw = pd.read_parquet(str(raw))
     item_id_col = item_id_col or schema.item_id_column_name
+
+    mappings = None
+    if categorify_columns:
+        if categorify_columns is True:
+            cols = [
+                c.name for c in schema
+                if c.is_categorical and c.name in raw.columns
+            ]
+        else:
+            cols = list(categorify_columns)
+        raw, mappings = categorify(
+            raw, cols,
+            freq_threshold=categorify_freq_threshold,
+            max_size=categorify_max_size,
+        )
+        schema = categorify_schema(schema, mappings)
 
     df = remove_consecutive_interactions(
         raw, session_id_col, item_id_col, timestamp_col
@@ -213,4 +368,7 @@ def etl_interactions_to_time_splits(
         test_size=test_size, val_size=val_size, seed=seed,
         pad_digits=pad_digits,
     )
+    if mappings is not None:
+        save_categories(mappings, os.path.join(output_dir, "categories"))
+        schema.to_proto_text_file(os.path.join(output_dir, "schema.pbtxt"))
     return output_dir
