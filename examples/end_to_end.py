@@ -42,7 +42,10 @@ def main():
     from transformers4rec_tpu.data.synthetic import generate_item_interactions
     from transformers4rec_tpu.serving import ServingServer, export_model
     from transformers4rec_tpu.utils.data_utils import (
+        CATEGORIFY_START_INDEX,
         add_item_first_seen_col_to_df,
+        categorify,
+        categorify_schema,
         remove_consecutive_interactions,
         session_aggregator,
     )
@@ -59,6 +62,15 @@ def main():
     raw["timestamp"] = np.arange(len(raw))
     raw["day"] = (raw["timestamp"] * args.days // len(raw)).astype(int)
     print(f"raw events: {len(raw)} rows, {raw['session_id'].nunique()} sessions")
+
+    # raw catalogs have NON-contiguous ids (think REES46 product ids):
+    # Categorify encodes them NVTabular-style (0=pad, 1=null, 2=OOV,
+    # frequency order from 3) and the mapping rides into the serving artifact
+    raw["item_id"] = raw["item_id"] * 131 + 1_000_000
+    raw, category_maps = categorify(raw, ["item_id", "category"])
+    schema = categorify_schema(schema, category_maps)
+    print(f"categorified: {len(category_maps['item_id'])} unique raw item ids "
+          f"→ contiguous [3, {2 + len(category_maps['item_id'])}]")
 
     raw = remove_consecutive_interactions(raw)
     raw = add_item_first_seen_col_to_df(raw)
@@ -112,13 +124,27 @@ def main():
     # --------------------------------------------- 4. export + daemon serving
     artifact = os.path.join(workdir, "artifact")
     example = next(iter(trainer.get_eval_dataloader(day_dirs[-1])))
-    export_model(model, trainer.params, example, artifact, top_k=args.top_k)
-    print(f"exported artifact: {artifact}")
+    export_model(model, trainer.params, example, artifact, top_k=args.top_k,
+                 categories=category_maps)
+    print(f"exported artifact: {artifact} (with Categorify mappings)")
 
     server = ServingServer(artifact, port=0, max_batch_size=16, max_delay_ms=5.0).start()
     try:
         base = f"http://{server.host}:{server.port}"
-        one = {k: np.asarray(v)[:1].tolist() for k, v in example.items()}
+        # clients speak RAW ids: decode one encoded eval row back to raw —
+        # the daemon re-encodes inputs and decodes its top-k output
+        one = {}
+        for k, v in example.items():
+            a = np.asarray(v)[:1]
+            if k in category_maps:
+                m = category_maps[k]
+                a = np.where(
+                    a >= CATEGORIFY_START_INDEX,
+                    m[np.clip(a - CATEGORIFY_START_INDEX, 0, len(m) - 1)],
+                    0,
+                )
+            one[k] = a.tolist()
+        print(f"request raw session: {[i for i in one['item_id'][0] if i]}")
         req = urllib.request.Request(
             f"{base}/v2/predict",
             data=json.dumps({"inputs": one}).encode(),
@@ -126,7 +152,11 @@ def main():
         )
         with urllib.request.urlopen(req, timeout=120) as r:
             out = json.loads(r.read())
-        print(f"daemon top-{args.top_k} item ids: {out['item_ids'][0]}")
+        print(f"daemon top-{args.top_k} RAW item ids: {out['item_ids'][0]}")
+        assert all(
+            i in set(category_maps["item_id"].tolist()) or i == -1
+            for i in out["item_ids"][0]
+        )
         with urllib.request.urlopen(f"{base}/v2/health") as r:
             assert json.loads(r.read())["status"] == "ok"
     finally:

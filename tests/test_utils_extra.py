@@ -49,6 +49,22 @@ def test_session_aggregator(interactions_df, ecommerce_schema):
     assert row1.item_id == [5, 5, 6]  # sorted by ts, trimmed to 3
 
 
+def test_session_aggregator_keep_last(interactions_df, ecommerce_schema):
+    """keep='last' trims to the most RECENT items — the reference ETL
+    notebooks' ListSlice(-SESSIONS_MAX_LENGTH) semantics (its utils
+    session_aggregator keeps the first; both sides are supported)."""
+    import pytest
+
+    schema = ecommerce_schema.select_by_name(["item_id", "category"])
+    out = session_aggregator(
+        schema, interactions_df, maximum_length=3, minimum_length=2, keep="last"
+    )
+    row1 = out[out.session_id == 1].iloc[0]
+    assert row1.item_id == [5, 6, 5]  # last 3 of ts-sorted [5, 5, 6, 5]
+    with pytest.raises(ValueError):
+        session_aggregator(schema, interactions_df, keep="middle")
+
+
 def test_post_context_fusion(ecommerce_schema):
     from transformers4rec_tpu.blocks import SequentialBlock, TransformerBlock
     from transformers4rec_tpu.experimental import PostContextFusion

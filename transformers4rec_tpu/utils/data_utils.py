@@ -179,15 +179,24 @@ def session_aggregator(
     minimum_length: int = 2,
     session_id_col: str = "session_id",
     timestamp_col: Optional[str] = "timestamp",
+    keep: str = "first",
 ):
     """Aggregate row-per-interaction data into session-level list columns.
 
     Pure-pandas analog of the reference's NVTabular groupby workflow: sort by
     time within session, group schema columns into lists, trim to
     ``maximum_length``, drop sessions shorter than ``minimum_length``.
+
+    ``keep`` picks the truncation side: ``"first"`` keeps the earliest
+    ``maximum_length`` interactions (the reference's utils
+    ``session_aggregator`` — ``ListSlice(0, maximum_length)``), ``"last"``
+    keeps the most recent ones (the reference's ETL notebooks —
+    ``ListSlice(-SESSIONS_MAX_LENGTH)``).
     """
     import pandas as pd
 
+    if keep not in ("first", "last"):
+        raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
     cols = [c.name for c in schema if c.name in data.columns]
     sort_cols = [session_id_col] + ([timestamp_col] if timestamp_col in data.columns else [])
     df = data.sort_values(sort_cols)
@@ -198,7 +207,9 @@ def session_aggregator(
             continue
         out[session_id_col].append(sid)
         for c in cols:
-            out[c].append(list(g[c].to_numpy()[:maximum_length]))
+            vals = g[c].to_numpy()
+            vals = vals[:maximum_length] if keep == "first" else vals[-maximum_length:]
+            out[c].append(list(vals))
     return pd.DataFrame(out)
 
 
@@ -291,6 +302,7 @@ def etl_interactions_to_time_splits(
     categorify_columns: Optional[Union[bool, Sequence[str]]] = None,
     categorify_freq_threshold: int = 0,
     categorify_max_size: Optional[int] = None,
+    keep: str = "first",
 ) -> str:
     """Raw row-per-interaction events → windowed ``{t}/train.parquet`` +
     ``valid.parquet`` + ``test.parquet`` folders the paper-repro CLI consumes.
@@ -358,6 +370,7 @@ def etl_interactions_to_time_splits(
         schema, df,
         maximum_length=maximum_length, minimum_length=minimum_length,
         session_id_col=session_id_col, timestamp_col=timestamp_col,
+        keep=keep,
     )
     sessions = sessions.merge(starts, on=session_id_col).merge(
         days, on=session_id_col
