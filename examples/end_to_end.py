@@ -153,10 +153,15 @@ def main():
         with urllib.request.urlopen(req, timeout=120) as r:
             out = json.loads(r.read())
         print(f"daemon top-{args.top_k} RAW item ids: {out['item_ids'][0]}")
-        assert all(
-            i in set(category_maps["item_id"].tolist()) or i == -1
-            for i in out["item_ids"][0]
-        )
+        raw_vocab = set(category_maps["item_id"].tolist())
+        assert all(i in raw_vocab or i == -1 for i in out["item_ids"][0])
+        # the daemon must agree with the in-process runner on the same raw
+        # request (catches any encode/decode asymmetry between the two paths)
+        from transformers4rec_tpu.serving import load_runner
+
+        r_scores, r_ids = load_runner(artifact).predict(one)
+        assert np.allclose(np.asarray(out["item_id_scores"]), r_scores, atol=1e-5)
+        assert np.array_equal(np.asarray(out["item_ids"]), r_ids)
         with urllib.request.urlopen(f"{base}/v2/health") as r:
             assert json.loads(r.read())["status"] == "ok"
     finally:

@@ -64,13 +64,40 @@ def test_categorify_freq_threshold_and_max_size():
     assert enc["c"].tolist()[-3:] == [CATEGORIFY_OOV_INDEX] * 3
 
 
-def test_encode_with_categories_oov_and_padding():
+def test_encode_with_categories_oov_null_and_padding():
     maps = np.array([500, 100, 900])
-    enc = encode_with_categories([[100, 777, 900, 0]], maps, zero_is_padding=True)
+    enc = encode_with_categories([[100, 777, 900, 0]], maps)
     assert enc.tolist() == [[4, CATEGORIFY_OOV_INDEX, 5, 0]]
-    # without zero_is_padding, raw 0 is just an unseen value → OOV
-    enc = encode_with_categories([0], maps)
+    # nulls encode to the NULL index (1) — same convention as training-time
+    # categorify, NOT to OOV (train/serve consistency)
+    enc = encode_with_categories([[100, None, 900]], maps)
+    assert enc.tolist() == [[4, CATEGORIFY_NULL_INDEX, 5]]
+    enc = encode_with_categories([float("nan"), 500.0], np.array([500.0]))
+    assert enc.tolist() == [CATEGORIFY_NULL_INDEX, CATEGORIFY_START_INDEX]
+    # zero_is_padding=False treats raw 0 as an ordinary (unseen) value
+    enc = encode_with_categories([0], maps, zero_is_padding=False)
     assert enc.tolist() == [CATEGORIFY_OOV_INDEX]
+    # string features: "" is padding
+    enc = encode_with_categories([["a", "", "zz"]], np.array(["a", "b"]))
+    assert enc.tolist() == [[3, 0, CATEGORIFY_OOV_INDEX]]
+    # prebuilt codes give identical results (the serving hot path)
+    from transformers4rec_tpu.utils.data_utils import build_category_codes
+
+    codes = build_category_codes(maps)
+    np.testing.assert_array_equal(
+        encode_with_categories([[100, 777, 0]], codes),
+        encode_with_categories([[100, 777, 0]], maps),
+    )
+
+
+def test_categorify_warns_on_raw_zero():
+    import warnings
+
+    df = pd.DataFrame({"c": [0, 0, 5]})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        categorify(df, ["c"])
+    assert any("PADDING" in str(x.message) for x in w)
 
 
 def test_categories_parquet_roundtrip(tmp_path):
@@ -205,13 +232,18 @@ def test_runner_encodes_raw_and_decodes_topk(categorified_artifact):
 
 def test_server_serves_raw_values(categorified_artifact):
     """HTTP round trip with raw ids in the payload and raw ids in the
-    response (the Triton-ensemble contract)."""
+    response (the Triton-ensemble contract). The response must EQUAL the
+    in-process runner's answer for the same raw request — this pins that the
+    handler+batcher encode exactly once (a double encode turns every input
+    OOV while still producing a shape-valid response)."""
     import http.client
 
+    from transformers4rec_tpu.serving import load_runner
     from transformers4rec_tpu.serving.server import ServingServer
 
     path, maps, *_ = categorified_artifact
     raw_vocab = maps["item_id"]
+    runner = load_runner(path)
     server = ServingServer(path, port=0, max_delay_ms=1.0).start()
     try:
         # dense raw sessions, 0-padded
@@ -230,6 +262,47 @@ def test_server_serves_raw_values(categorified_artifact):
         ids = np.asarray(payload["item_ids"])
         assert ids.shape == (2, 5)
         assert set(ids.ravel().tolist()) <= set(raw_vocab.tolist()) | {-1}
+        ref_scores, ref_ids = runner.predict({"item_id": rows})
+        np.testing.assert_allclose(
+            np.asarray(payload["item_id_scores"]), ref_scores, rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_array_equal(ids, ref_ids)
+    finally:
+        server.stop()
+
+
+def test_server_accepts_ragged_raw_sessions(categorified_artifact):
+    """RAGGED raw sessions over HTTP: the handler densifies per the artifact
+    schema (docs/serving.md's contract) and answers with raw ids, matching
+    the in-process runner on the same ragged request."""
+    import http.client
+
+    from transformers4rec_tpu.serving import load_runner
+    from transformers4rec_tpu.serving.server import ServingServer
+
+    path, maps, *_ = categorified_artifact
+    raw_vocab = maps["item_id"]
+    ragged = [
+        raw_vocab[[0, 1, 2, 3]].tolist(),
+        raw_vocab[[5, 4]].tolist() + [424242],  # unseen id → OOV
+    ]
+    runner = load_runner(path)
+    server = ServingServer(path, port=0, max_delay_ms=1.0).start()
+    try:
+        conn = http.client.HTTPConnection(server.host, server.port, timeout=30)
+        conn.request(
+            "POST", "/v2/predict",
+            body=json.dumps({"inputs": {"item_id": ragged}}),
+            headers={"Content-Type": "application/json"},
+        )
+        resp = conn.getresponse()
+        assert resp.status == 200, resp.read()
+        payload = json.loads(resp.read())
+        ref_scores, ref_ids = runner.predict({"item_id": ragged})
+        np.testing.assert_allclose(
+            np.asarray(payload["item_id_scores"]), ref_scores, rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(payload["item_ids"]), ref_ids)
     finally:
         server.stop()
 

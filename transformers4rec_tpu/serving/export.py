@@ -138,21 +138,36 @@ class InferenceRunner:
         self.input_schema = Schema.from_json(os.path.join(path, "input_schema.json"))
         self.output_schema = Schema.from_json(os.path.join(path, "output_schema.json"))
         self.categories: Dict[str, np.ndarray] = {}
+        self._codes: Dict[str, object] = {}
         if self.metadata.get("categories"):
-            from ..utils.data_utils import load_categories
+            from ..utils.data_utils import build_category_codes, load_categories
 
             self.categories = load_categories(os.path.join(path, "categories"))
+            # raw→id hash indexes built ONCE (O(V) each) — the per-request
+            # encode is then a vectorized lookup
+            self._codes = {
+                k: build_category_codes(v) for k, v in self.categories.items()
+            }
 
-    def predict(self, batch: Dict[str, np.ndarray], decode_ids: bool = True):
+    def predict(
+        self,
+        batch: Dict[str, np.ndarray],
+        decode_ids: bool = True,
+        encode_inputs: bool = True,
+    ):
         """Run inference. With bundled ``categories`` mappings, categorical
-        inputs are accepted as RAW values (any dtype; 0/"" = padding in dense
-        arrays) and — when ``decode_ids`` — the returned top-k item ids are
-        decoded back to raw values (ids the mapping can't invert, i.e. the
-        pad/null/OOV codes, decode to -1 / "")."""
+        inputs are accepted as RAW values (any dtype; 0/"" = padding) and —
+        when ``decode_ids`` — the returned top-k item ids are decoded back to
+        raw values (ids the mapping can't invert, i.e. the pad/null/OOV
+        codes, decode to -1 / ""). ``encode_inputs=False`` is for callers
+        that already ran :meth:`encode` (the HTTP handler does, so the
+        batcher coalesces plain int arrays) — encoding is NOT idempotent."""
         feats = self.metadata["features"]
         dtypes = self.metadata["dtypes"]
         arrs = {
-            k: jnp.asarray(self._densify(k, self.encode(k, v), feats[k], dtypes[k]))
+            k: jnp.asarray(self._densify(
+                k, self.encode(k, v) if encode_inputs else v, feats[k], dtypes[k]
+            ))
             for k, v in batch.items()
             if k in feats
         }
@@ -168,17 +183,20 @@ class InferenceRunner:
     # ---------------------------------------------------------- categorify
     def encode(self, name: str, v):
         """Raw values → contiguous ids when a Categorify mapping is bundled
-        (reference TransformWorkflow stage); pass-through otherwise."""
+        (reference TransformWorkflow stage); pass-through otherwise.
+        Raw 0/"" always encodes to padding (the framework-wide pad id),
+        nulls to 1, unseen values to OOV 2 — ragged list-of-lists and dense
+        arrays follow the same rule."""
         if name not in self.categories:
             return v
         from ..utils.data_utils import encode_with_categories
 
-        raw_values = self.categories[name]
+        codes = self._codes[name]
         if isinstance(v, (list, tuple)) and len(v) and isinstance(
             v[0], (list, tuple, np.ndarray)
         ) and len({len(r) for r in v}) > 1:
-            return [encode_with_categories(r, raw_values) for r in v]
-        return encode_with_categories(v, raw_values, zero_is_padding=True)
+            return [encode_with_categories(r, codes) for r in v]
+        return encode_with_categories(v, codes)
 
     def decode_item_ids(self, ids: np.ndarray) -> np.ndarray:
         """Predicted contiguous item indices → raw item ids via the bundled

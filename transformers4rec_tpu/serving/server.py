@@ -66,7 +66,10 @@ class DynamicBatcher:
         self._worker.start()
 
     def submit(self, inputs: Dict[str, np.ndarray]) -> Future:
-        """inputs: dict of (rows, ...) arrays — one or more sessions."""
+        """inputs: dict of (rows, ...) arrays — one or more sessions, already
+        densified AND Categorify-encoded (the HTTP handler does both; the
+        worker calls ``predict(encode_inputs=False)`` so values are never
+        encoded twice)."""
         fut: Future = Future()
         self._q.put((inputs, fut))
         return fut
@@ -127,7 +130,7 @@ class DynamicBatcher:
                     )
                     for k, v in batch.items()
                 }
-            out = self.runner.predict(batch)
+            out = self.runner.predict(batch, encode_inputs=False)
             self.stats["requests"] += len(pending)
             self.stats["batches"] += 1
             self.stats["rows"] += n
@@ -203,16 +206,15 @@ class ServingServer:
                     for k, spec_shape in feats.items():
                         if k not in payload.get("inputs", {}):
                             raise KeyError(f"missing input column '{k}'")
-                        if k in runner.categories:
-                            # bundled Categorify mapping: accept RAW values
-                            # (any JSON type; 0 = padding) and encode here so
-                            # the batcher coalesces plain int arrays
-                            arr = np.asarray(
-                                runner.encode(k, payload["inputs"][k]),
-                                dtype=dtypes[k],
-                            )
-                        else:
-                            arr = np.asarray(payload["inputs"][k], dtype=dtypes[k])
+                        # encode RAW values (Categorify mapping, if bundled)
+                        # and densify RAGGED sessions here, once, so the
+                        # batcher coalesces plain fixed-shape arrays and the
+                        # worker runs predict(encode_inputs=False)
+                        v = runner.encode(k, payload["inputs"][k])
+                        arr = np.asarray(
+                            runner._densify(k, v, spec_shape, dtypes[k]),
+                            dtype=dtypes[k],
+                        )
                         if list(arr.shape[1:]) != list(spec_shape):
                             raise ValueError(
                                 f"column '{k}': expected trailing shape "

@@ -67,6 +67,16 @@ def categorify(
             order = order.iloc[:max_size]
         raw_values = order["value"].to_numpy()
         mappings[col] = raw_values
+        if any(v == 0 or v == "" for v in raw_values.tolist()):
+            import warnings
+
+            warnings.warn(
+                f"column {col!r} contains raw value 0/'' — it gets a real "
+                "code at training time but serving treats 0/'' as PADDING "
+                "(the framework-wide pad convention), so that one raw id "
+                "cannot be addressed at inference. Remap it upstream.",
+                stacklevel=2,
+            )
         code = {v: start_index + i for i, v in enumerate(raw_values)}
         enc = df[col].map(code)
         enc = enc.where(~df[col].isna(), CATEGORIFY_NULL_INDEX)
@@ -74,29 +84,60 @@ def categorify(
     return df, mappings
 
 
+def build_category_codes(raw_values, start_index: int = CATEGORIFY_START_INDEX):
+    """Raw-value → id lookup table (a pandas Series hash index) for a
+    ``categorify`` mapping. Build ONCE per column and reuse across
+    ``encode_with_categories`` calls — constructing the index is O(V) and
+    would otherwise dominate the serving hot path at real vocab sizes."""
+    import numpy as np
+    import pandas as pd
+
+    return pd.Series(
+        np.arange(len(raw_values), dtype=np.int64) + start_index,
+        index=pd.Index(raw_values),
+    )
+
+
 def encode_with_categories(
     values,
     raw_values,
     start_index: int = CATEGORIFY_START_INDEX,
-    zero_is_padding: bool = False,
+    zero_is_padding: bool = True,
 ):
     """Apply a ``categorify`` mapping to new data (the serving-time
-    TransformWorkflow stage of the reference Triton ensemble). Unseen values
-    encode to the OOV index; ``zero_is_padding`` keeps raw 0 → 0 (for
-    already-padded dense arrays).
+    TransformWorkflow stage of the reference Triton ensemble).
+
+    Nulls (None/NaN) encode to the NULL index and unseen values to the OOV
+    index — the same convention ``categorify`` applied at training time.
+    ``zero_is_padding`` (default) keeps raw 0/"" → 0: this framework reserves
+    0 for padding everywhere, so a raw catalog id of literally 0 cannot be
+    addressed at serving time (``categorify`` warns if one exists).
+
+    ``raw_values`` may be the mapping array or a prebuilt
+    ``build_category_codes`` Series (pass the latter on hot paths).
     """
     import numpy as np
     import pandas as pd
 
-    arr = np.asarray(values)
-    code = pd.Series(
-        np.arange(len(raw_values), dtype=np.int64) + start_index,
-        index=pd.Index(raw_values),
+    code = (
+        raw_values
+        if isinstance(raw_values, pd.Series)
+        else build_category_codes(raw_values, start_index)
     )
+    arr = np.asarray(values)
     flat = pd.Series(arr.ravel())
+    isna = flat.isna().to_numpy()
     enc = flat.map(code).fillna(CATEGORIFY_OOV_INDEX).astype("int64").to_numpy()
-    if zero_is_padding:
-        enc = np.where(flat.to_numpy() == 0, CATEGORIFY_PAD_INDEX, enc)
+    enc = np.where(isna, CATEGORIFY_NULL_INDEX, enc)
+    if zero_is_padding and not isna.all():
+        flat_np = flat.to_numpy()
+        is_pad = np.zeros(len(flat_np), bool)
+        for pad in (0, ""):
+            try:
+                is_pad |= np.asarray(flat_np == pad, bool) & ~isna
+            except (TypeError, ValueError):  # incomparable dtypes
+                pass
+        enc = np.where(is_pad, CATEGORIFY_PAD_INDEX, enc)
     return enc.reshape(arr.shape)
 
 
