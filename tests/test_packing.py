@@ -33,6 +33,66 @@ def _ragged(schema, rows=40, seed=0):
                           seed=seed, ragged=True)
 
 
+def test_pack_first_fit_exact_and_scales():
+    """The capacity-bucket packer must (a) reproduce EXACT first-fit-
+    decreasing row assignments (reference: brute-force linear scan) and
+    (b) stay near-linear — the linear scan went quadratic past ~100k
+    sessions (a 1M-session pack ran >25 min; the bucketed one takes ~1s)."""
+    import time
+
+    def brute_force_ffd(lengths, max_len):
+        order = np.argsort(-lengths, kind="stable")
+        rows, space = [], []
+        for idx in order:
+            ln = int(lengths[idx])
+            placed = False
+            for r in range(len(rows)):
+                if space[r] >= ln:
+                    rows[r].append(int(idx))
+                    space[r] -= ln
+                    placed = True
+                    break
+            if not placed:
+                rows.append([int(idx)])
+                space.append(max_len - ln)
+        return rows
+
+    rng = np.random.RandomState(0)
+    for trial in range(10):
+        n, ml = rng.randint(2, 500), rng.randint(3, 25)
+        lens = rng.randint(2, ml + 1, n)
+        sessions = np.arange(lens.sum(), dtype=np.int64) % 97 + 1
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        packed = pack_sessions(
+            {"item_id__values": sessions, "item_id__offsets": offsets},
+            max_len=ml, item_id_col="item_id",
+        )
+        expect = brute_force_ffd(lens, ml)
+        got_lengths = (packed["item_id"] != 0).sum(axis=1)
+        exp_lengths = np.array([sum(int(lens[i]) for i in row) for row in expect])
+        np.testing.assert_array_equal(got_lengths, exp_lengths)
+        # per-row segment count matches the brute-force assignment too
+        np.testing.assert_array_equal(
+            packed["segment_ids"].max(axis=1),
+            np.array([len(row) for row in expect]),
+        )
+
+    n = 200_000
+    lens = np.clip(rng.lognormal(2.2, 0.5, n).astype(np.int64), 2, 20)
+    offsets = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    vals = (np.arange(lens.sum(), dtype=np.int64) % 97) + 1
+    t0 = time.perf_counter()
+    packed = pack_sessions(
+        {"item_id__values": vals, "item_id__offsets": offsets},
+        max_len=20, item_id_col="item_id",
+    )
+    dt = time.perf_counter() - t0
+    assert packed["item_id"].shape[0] < n
+    assert dt < 30.0, f"200k-session pack took {dt:.1f}s — packer regressed"
+
+
 def test_pack_sessions_invariants():
     schema = _schema()
     data = _ragged(schema)

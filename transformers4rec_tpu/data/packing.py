@@ -84,22 +84,34 @@ def pack_sessions(
         views = _dense_feature(data, name, full_lengths)
         per_feature[name] = [np.asarray(views[i])[:max_len] for i in keep]
 
-    # first-fit-decreasing
+    # first-fit-decreasing — EXACT first fit (lowest-index row with space)
+    # found via per-capacity heaps of row indices instead of a linear row
+    # scan: the scan is O(N·rows) and goes quadratic past ~100k sessions
+    # (a 1M-session pack measured >25 min and climbing); with ≤max_len+1
+    # capacity buckets this is O(N·(max_len + log N)) and byte-identical.
+    import heapq
+
     order = np.argsort(-lengths, kind="stable")
     rows: list = []  # each: list of session indices
     space: list = []  # remaining capacity per row
+    buckets: list = [[] for _ in range(max_len + 1)]  # heap of row ids by space
     for idx in order:
         ln = int(lengths[idx])
-        placed = False
-        for r in range(len(rows)):
-            if space[r] >= ln:
-                rows[r].append(int(idx))
-                space[r] -= ln
-                placed = True
-                break
-        if not placed:
+        best_c = -1
+        best_r = -1
+        for c in range(ln, max_len + 1):
+            if buckets[c] and (best_r < 0 or buckets[c][0] < best_r):
+                best_r = buckets[c][0]
+                best_c = c
+        if best_r >= 0:
+            heapq.heappop(buckets[best_c])
+            rows[best_r].append(int(idx))
+            space[best_r] -= ln
+            heapq.heappush(buckets[space[best_r]], best_r)
+        else:
             rows.append([int(idx)])
             space.append(max_len - ln)
+            heapq.heappush(buckets[max_len - ln], len(rows) - 1)
 
     B = len(rows)
     out = {
