@@ -234,23 +234,35 @@ def session_aggregator(
     keeps the most recent ones (the reference's ETL notebooks —
     ``ListSlice(-SESSIONS_MAX_LENGTH)``).
     """
+    import numpy as np
     import pandas as pd
 
     if keep not in ("first", "last"):
         raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
     cols = [c.name for c in schema if c.name in data.columns]
     sort_cols = [session_id_col] + ([timestamp_col] if timestamp_col in data.columns else [])
-    df = data.sort_values(sort_cols)
-    grouped = df.groupby(session_id_col, sort=True)
-    out = {session_id_col: [], **{c: [] for c in cols}}
-    for sid, g in grouped:
-        if len(g) < minimum_length:
-            continue
-        out[session_id_col].append(sid)
-        for c in cols:
-            vals = g[c].to_numpy()
-            vals = vals[:maximum_length] if keep == "first" else vals[-maximum_length:]
-            out[c].append(list(vals))
+    df = data.sort_values(sort_cols, kind="stable")
+
+    # vectorized groupby: session boundaries on the sorted id column (a
+    # per-group pandas loop measured 8s per 1M interactions; this is ~10x)
+    sid = df[session_id_col].to_numpy()
+    if len(sid) == 0:
+        return pd.DataFrame({session_id_col: [], **{c: [] for c in cols}})
+    change = np.nonzero(sid[1:] != sid[:-1])[0] + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(sid)]])
+    lens = ends - starts
+    m = lens >= minimum_length
+    starts, ends, lens = starts[m], ends[m], lens[m]
+    trim = np.minimum(lens, maximum_length)
+    if keep == "first":
+        ends = starts + trim
+    else:
+        starts = ends - trim
+    out = {session_id_col: sid[starts]}
+    for c in cols:
+        arr = df[c].to_numpy()
+        out[c] = [arr[s:e].tolist() for s, e in zip(starts, ends)]
     return pd.DataFrame(out)
 
 
