@@ -67,6 +67,11 @@ def main():
                     help="offsets the train-data seed and all RNG keys "
                          "(eval data stays fixed at seed 999 for "
                          "cross-seed comparability)")
+    ap.add_argument("--lr-schedule", default="constant",
+                    choices=["constant", "cosine", "linear"],
+                    help="decay over --steps with 5%% warmup (the paper "
+                         "protocol trains with a scheduler; constant LR "
+                         "plateaus long runs)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -143,26 +148,35 @@ def main():
     tiny = {k: jnp.asarray(v[:8]) for k, v in train_np.items()}
     params = model.init(rngs, tiny, training=True)
     params = jax.device_put(params, param_shardings(params, mesh))
+    if args.lr_schedule == "constant":
+        lr = 6.7e-4
+    else:
+        from transformers4rec_tpu.trainer.schedulers import get_scheduler
+
+        lr = get_scheduler(
+            args.lr_schedule, 6.7e-4, num_training_steps=args.steps,
+            num_warmup_steps=args.steps // 20,
+        )
     if args.embedding_optimizer == "adamw":
-        table_tx = optax.adamw(6.7e-4)
+        table_tx = optax.adamw(lr)
     elif args.embedding_optimizer == "fused_adafactor":
         from transformers4rec_tpu.ops.fused_adafactor import fused_adafactor
 
-        table_tx = fused_adafactor(6.7e-4)
+        table_tx = fused_adafactor(lr)
     elif args.embedding_optimizer == "factored_adafactor":
         from transformers4rec_tpu.ops.fused_adafactor import fused_adafactor
 
-        table_tx = fused_adafactor(6.7e-4, min_dim_size_to_factor=64)
+        table_tx = fused_adafactor(lr, min_dim_size_to_factor=64)
     elif args.embedding_optimizer == "lazy_adam":
         from transformers4rec_tpu.ops.sparse_update import lazy_adam
 
-        table_tx = lazy_adam(6.7e-4)
+        table_tx = lazy_adam(lr)
     else:
         table_tx = optax.adafactor(
-            learning_rate=6.7e-4, multiply_by_parameter_scale=False
+            learning_rate=lr, multiply_by_parameter_scale=False
         )
     tx = optax.multi_transform(
-        {"dense": optax.adamw(6.7e-4), "table": table_tx},
+        {"dense": optax.adamw(lr), "table": table_tx},
         label_embedding_params,
     )
     opt_state = tx.init(params)
