@@ -242,3 +242,71 @@ def test_paper_cli_padded_window_folders(tmp_path):
     ])
     assert results and all(v for v in results.values())
     assert (tmp_path / "synthetic_windows" / "0001" / "train.parquet").exists()
+
+
+# ---------------------------------------------------------------- dataset configs
+
+
+def _load_datasets_configs():
+    root = os.path.join(os.path.dirname(__file__), "..")
+    path = os.path.join(root, "examples", "paper_repro", "datasets_configs.py")
+    spec = importlib.util.spec_from_file_location("t4r_datasets_configs", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+_REF_DATASET_CONFIGS = {
+    "rees46": "ecom_rees46/rees46_schema.pbtxt",
+    "yoochoose": "ecom_yoochoose/yoochoose_schema.pbtxt",
+    "g1": "news_g1/g1_schema.pbtxt",
+    "adressa": "news_adressa/adressa_schema.pbtxt",
+}
+
+
+def test_generated_dataset_schemas_match_reference_artifacts():
+    """The standalone dataset-config generator reproduces every column of the
+    reference pbtxt artifacts (names, cardinalities, dtypes, tag sets,
+    value_count). The generator intentionally de-duplicates two reference
+    typos: g1 lists weekday_sin twice (its ETL produces sin+cos), adressa
+    lists country twice."""
+    import pytest
+
+    from transformers4rec_tpu.schema import Schema
+
+    ref_root = "/root/reference/examples/t4rec_paper_experiments/datasets_configs"
+    if not os.path.isdir(ref_root):
+        pytest.skip("reference checkout not available")
+    dc = _load_datasets_configs()
+    extra_allowed = {"g1": {"weekday_cos"}}
+    for ds, rel in _REF_DATASET_CONFIGS.items():
+        ref = Schema.from_proto_text(os.path.join(ref_root, rel))
+        gen = dc.make_schema(ds)
+        ref_names = set(ref.column_names)
+        gen_names = set(gen.column_names)
+        assert ref_names <= gen_names, (ds, ref_names - gen_names)
+        assert gen_names - ref_names <= extra_allowed.get(ds, set()), ds
+        for name in ref_names:
+            rc, gc = ref[name], gen[name]
+            assert set(rc.tags) == set(gc.tags), (ds, name, rc.tags, gc.tags)
+            assert rc.type == gc.type, (ds, name)
+            assert rc.cardinality == gc.cardinality, (ds, name)
+            assert (rc.value_count.min, rc.value_count.max) == (
+                gc.value_count.min, gc.value_count.max), (ds, name)
+
+
+def test_generated_rees46_schema_drives_model_construction(tmp_path):
+    """The generated REES46 config is usable end-to-end: write pbtxt, load it
+    back, and build the paper model's input module from it."""
+    import transformers4rec_tpu as tr
+
+    dc = _load_datasets_configs()
+    dc.main(["--out", str(tmp_path), "--datasets", "rees46"])
+    schema = tr.Schema.from_proto_text(str(tmp_path / "rees46" / "schema.pbtxt"))
+    assert schema.item_id_column_name == "sess_pid_seq"
+    assert schema.categorical_cardinalities()["sess_pid_seq"] == 390_001
+    input_module = tr.TabularSequenceFeatures.from_schema(
+        schema.select_by_tag("item_id"), d_output=32, masking="mlm",
+        aggregation="concat",
+    )
+    assert input_module is not None
