@@ -72,6 +72,10 @@ def main():
                     help="decay over --steps with 5%% warmup (the paper "
                          "protocol trains with a scheduler; constant LR "
                          "plateaus long runs)")
+    ap.add_argument("--dropout", type=float, default=0.1,
+                    help="encoder dropout; the tuned REES46 XLNet-MLM config "
+                         "trains with dropout 0.0 (fresh-data runs need no "
+                         "regularization)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -110,7 +114,7 @@ def main():
     ]
     cfg = tr.transformer_registry.parse(arch).build(
         d_model=D_MODEL, n_head=N_HEAD, n_layer=N_LAYER, total_seq_length=SEQ,
-        dropout=0.1,
+        dropout=args.dropout,
     )
     model = cfg.to_model(
         input_module,

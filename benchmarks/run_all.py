@@ -122,11 +122,19 @@ def config_yoochoose(quick: bool):
 
 
 def config_rees46(quick: bool):
+    import importlib.util
+
+    dc_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "paper_repro",
+        "datasets_configs.py")
+    spec = importlib.util.spec_from_file_location("t4r_datasets_configs", dc_path)
+    dc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(dc)
     import transformers4rec_tpu as tr
 
-    schema = tr.Schema.from_proto_text(
-        "/root/reference/examples/t4rec_paper_experiments/datasets_configs/"
-        "ecom_rees46/rees46_schema.pbtxt")
+    # standalone REES46 schema (pinned against the reference artifact in
+    # tests/test_paper_cli.py)
+    schema = dc.make_schema("rees46")
     keep = ["sess_pid_seq", "sess_csid_seq", "sess_price_log_norm_seq",
             "sess_et_dayofweek_sin_seq"]
     schema = schema.select_by_name([c for c in keep if c in schema.column_names])
