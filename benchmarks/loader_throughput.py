@@ -38,7 +38,6 @@ def main():
     import numpy as np
 
     from transformers4rec_tpu import native
-    from transformers4rec_tpu.data import padding
     from transformers4rec_tpu.data.loader import ParquetDataLoader
     from transformers4rec_tpu.data.synthetic import (
         synthetic_data,

@@ -121,7 +121,7 @@ def test_reference_tuned_command_lines_parse():
     """The EXACT tuned command lines from the reference's integration script
     (ci/test_integration.sh — the paper's five model configs + README) parse
     against our CLI: every flag is accepted with reference names."""
-    import re
+
 
     cli = _load_cli()
     src = open("/root/reference/ci/test_integration.sh").read()

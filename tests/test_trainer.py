@@ -288,6 +288,65 @@ def test_trainer_model_parallel_sharded_table():
     table_specs = [s for k, s in specs.items() if "item_id_table" in k]
     assert table_specs and table_specs[0][0] == "model", table_specs
 
+    # the optimizer's second moment for the sharded table must carry the SAME
+    # P('model', ...) row sharding — a replicated (V, E) moment would cost a
+    # full table per device at 100M-row scale (fused_adafactor keeps its
+    # unfactored v as zeros_like(param), inheriting the param's sharding)
+    opt_specs = {
+        jax.tree_util.keystr(p): (leaf.shape, leaf.sharding.spec)
+        for p, leaf in jax.tree_util.tree_leaves_with_path(
+            trainer._train_state.opt_state
+        )
+        if "item_id_table" in jax.tree_util.keystr(p)
+        and getattr(leaf, "ndim", 0) >= 2
+    }
+    assert opt_specs, "no (V, E) optimizer moment found for the item table"
+    for key, (shape, spec) in opt_specs.items():
+        assert spec and spec[0] == "model", f"{key}: {shape} {spec}"
+
+
+@pytest.mark.parametrize("opt", ["lazy_adam", "dense"])
+def test_optimizer_moment_sharding_all_optimizers(opt):
+    """Every embedding-optimizer choice must keep its (V, E) moments
+    row-sharded over 'model' for a sharded table (VERDICT r2 item 2)."""
+    from transformers4rec_tpu.data.synthetic import (
+        synthetic_ecommerce_data_schema,
+    )
+
+    schema = synthetic_ecommerce_data_schema(
+        num_items=32768, num_categories=20, max_session_length=10
+    )
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=32, masking="clm", aggregation="concat",
+        embedding_dims={schema.item_id_column_name: 16},
+    )
+    cfg = tr.transformer_registry.parse("gpt2").build(
+        d_model=32, n_head=2, n_layer=1, total_seq_length=10
+    )
+    model = cfg.to_model(im, tr.NextItemPredictionTask(weight_tying=True))
+    args = tr.T4RecTrainingArguments(
+        output_dir=f"/tmp/t4r_mp_opt_{opt}",
+        data_loader_engine="synthetic",
+        max_sequence_length=10,
+        per_device_train_batch_size=4,
+        max_steps=2,
+        embedding_optimizer=opt,
+        mesh_model_axis=2,
+    )
+    trainer = tr.Trainer(model=model, args=args, schema=schema)
+    trainer.train()
+    opt_specs = {
+        jax.tree_util.keystr(p): (leaf.shape, leaf.sharding.spec)
+        for p, leaf in jax.tree_util.tree_leaves_with_path(
+            trainer._train_state.opt_state
+        )
+        if "item_id_table" in jax.tree_util.keystr(p)
+        and getattr(leaf, "ndim", 0) >= 2
+    }
+    assert opt_specs, "no (V, E) optimizer moment found for the item table"
+    for key, (shape, spec) in opt_specs.items():
+        assert spec and spec[0] == "model", f"{opt} {key}: {shape} {spec}"
+
 
 def test_orbax_sharded_checkpoint_roundtrip(tmp_path, ecommerce_schema):
     """SURVEY.md §5 checkpoint/resume: sharded Orbax writes, auto-detected on
@@ -728,3 +787,58 @@ def test_streaming_engine_with_shuffle_buffer(tmp_path, ecommerce_schema):
     assert m["train_steps"] == 4 and np.isfinite(m["train_loss"])
     loader = t.get_train_dataloader()
     assert loader.buffer_rows == 64
+
+@pytest.mark.parametrize("engine", ["parquet", "parquet_streaming"])
+def test_eval_predict_tail_protocol(tmp_path, ecommerce_schema, engine):
+    """num_rows % batch_size != 0 with DEFAULT args: evaluate() counts every
+    session exactly once — loss AND metrics equal a whole-dataset
+    single-batch oracle — and predict() emits exactly one row per input
+    session (no zero-fill garbage rows). dataloader_drop_last applies to the
+    TRAIN loader only (HF semantics)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from transformers4rec_tpu.data.synthetic import synthetic_data
+
+    N = 72  # 72 % 32 != 0 → zero-filled tail batch
+    rows = synthetic_data(ecommerce_schema, num_rows=N,
+                          max_session_length=20, seed=0)
+    p = tmp_path / "data.parquet"
+    pq.write_table(pa.table({k: list(v) for k, v in rows.items()}), p,
+                   row_group_size=16)
+
+    trainer = _make_trainer(
+        tmp_path, ecommerce_schema, data_loader_engine=engine,
+        per_device_eval_batch_size=4,  # global 32 on the 8-device mesh
+    )
+    trainer.eval_dataset = str(p)
+    e = trainer.evaluate()
+
+    # loader exposes the real session count and never drops the tail
+    loader = trainer.get_eval_dataloader()
+    assert loader.num_rows == N
+    assert len(loader) == 3  # ceil(72/32), not floor
+
+    # oracle: ONE batch holding every session (exact weighted mean by
+    # construction) — same params, same rows
+    trainer._eval_dataloader = None
+    trainer._jit_eval_step = None
+    trainer.args.data_loader_engine = "parquet"
+    trainer.args.per_device_eval_batch_size = 9  # global 72 → a single batch
+    o = trainer.evaluate()
+
+    assert abs(e["eval_loss"] - o["eval_loss"]) < 1e-4
+    for k, v in o.items():
+        if k.startswith("eval_/"):
+            np.testing.assert_allclose(e[k], v, rtol=1e-5, err_msg=k)
+
+    # predict aligns 1:1 with input sessions (default args)
+    scores, ids = trainer.predict(str(p), top_k=5)
+    assert scores.shape == (N, 5) and ids.shape == (N, 5)
+
+    # train loader DOES honor dataloader_drop_last=True
+    trainer.args.dataloader_drop_last = True
+    trainer.args.data_loader_engine = "parquet"
+    trainer.train_dataset = str(p)
+    tl = trainer.get_train_dataloader()
+    assert len(tl) == 72 // (8 * 8)  # train batch 64 → tail dropped

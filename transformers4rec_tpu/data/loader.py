@@ -308,9 +308,11 @@ class StreamingParquetDataLoader(T4RecDataLoader):
         pack: bool = False,
         buffer_rows: int = 65536,
         prefetch: int = 2,
+        drop_last: bool = True,
     ):
         import pyarrow.parquet as pq
 
+        self.drop_last = drop_last
         self.paths = list(paths)
         self.schema = schema
         self.batch_size = batch_size
@@ -352,7 +354,7 @@ class StreamingParquetDataLoader(T4RecDataLoader):
         batch_size: int,
         max_sequence_length: Optional[int] = None,
         shuffle: bool = True,
-        drop_last: bool = True,  # always true here (static shapes)
+        drop_last: bool = True,
         seed: int = 0,
         global_rank: int = 0,
         global_size: int = 1,
@@ -372,10 +374,13 @@ class StreamingParquetDataLoader(T4RecDataLoader):
             global_size=global_size,
             pack=pack,
             buffer_rows=buffer_rows,
+            drop_last=drop_last,
         )
 
     def __len__(self) -> int:
         if not self.pack:
+            if not self.drop_last:
+                return -(-self.num_rows // self.batch_size)
             return max(self.num_rows // self.batch_size, 1)
         if self._exact_len is not None:
             return self._exact_len
@@ -460,7 +465,22 @@ class StreamingParquetDataLoader(T4RecDataLoader):
             if n > full:
                 sel = perm[full:]
                 carry = {k: v[sel] for k, v in rows.items()}
-        # final partial batch dropped (static shapes); record exact length
+        if carry is not None and not self.drop_last:
+            # zero-fill the final partial batch to full size (static shapes);
+            # fill rows are all-padding sessions with zero loss/metric weight
+            m = _n_rows(carry, ragged=False)
+            pad = self.batch_size - m
+            batch = {
+                k: np.concatenate(
+                    [v, np.zeros((pad, *v.shape[1:]), dtype=v.dtype)]
+                )
+                for k, v in carry.items()
+            }
+            batches_out += 1
+            if batches_out > skip and not peek_ratio_only:
+                yield batch
+        # trailing partial batch otherwise dropped (static shapes); record
+        # the exact packed length after one full epoch
         if self.pack and skip == 0:
             self._exact_len = batches_out
 

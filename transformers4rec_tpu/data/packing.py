@@ -8,11 +8,14 @@ CLM label generation stops at segment boundaries (masking.py / blocks/
 transformer.py). A packed batch of B rows carries ~B·(fill/mean_len) real
 sessions for the same encoder cost.
 
-TRAINING-ONLY (masking raises otherwise): evaluation and serving run on
-unpacked batches. Exact for relative-position architectures; approximate for
-learned-absolute positions (packed sessions start at nonzero offsets). No
-reference analog — the reference pads every session to a full row
-(torch/utils/padding.py).
+Training packs via ``pack_sessions=True``; evaluation packs via the separate
+``pack_eval_sessions=True`` opt-in (per-segment last-item targets — metric
+sums match unpacked eval EXACTLY, tests/test_packing.py). Serving/predict
+always run unpacked. Exact for EVERY architecture family: relative-position
+biases are offset-invariant, and learned-absolute positions restart per
+segment (blocks/transformer.py per-segment position restart). PLM rejects
+segments. No reference analog — the reference pads every session to a full
+row (torch/utils/padding.py).
 
 Host-side numpy, first-fit-decreasing.
 """

@@ -21,12 +21,10 @@ import jax.numpy as jnp
 
 from ..blocks.base import SequentialBlock, TransformerBlock
 from ..config.transformer import T4RecConfig
-from ..masking import MaskingInfo
 from ..schema import ColumnSchema, Schema, Tags, ValueCount
 from .prediction_task import (
     BinaryClassificationTask,
     NextItemPredictionTask,
-    PredictionTask,
     RegressionTask,
     TaskOutput,
 )
@@ -366,30 +364,48 @@ class Model(nn.Module):
                 params, batch, targets=batch, testing=True, compute_metrics=True
             )
             metrics = {}
+            lstate = {}
             for task_name, out in outs.items():
+                w = out.loss_weight
+                w = jnp.ones(()) if w is None else jnp.maximum(w, 0.0)
+                lstate[task_name] = (out.loss * w, w)
                 if out.metrics:
                     for k, v in out.metrics.items():
                         metrics[f"{task_name}/{k}"] = v
-            return loss, metrics
+            return lstate, metrics
 
         metric_state: Dict[str, Any] = {}
-        loss_sum = jnp.zeros(())
-        n = 0
+        # per-task (Σ loss·w, Σ w): the dataset-level loss is the exact
+        # weighted mean over valid targets (tail batches are zero-filled)
+        loss_state: Dict[str, Any] = {}
         for i, batch in enumerate(dataloader):
             if max_steps is not None and i >= max_steps:
                 break
             if max_sequence_length is None:
                 max_sequence_length = self._ragged_max_len(batch)
             batch = self._as_dense(batch, max_sequence_length)
-            loss, metrics = eval_step(params, batch)
-            loss_sum = loss_sum + loss
-            n += 1
+            lstate, metrics = eval_step(params, batch)
+            loss_state = (
+                {
+                    name: (loss_state[name][0] + s, loss_state[name][1] + w)
+                    for name, (s, w) in lstate.items()
+                }
+                if loss_state
+                else lstate
+            )
             metric_state = (
                 update_metric_state(metric_state, metrics)
                 if metric_state
                 else metrics
             )
-        results = {f"{mode}_loss": float(loss_sum) / max(n, 1)}
+        task_means = [
+            float(s) / max(float(w), 1.0) for s, w in loss_state.values()
+        ]
+        # equal-weight tasks (Model.fit path builds single-head equal-weight
+        # models; the Trainer recombines with configured head/task weights)
+        results = {
+            f"{mode}_loss": sum(task_means) / max(len(task_means), 1)
+        }
         if metric_state:
             for name, val in finalize_metrics(metric_state).items():
                 results[f"{mode}_/{name}"] = float(val)

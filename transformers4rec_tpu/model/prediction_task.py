@@ -101,6 +101,12 @@ class TaskOutput:
     predictions: Optional[jnp.ndarray] = None
     weights: Optional[jnp.ndarray] = None  # per-row validity for metrics
     metrics: Optional[Dict[str, Any]] = None
+    # scalar Σw — the denominator of the task's weighted-mean loss. Eval
+    # loops accumulate (loss·loss_weight, loss_weight) so the dataset-level
+    # loss is the exact weighted mean over every valid target, not a mean of
+    # per-batch means (zero-filled tail batches would otherwise get a full
+    # batch's weight). None → the loop falls back to per-batch weight 1.
+    loss_weight: Optional[jnp.ndarray] = None
 
 
 class PredictionTask(nn.Module):
@@ -155,11 +161,17 @@ class BinaryClassificationTask(PredictionTask):
         if targets is None:
             return TaskOutput(loss=jnp.zeros(()), predictions=jax.nn.sigmoid(logits))
         targets = targets.astype(jnp.float32)
-        loss = binary_cross_entropy_with_logits(logits, targets)
+        # row validity: zero-filled tail rows (drop_last=False static batches)
+        # have an all-padding session — they carry no loss or metric weight
+        valid = (
+            pad_mask.any(axis=1).astype(jnp.float32)
+            if pad_mask is not None and pad_mask.ndim == 2
+            else jnp.ones(targets.shape[0], jnp.float32)
+        )
+        loss = binary_cross_entropy_with_logits(logits, targets, weights=valid)
         preds = jax.nn.sigmoid(logits)
         hard = (preds > 0.5).astype(jnp.float32)
-        tp = (hard * targets).sum()
-        n = jnp.float32(targets.shape[0])
+        tp = (hard * targets * valid).sum()
         # exact streaming sufficient statistics — states merge by elementwise
         # addition and finalize as s/c, so unequal (tail) batches contribute
         # with their true weight (parity with torchmetrics' exact streaming,
@@ -168,11 +180,12 @@ class BinaryClassificationTask(PredictionTask):
         # prefixes the task name exactly once — same contract as the
         # ranking metrics ("ndcg_at_10" → "next-item/ndcg_at_10")
         metrics = {
-            "accuracy": ((hard == targets).sum(), n),
-            "precision": (tp, hard.sum()),
-            "recall": (tp, targets.sum()),
+            "accuracy": (((hard == targets) * valid).sum(), valid.sum()),
+            "precision": (tp, (hard * valid).sum()),
+            "recall": (tp, (targets * valid).sum()),
         }
-        return TaskOutput(loss=loss, labels=targets, predictions=preds, metrics=metrics)
+        return TaskOutput(loss=loss, labels=targets, predictions=preds,
+                          metrics=metrics, loss_weight=valid.sum())
 
 
 class RegressionTask(PredictionTask):
@@ -190,11 +203,17 @@ class RegressionTask(PredictionTask):
         preds = nn.Dense(1, name="output")(x)[..., 0]
         if targets is None:
             return TaskOutput(loss=jnp.zeros(()), predictions=preds)
-        loss = mse_loss(preds, targets)
+        valid = (
+            pad_mask.any(axis=1).astype(jnp.float32)
+            if pad_mask is not None and pad_mask.ndim == 2
+            else jnp.ones(targets.shape[0], jnp.float32)
+        )
+        loss = mse_loss(preds, targets, weights=valid)
         # exact streaming (sum of squared errors, count) — see binary task
-        sq = jnp.square(preds - targets.astype(jnp.float32)).sum()
-        metrics = {"mse": (sq, jnp.float32(targets.shape[0]))}
-        return TaskOutput(loss=loss, labels=targets, predictions=preds, metrics=metrics)
+        sq = (jnp.square(preds - targets.astype(jnp.float32)) * valid).sum()
+        metrics = {"mse": (sq, valid.sum())}
+        return TaskOutput(loss=loss, labels=targets, predictions=preds,
+                          metrics=metrics, loss_weight=valid.sum())
 
 
 class NextItemPredictionTask(PredictionTask):
@@ -339,8 +358,10 @@ class NextItemPredictionTask(PredictionTask):
                     logits, zero_labels, weights=mask.reshape(N),
                     label_smoothing=self.label_smoothing,
                 )
+                w = mask.reshape(N)
                 return TaskOutput(loss=loss, labels=labels,
-                                  predictions=None, weights=mask.reshape(N))
+                                  predictions=None, weights=w,
+                                  loss_weight=w.sum())
             if testing and self.eval_single_target and info.segment_ids is None:
                 # one target per session: gather that position (static shapes).
                 # Packed rows (segment_ids) carry MULTIPLE per-segment targets
@@ -371,7 +392,8 @@ class NextItemPredictionTask(PredictionTask):
                             label_smoothing=self.label_smoothing,
                         )
                     return TaskOutput(loss=loss, labels=labels, predictions=None,
-                                      weights=row_valid, metrics=metrics)
+                                      weights=row_valid, metrics=metrics,
+                                      loss_weight=row_valid.sum())
                 logits = jnp.einsum("be,ve->bv", xg, W,
                                     preferred_element_type=jnp.float32) / temp
                 if vsz is not None:
@@ -386,7 +408,8 @@ class NextItemPredictionTask(PredictionTask):
                         logits, labels, self.metrics, weights=row_valid
                     )
                 return TaskOutput(loss=loss, labels=labels, predictions=logits,
-                                  weights=row_valid, metrics=metrics)
+                                  weights=row_valid, metrics=metrics,
+                                  loss_weight=row_valid.sum())
             # full-position path over (B*S) rows
             N = targets.shape[0] * targets.shape[1]
             flat_labels = targets.reshape(N)
@@ -423,7 +446,8 @@ class NextItemPredictionTask(PredictionTask):
                             label_smoothing=self.label_smoothing,
                         )
                         return TaskOutput(loss=loss, labels=lb,
-                                          predictions=None, weights=flat_mask)
+                                          predictions=None, weights=flat_mask,
+                                          loss_weight=flat_mask.sum())
                 metrics = None
                 if compute_metrics and testing:
                     # full-position eval: single streamed pass for loss+ranks
@@ -440,7 +464,8 @@ class NextItemPredictionTask(PredictionTask):
                         label_smoothing=self.label_smoothing,
                     )
                 return TaskOutput(loss=loss, labels=flat_labels, predictions=None,
-                                  weights=flat_mask, metrics=metrics)
+                                  weights=flat_mask, metrics=metrics,
+                                  loss_weight=flat_mask.sum())
             logits = jnp.einsum("bse,ve->bsv", x, W,
                                 preferred_element_type=jnp.float32) / temp
             if vsz is not None:
@@ -456,7 +481,8 @@ class NextItemPredictionTask(PredictionTask):
                 )
             return TaskOutput(loss=loss, labels=flat_labels,
                               predictions=flat_logits if testing else None,
-                              weights=flat_mask, metrics=metrics)
+                              weights=flat_mask, metrics=metrics,
+                              loss_weight=flat_mask.sum())
 
         # ---------------- inference: score the next item per session ----------
         item_ids = info.item_ids

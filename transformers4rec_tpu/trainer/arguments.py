@@ -39,10 +39,12 @@ class T4RecTrainingArguments:
     # experiment-group label stamped into metrics.jsonl records (reference
     # config/trainer.py:122-125 uses it to organize W&B runs)
     experiments_group: str = "default"
-    # HF TrainingArguments field the reference exercises in tests. Batches
-    # are ALWAYS full-size (static TPU shapes): True drops the ragged tail,
-    # False keeps a final batch wrap-filled with repeated rows
-    dataloader_drop_last: bool = True
+    # HF TrainingArguments field the reference exercises in tests. Applies to
+    # the TRAIN loader only (HF semantics — eval/test loaders never drop tail
+    # sessions). Batches are ALWAYS full-size (static TPU shapes): True drops
+    # the ragged tail; False keeps a final ZERO-FILLED batch whose fill rows
+    # carry no loss/metric weight (each real row counts exactly once).
+    dataloader_drop_last: bool = False
 
     # optimization (HF TrainingArguments subset)
     learning_rate: float = 5e-4

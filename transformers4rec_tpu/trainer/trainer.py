@@ -134,10 +134,18 @@ class Trainer:
         self._resume_position: Optional[tuple] = None
 
     # ------------------------------------------------------------ dataloaders
-    def _make_loader(self, dataset, batch_size: int, shuffle: bool, **kwargs):
+    def _make_loader(self, dataset, batch_size: int, shuffle: bool,
+                     is_train: bool = False, **kwargs):
         engine = self.args.data_loader_engine
         cls = dataloader_registry.parse("parquet" if engine == "merlin" else engine)
-        kwargs.setdefault("drop_last", self.args.dataloader_drop_last)
+        # HF semantics: dataloader_drop_last applies to the TRAIN loader only
+        # (reference trainer evaluates/predicts every session — HF
+        # Trainer.get_eval_dataloader never drops the tail). Eval/test
+        # loaders always keep the tail as a zero-filled full-size batch whose
+        # fill rows carry no loss/metric weight.
+        kwargs.setdefault(
+            "drop_last", self.args.dataloader_drop_last if is_train else False
+        )
         if engine == "parquet_streaming" and self.args.shuffle_buffer_size > 0:
             kwargs.setdefault("buffer_rows", self.args.shuffle_buffer_size)
         # batch_size is GLOBAL; each process loads its 1/process_count shard
@@ -165,7 +173,7 @@ class Trainer:
         # exact per-session eval protocol + serving compatibility)
         return self._make_loader(
             self.train_dataset, self.args.train_batch_size, shuffle=True,
-            pack=self.args.pack_sessions,
+            is_train=True, pack=self.args.pack_sessions,
         )
 
     def get_eval_dataloader(self, eval_dataset=None):
@@ -382,11 +390,46 @@ class Trainer:
 
         return jax.jit(train_step_multi, donate_argnums=(0,))
 
+    @staticmethod
+    def _task_loss_state(outs):
+        """Per-task (weighted-loss-sum, weight-sum) — the exact sufficient
+        statistics for a dataset-level weighted-mean loss. Zero-filled tail
+        batches (drop_last=False) contribute only their real targets'
+        weight, instead of a full batch's weight under mean-of-batch-means."""
+        state = {}
+        for task_name, out in outs.items():
+            w = out.loss_weight
+            if w is None:
+                w = jnp.ones(())
+            else:
+                w = jnp.maximum(w, 0.0)
+            state[task_name] = (out.loss * w, w)
+        return state
+
+    def _combine_task_losses(self, task_means: Dict[str, float]) -> float:
+        """Recombine per-task dataset-level means with the SAME head/task
+        weighting Model.__call__ applies per batch."""
+        heads = list(getattr(self.model, "heads", ()) or ())
+        if not heads:
+            vals = list(task_means.values())
+            return float(sum(vals)) / max(len(vals), 1)
+        hw = list(self.model.head_weights or [1.0] * len(heads))
+        total = 0.0
+        for w_h, head in zip(hw, heads):
+            tasks = list(head.tasks)
+            tw = list(head.task_weights or [1.0] * len(tasks))
+            h = sum(
+                w_t * task_means.get(t.task_name, 0.0)
+                for w_t, t in zip(tw, tasks)
+            )
+            total += w_h * h / max(sum(tw), 1e-9)
+        return float(total) / max(sum(hw), 1e-9)
+
     def _build_eval_step(self, compute_metrics: bool):
         model = self.model
 
         def eval_step(params, batch):
-            loss, outs = model.apply(
+            _, outs = model.apply(
                 params, batch, targets=batch, testing=True,
                 compute_metrics=compute_metrics,
             )
@@ -395,7 +438,7 @@ class Trainer:
                 if out.metrics:
                     for k, v in out.metrics.items():
                         metrics[f"{task_name}/{k}"] = v
-            return loss, metrics
+            return Trainer._task_loss_state(outs), metrics
 
         return jax.jit(eval_step, static_argnames=())
 
@@ -407,7 +450,7 @@ class Trainer:
         model = self.model
 
         def eval_one(params, batch):
-            loss, outs = model.apply(
+            _, outs = model.apply(
                 params, batch, targets=batch, testing=True,
                 compute_metrics=compute_metrics,
             )
@@ -416,24 +459,28 @@ class Trainer:
                 if out.metrics:
                     for k, v in out.metrics.items():
                         metrics[f"{task_name}/{k}"] = v
-            return loss, metrics
+            return Trainer._task_loss_state(outs), metrics
 
         def eval_multi(params, stacked):
             first = jax.tree.map(lambda x: x[0], stacked)
-            loss0, m0 = eval_one(params, first)
+            l0, m0 = eval_one(params, first)
             rest = jax.tree.map(lambda x: x[1:], stacked)
 
             def body(carry, batch):
-                loss_sum, mstate = carry
-                loss, m = eval_one(params, batch)
+                lstate, mstate = carry
+                l, m = eval_one(params, batch)
+                lmerged = {
+                    name: (lstate[name][0] + s, lstate[name][1] + w)
+                    for name, (s, w) in l.items()
+                }
                 merged = {
                     name: (mstate[name][0] + s, mstate[name][1] + c)
                     for name, (s, c) in m.items()
                 } if m else mstate
-                return (loss_sum + loss, merged), None
+                return (lmerged, merged), None
 
-            (loss_sum, mstate), _ = jax.lax.scan(body, (loss0, m0), rest)
-            return loss_sum, mstate
+            (lstate, mstate), _ = jax.lax.scan(body, (l0, m0), rest)
+            return lstate, mstate
 
         return jax.jit(eval_multi)
 
@@ -709,24 +756,37 @@ class Trainer:
         start = time.time()
         metric_state: Dict[str, Any] = {}
         # accumulate on device — a host transfer per batch costs ~30ms on a
-        # tunneled TPU backend; one transfer happens at the end
-        loss_sum = jnp.zeros(())
+        # tunneled TPU backend; one transfer happens at the end.
+        # loss_state: {task: (Σ loss·w, Σ w)} — the dataset-level loss is the
+        # exact weighted mean over valid targets (see _task_loss_state)
+        loss_state: Dict[str, Any] = {}
         n_batches, n_examples = 0, 0
         pending: List[Dict[str, Any]] = []
 
+        def merge_loss(lstate):
+            nonlocal loss_state
+            loss_state = (
+                {
+                    name: (loss_state[name][0] + s, loss_state[name][1] + w)
+                    for name, (s, w) in lstate.items()
+                }
+                if loss_state
+                else lstate
+            )
+
         def flush(group):
-            nonlocal loss_sum, metric_state, n_batches, n_examples
+            nonlocal metric_state, n_batches, n_examples
             if len(group) > 1:
                 stacked = shard_stacked_batches(group, self.mesh)
-                loss, metrics = self._jit_eval_step_multi(
+                lstate, metrics = self._jit_eval_step_multi(
                     self._train_state.params, stacked
                 )
             else:
                 sb = shard_batch(
                     {k: jnp.asarray(v) for k, v in group[0].items()}, self.mesh
                 )
-                loss, metrics = self._jit_eval_step(self._train_state.params, sb)
-            loss_sum = loss_sum + loss
+                lstate, metrics = self._jit_eval_step(self._train_state.params, sb)
+            merge_loss(lstate)
             n_batches += len(group)
             n_examples += sum(next(iter(b.values())).shape[0] for b in group)
             if self.compute_metrics and metrics:
@@ -749,18 +809,22 @@ class Trainer:
                 sb = shard_batch(
                     {k: jnp.asarray(v) for k, v in batch.items()}, self.mesh
                 )
-                loss, _ = self._jit_eval_step(self._train_state.params, sb)
-                loss_sum = loss_sum + loss
+                lstate, _ = self._jit_eval_step(self._train_state.params, sb)
+                merge_loss(lstate)
                 n_batches += 1
                 n_examples += next(iter(batch.values())).shape[0]
             else:
                 flush([batch])
         for b in pending:
             flush([b])
+        task_means = {
+            name: float(s) / max(float(w), 1.0)
+            for name, (s, w) in loss_state.items()
+        }
         runtime = time.time() - start
 
         results = {
-            f"{metric_key_prefix}_loss": float(loss_sum) / max(n_batches, 1),
+            f"{metric_key_prefix}_loss": self._combine_task_losses(task_means),
             f"{metric_key_prefix}_runtime": runtime,
             f"{metric_key_prefix}_samples_per_second": n_examples / max(runtime, 1e-9),
         }
@@ -829,7 +893,14 @@ class Trainer:
             scores, ids = step_fn(self._train_state.params, sb)
             all_scores.append(np.asarray(scores))
             all_ids.append(np.asarray(ids))
-        return np.concatenate(all_scores), np.concatenate(all_ids)
+        scores, ids = np.concatenate(all_scores), np.concatenate(all_ids)
+        # the final batch is zero-filled to full size (static shapes):
+        # truncate to the dataset's real session count so predictions align
+        # 1:1 with input sessions (reference predictions do)
+        num_rows = getattr(loader, "num_rows", None)
+        if num_rows is not None and len(scores) > num_rows:
+            scores, ids = scores[:num_rows], ids[:num_rows]
+        return scores, ids
 
     # ------------------------------------------------------------- checkpoint
     @property
