@@ -170,11 +170,30 @@ def main():
             baseline = json.load(f).get("value")
     vs_baseline = examples_per_sec_per_chip / baseline if baseline else 1.0
 
+    # MFU: analytic model FLOPs (fwd+bwd GEMMs, docs/performance.md roofline
+    # table / utils/flops.py) over the measured step time and the v5e bf16
+    # peak. The step is FLOP-sparse by design (adaptive CE budget) — the CE
+    # kernels are exp-throughput/VPU-bound, so MFU is a sanity floor, not the
+    # binding constraint; the roofline table is the full accounting.
+    from transformers4rec_tpu.utils.flops import (
+        mfu as _mfu,
+        xlnet_mlm_step_accounting,
+    )
+
+    acct = xlnet_mlm_step_accounting(
+        batch=batch_size // n_chips, seq=SEQ, d_model=D_MODEL,
+        n_layer=N_LAYER, n_head=N_HEAD, vocab=NUM_ITEMS + 8, emb_dim=64,
+        mlm_p=0.3,
+    )
+    step_seconds = dt / (STEPS * K_PACK)
     print(json.dumps({
         "metric": "train_examples_per_sec_per_chip_xlnet_mlm_rees46",
         "value": round(examples_per_sec_per_chip, 2),
         "unit": "examples/sec/chip",
         "vs_baseline": round(vs_baseline, 4),
+        "mfu": round(_mfu(acct["total_flops"], step_seconds), 4),
+        "model_tflops_per_step": round(acct["total_flops"] / 1e12, 4),
+        "ms_per_step": round(step_seconds * 1e3, 3),
     }))
 
 

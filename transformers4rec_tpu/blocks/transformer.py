@@ -235,7 +235,11 @@ class MultiHeadAttention(nn.Module):
 
 
 class TransformerLayer(nn.Module):
-    """Pre-LN transformer layer; optional second (query) stream sharing K/V."""
+    """Transformer layer; optional second (query) stream sharing K/V.
+
+    ``norm_first=True`` (GPT-2/XLNet-style pre-LN, the TPU-friendly default)
+    or ``norm_first=False`` (BERT/ELECTRA/ALBERT post-LN: residual then
+    LayerNorm — exact HF weight transfer, tests/test_hf_golden.py)."""
 
     d_model: int
     n_head: int
@@ -245,6 +249,7 @@ class TransformerLayer(nn.Module):
     layer_norm_eps: float = 1e-12
     activation: str = "gelu"
     causal: bool = False
+    norm_first: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -267,7 +272,12 @@ class TransformerLayer(nn.Module):
         ln2 = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="ln2")
         ffn_in = nn.Dense(self.d_ff, dtype=self.dtype, name="ffn_in")
         ffn_out = nn.Dense(self.d_model, dtype=self.dtype, name="ffn_out")
-        act = getattr(nn, self.activation)
+        # 'gelu' = tanh approximation (GPT-2's gelu_new); 'gelu_exact' = the
+        # erf form HF BERT/ELECTRA use (needed for exact weight transfer)
+        if self.activation == "gelu_exact":
+            act = lambda x: nn.gelu(x, approximate=False)  # noqa: E731
+        else:
+            act = getattr(nn, self.activation)
         drop = nn.Dropout(self.dropout)
 
         def ffn(x):
@@ -275,32 +285,47 @@ class TransformerLayer(nn.Module):
             h = drop(h, deterministic=deterministic)
             return ffn_out(h)
 
-        normed = ln1(hidden)
+        x = ln1(hidden) if self.norm_first else hidden
         if mem is not None:
             # segment recurrence: cached (stop-gradient) states prepend to the
             # K/V source; LN is positionwise so ln1(concat) rows == ln1 rows
-            kv_normed = jnp.concatenate([ln1(mem.astype(self.dtype)), normed], axis=1)
+            m = mem.astype(self.dtype)
+            kv_x = jnp.concatenate([ln1(m) if self.norm_first else m, x], axis=1)
             flash_ctx = None  # memory path uses the XLA attention (S is small)
         else:
-            kv_normed = normed
+            kv_x = x
         ctx, kv = attn(
-            normed, kv_normed, bias, deterministic=deterministic, flash_ctx=flash_ctx
+            x, kv_x, bias, deterministic=deterministic, flash_ctx=flash_ctx
         )
-        hidden = hidden + drop(ctx, deterministic=deterministic)
-        hidden = hidden + drop(ffn(ln2(hidden)), deterministic=deterministic)
+        if self.norm_first:
+            hidden = hidden + drop(ctx, deterministic=deterministic)
+            hidden = hidden + drop(ffn(ln2(hidden)), deterministic=deterministic)
+        else:
+            hidden = ln1(hidden + drop(ctx, deterministic=deterministic))
+            hidden = ln2(hidden + drop(ffn(hidden), deterministic=deterministic))
 
         new_query = None
         if query_hidden is not None:
             # two-stream: query stream attends the content stream's K/V with its
             # own (self-blocking) bias; parameters are shared with the content
             # stream (same `attn`/ffn modules — XLNet semantics).
-            q_normed = ln1(query_hidden)
+            qx = ln1(query_hidden) if self.norm_first else query_hidden
             q_ctx, _ = attn(
-                q_normed, normed, query_bias, deterministic=deterministic,
+                qx, x, query_bias, deterministic=deterministic,
                 shared_kv=kv, flash_ctx=query_flash_ctx,
             )
-            new_query = query_hidden + drop(q_ctx, deterministic=deterministic)
-            new_query = new_query + drop(ffn(ln2(new_query)), deterministic=deterministic)
+            if self.norm_first:
+                new_query = query_hidden + drop(q_ctx, deterministic=deterministic)
+                new_query = new_query + drop(
+                    ffn(ln2(new_query)), deterministic=deterministic
+                )
+            else:
+                new_query = ln1(
+                    query_hidden + drop(q_ctx, deterministic=deterministic)
+                )
+                new_query = ln2(
+                    new_query + drop(ffn(new_query), deterministic=deterministic)
+                )
         return hidden, new_query
 
 
@@ -325,6 +350,11 @@ class TransformerEncoder(nn.Module):
     two_stream: bool = False  # XLNet PLM (activates when perm_mask given)
     remat: bool = False  # rematerialize layer activations (jax.checkpoint)
     mem_len: int = 0  # TransfoXL/XLNet segment recurrence cache length
+    # norm_first=False → BERT-family post-LN (residual→LayerNorm, no final
+    # ln_f); norm_first=True → GPT-2-style pre-LN with final ln_f
+    norm_first: bool = True
+    # BERT-family embedding LayerNorm after the position add (HF fidelity)
+    embed_layer_norm: bool = False
     dtype: Any = jnp.float32
 
     def init_mems(self, batch_size: int):
@@ -451,6 +481,13 @@ class TransformerEncoder(nn.Module):
                 q_extra = rel_bias if q_extra is None else q_extra + rel_bias
             query_flash_ctx = (q_extra, pad_mask) if M == 0 else None
 
+        if self.embed_layer_norm:
+            ln_emb = nn.LayerNorm(
+                epsilon=self.layer_norm_eps, dtype=self.dtype, name="ln_emb"
+            )
+            hidden = ln_emb(hidden)
+            if query_hidden is not None:
+                query_hidden = ln_emb(query_hidden)
         hidden = nn.Dropout(self.dropout)(hidden, deterministic=deterministic)
         if query_hidden is not None:
             query_hidden = nn.Dropout(self.dropout)(
@@ -465,7 +502,8 @@ class TransformerEncoder(nn.Module):
             d_model=self.d_model, n_head=self.n_head, d_ff=d_ff,
             dropout=self.dropout, attn_dropout=self.attn_dropout,
             layer_norm_eps=self.layer_norm_eps, activation=self.activation,
-            causal=self.causal, dtype=self.dtype, name=f"layer_{i}",
+            causal=self.causal, norm_first=self.norm_first, dtype=self.dtype,
+            name=f"layer_{i}",
         )
         shared = make_layer("shared") if self.share_layers else None
         collect = return_mems and self.mem_len > 0
@@ -497,7 +535,12 @@ class TransformerEncoder(nn.Module):
             )
 
         out = query_hidden if query_hidden is not None else hidden
-        out = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="ln_f")(out)
+        if self.norm_first:
+            # pre-LN archs end with a final LayerNorm; post-LN archs already
+            # normalized inside every layer (HF BERT has no final LN)
+            out = nn.LayerNorm(
+                epsilon=self.layer_norm_eps, dtype=self.dtype, name="ln_f"
+            )(out)
         out = out.astype(jnp.float32)
         if collect:
             ext_ok = (

@@ -47,6 +47,12 @@ class T4RecConfig:
     share_layers: bool = False
     local_window: Optional[int] = None
     two_stream: bool = False
+    # BERT-family fidelity: post-LN layers (residual→LayerNorm, no final
+    # ln_f) + embedding LayerNorm after the position add — admits EXACT HF
+    # weight transfer (tests/test_hf_golden.py). Pre-LN stays the default for
+    # the decoder/XLNet archs (GPT-2 is pre-LN in HF too).
+    norm_first: bool = True
+    embed_layer_norm: bool = False
     remat: bool = False  # gradient checkpointing (jax.checkpoint per layer)
     # XLNet/TransfoXL segment-recurrence cache (reference
     # config/transformer.py:454-460, 638): encoder caches mem_len past
@@ -84,6 +90,8 @@ class T4RecConfig:
             share_layers=self.share_layers,
             local_window=self.local_window,
             two_stream=self.two_stream,
+            norm_first=self.norm_first,
+            embed_layer_norm=self.embed_layer_norm,
             remat=self.remat,
             mem_len=self.mem_len,
             dtype=self.dtype or jnp.float32,
@@ -149,14 +157,21 @@ XLNetConfig = _register(
     "xlnet", causal=False, pos_encoding="relative_bias", two_stream=True,
     masking="plm", _seq_headroom=2,
 )
-BertConfig = _register("bert", causal=False, masking="mlm", _seq_headroom=2)
-RobertaConfig = _register("roberta", causal=False, masking="mlm", _seq_headroom=2)
-ElectraConfig = _register("electra", causal=False, masking="rtd", _seq_headroom=2)
+# BERT family: post-LN + embedding LayerNorm + exact (erf) gelu — matches the
+# HF models the reference wraps layer-for-layer, so real HF weights transfer
+# EXACTLY (tests/test_hf_golden.py::test_bert_exact_weight_transfer)
+_BERT_FAMILY = dict(
+    causal=False, norm_first=False, embed_layer_norm=True,
+    hidden_act="gelu_exact", _seq_headroom=2,
+)
+BertConfig = _register("bert", masking="mlm", **_BERT_FAMILY)
+RobertaConfig = _register("roberta", masking="mlm", **_BERT_FAMILY)
+ElectraConfig = _register("electra", masking="rtd", **_BERT_FAMILY)
 AlbertConfig = _register(
-    "albert", causal=False, share_layers=True, masking="mlm", _seq_headroom=2
+    "albert", share_layers=True, masking="mlm", **_BERT_FAMILY
 )
 LongformerConfig = _register(
-    "longformer", causal=False, local_window=8, masking="mlm", _seq_headroom=2
+    "longformer", local_window=8, masking="mlm", **_BERT_FAMILY
 )
 ReformerConfig = _register(
     "reformer", causal=False, local_window=8, masking="mlm", _seq_headroom=2
