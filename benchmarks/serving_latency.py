@@ -1,10 +1,15 @@
 """Serving latency/throughput benchmark.
 
 Measures the exported StableHLO artifact (the production serving path) on the
-available device: p50/p95 latency and QPS for top-k next-item scoring at the
-REES46-scale vocabulary, across batch sizes.
+available device: p50/p95/p99 latency and QPS for top-k next-item scoring at
+the REES46-scale vocabulary, across batch sizes. ``--http`` measures the full
+HTTP daemon instead (serving/server.py: JSON decode → dynamic batcher →
+device → JSON encode — the Triton-analog path), with ``--concurrency``
+parallel clients.
 
   python benchmarks/serving_latency.py [--cpu] [--vocab 390000] [--top-k 100]
+  python benchmarks/serving_latency.py --http --concurrency 8
+  python benchmarks/serving_latency.py --weights-dtype bfloat16
 """
 
 from __future__ import annotations
@@ -30,6 +35,13 @@ def main():
     ap.add_argument("--weights-dtype", default=None,
                     help="e.g. bfloat16 — cast params at export (halves the "
                          "memory-bound vocab-GEMM table read per request)")
+    ap.add_argument("--http", action="store_true",
+                    help="measure the HTTP daemon (dynamic batching) instead "
+                         "of the in-process runner")
+    ap.add_argument("--concurrency", type=int, default=8,
+                    help="parallel HTTP clients (http mode)")
+    ap.add_argument("--max-delay-ms", type=float, default=2.0,
+                    help="dynamic-batcher window (http mode)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -64,8 +76,63 @@ def main():
     params = model.init(rngs, example, training=True)
     path = export_model(model, params, example, "/tmp/t4r_latency_artifact",
                         top_k=args.top_k, weights_dtype=args.weights_dtype)
-    runner = load_runner(path)
 
+    def report(tag, bs, lat_ms, qps):
+        lat = np.asarray(lat_ms)
+        print(json.dumps({
+            "benchmark": tag,
+            "weights_dtype": args.weights_dtype or "float32",
+            "batch_size": bs,
+            "top_k": args.top_k,
+            "vocab": args.vocab,
+            "p50_ms": round(float(np.percentile(lat, 50)), 2),
+            "p95_ms": round(float(np.percentile(lat, 95)), 2),
+            "p99_ms": round(float(np.percentile(lat, 99)), 2),
+            "qps": round(qps, 1),
+        }), flush=True)
+
+    if args.http:
+        # the full daemon path: JSON → dynamic batcher → device → JSON.
+        # Each client sends single-session requests; the batcher coalesces.
+        import concurrent.futures
+        import urllib.request
+
+        from transformers4rec_tpu.serving import ServingServer
+
+        server = ServingServer(
+            path, port=0, max_batch_size=128, max_delay_ms=args.max_delay_ms
+        ).start()
+        try:
+            base = f"http://127.0.0.1:{server.port}"
+            req_rows = synthetic_data(schema, num_rows=args.concurrency,
+                                      max_session_length=20, seed=1)
+
+            def one(i):
+                inputs = {k: np.asarray(v)[i % args.concurrency:
+                                           i % args.concurrency + 1].tolist()
+                          for k, v in req_rows.items()}
+                body = json.dumps({"inputs": inputs}).encode()
+                t0 = time.perf_counter()
+                r = urllib.request.Request(
+                    f"{base}/v2/predict", data=body,
+                    headers={"Content-Type": "application/json"},
+                )
+                with urllib.request.urlopen(r) as resp:
+                    json.loads(resp.read())
+                return (time.perf_counter() - t0) * 1000
+
+            with concurrent.futures.ThreadPoolExecutor(args.concurrency) as ex:
+                list(ex.map(one, range(2 * args.concurrency)))  # warm/compile
+                n = args.iters * args.concurrency
+                t0 = time.perf_counter()
+                lat = list(ex.map(one, range(n)))
+                wall = time.perf_counter() - t0
+            report("serving_latency_http", 1, lat, n / wall)
+        finally:
+            server.stop()
+        return
+
+    runner = load_runner(path)
     for bs in (int(b) for b in args.batch_sizes.split(",")):
         req = synthetic_data(schema, num_rows=bs, max_session_length=20, seed=bs)
         runner.predict(req)  # compile
@@ -75,17 +142,7 @@ def main():
             scores, ids = runner.predict(req)
             _ = ids[0][0]  # force host materialization
             lat.append((time.perf_counter() - t0) * 1000)
-        lat = np.asarray(lat)
-        print(json.dumps({
-            "benchmark": "serving_latency",
-            "weights_dtype": args.weights_dtype or "float32",
-            "batch_size": bs,
-            "top_k": args.top_k,
-            "vocab": args.vocab,
-            "p50_ms": round(float(np.percentile(lat, 50)), 2),
-            "p95_ms": round(float(np.percentile(lat, 95)), 2),
-            "qps": round(bs * 1000.0 / float(np.mean(lat)), 1),
-        }))
+        report("serving_latency", bs, lat, bs * 1000.0 / float(np.mean(lat)))
 
 
 if __name__ == "__main__":

@@ -525,3 +525,29 @@ def test_model_fit_evaluate_with_ragged_inputs(jbatch):
     results = model.evaluate(loader, params)
     assert np.isfinite(results["eval_loss"])
     assert any("recall" in k for k in results)
+
+
+def test_model_evaluate_tail_batch_exact(jbatch):
+    """Model.evaluate over a loader whose num_rows % batch_size != 0 (tail
+    zero-filled with drop_last=False) equals a single-batch whole-dataset
+    oracle — loss AND every metric (the standalone analog of the Trainer
+    tail-protocol guarantee)."""
+    from transformers4rec_tpu.data.loader import SyntheticDataLoader
+
+    schema, _ = jbatch
+    model = _build(schema, masking="clm", arch="gpt2")
+    # 40 rows, batch 16 → 2 full + one zero-filled tail of 8 real rows
+    batched = SyntheticDataLoader.from_schema(
+        schema, batch_size=16, max_sequence_length=20, num_rows=40, seed=5,
+        shuffle=False, drop_last=False,
+    )
+    oracle = SyntheticDataLoader.from_schema(
+        schema, batch_size=40, max_sequence_length=20, num_rows=40, seed=5,
+        shuffle=False, drop_last=False,
+    )
+    params, _ = model.fit(batched, num_epochs=1, rng=jax.random.PRNGKey(7))
+    got = model.evaluate(batched, params)
+    want = model.evaluate(oracle, params)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        np.testing.assert_allclose(got[k], v, rtol=1e-5, atol=1e-6, err_msg=k)

@@ -108,12 +108,31 @@ def fused_adafactor(
     (see ``label_embedding_params``)."""
 
     def init(params):
+        def _dropped_axis_sharding(p, drop_axis):
+            """The param's NamedSharding with ``drop_axis`` removed — factored
+            moments must ride the table's row sharding (a (V,) moment left on
+            one device defeats the point of sharding a 100M-row table)."""
+            sh = getattr(p, "sharding", None)
+            if sh is None or not hasattr(sh, "spec") or not hasattr(sh, "mesh"):
+                return None
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            spec = list(sh.spec) + [None] * (p.ndim - len(sh.spec))
+            del spec[drop_axis]
+            return NamedSharding(sh.mesh, PartitionSpec(*spec))
+
         def _init_leaf(p):
             dims = _factored_dims(p.shape, min_dim_size_to_factor)
             if dims is not None:
                 d1, d0 = dims
                 vr = jnp.zeros(tuple(np.delete(p.shape, d0)), p.dtype)
                 vc = jnp.zeros(tuple(np.delete(p.shape, d1)), p.dtype)
+                vr_sh = _dropped_axis_sharding(p, d0)
+                vc_sh = _dropped_axis_sharding(p, d1)
+                if vr_sh is not None:
+                    vr = jax.device_put(vr, vr_sh)
+                if vc_sh is not None:
+                    vc = jax.device_put(vc, vc_sh)
                 return _LeafResult(None, vr, vc, jnp.zeros((1,), p.dtype))
             return _LeafResult(None, jnp.zeros((1,), p.dtype),
                                jnp.zeros((1,), p.dtype), jnp.zeros_like(p))
