@@ -104,7 +104,12 @@ def main():
     tx = optax.multi_transform(
         {
             "dense": optax.adamw(6.7e-4),
-            "table": fused_adafactor(learning_rate=6.7e-4),
+            # T4R_BENCH_OPT_PALLAS=1: streamed two-pass pallas table update
+            # (A/B knob; numerics pinned equal in test_fused_adafactor)
+            "table": fused_adafactor(
+                learning_rate=6.7e-4,
+                use_pallas=os.environ.get("T4R_BENCH_OPT_PALLAS") == "1",
+            ),
         },
         label_embedding_params,
     )

@@ -101,3 +101,36 @@ def test_schedule_learning_rate():
         pa = optax.apply_updates(pa, ua)
         pb = optax.apply_updates(pb, ub)
     np.testing.assert_allclose(pa["t"], pb["t"], rtol=2e-5, atol=1e-7)
+
+
+def test_pallas_table_update_matches_jnp():
+    """use_pallas=True (streamed two-pass kernels; interpret mode on CPU)
+    matches the jnp unfactored branch over a multi-step run."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from transformers4rec_tpu.ops.fused_adafactor import fused_adafactor
+
+    V, E = 4096, 64  # >= 4 * block rows -> pallas path engages
+    rng = np.random.default_rng(0)
+    p0 = jnp.asarray(rng.normal(size=(V, E)).astype(np.float32) * 0.05)
+
+    def run(use_pallas):
+        tx = fused_adafactor(1e-2, use_pallas=use_pallas)
+        p, state = p0, tx.init(p0)
+        outs = []
+        for i in range(4):
+            g = jnp.asarray(
+                np.random.default_rng(i).normal(size=(V, E)).astype(np.float32)
+            )
+            upd, state = jax.jit(tx.update)(g, state, p)
+            p = p + upd
+            outs.append(p)
+        return outs
+
+    want = run(False)
+    got = run(True)
+    for i, (w, g_) in enumerate(zip(want, got)):
+        np.testing.assert_allclose(np.asarray(g_), np.asarray(w),
+                                   rtol=2e-6, atol=2e-7, err_msg=f"step {i}")

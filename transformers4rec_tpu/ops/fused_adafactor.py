@@ -58,6 +58,121 @@ import optax
 ScalarOrSchedule = Union[float, Callable[[jnp.ndarray], jnp.ndarray]]
 
 
+# ------------------------------------------------------------------ pallas
+# Opt-in fused kernels for the unfactored 2-D (table) branch: the kernels
+# fold the clip partial-sums into the new_v pass, so the table streams twice:
+#   pass A  read g, v      → write new_v, per-block Σ(g·rsqrt(new_v))²
+#   pass B  read g, new_v  → write update
+# Numerics identical to the jnp branch modulo partial-sum order (pinned by
+# tests/test_fused_adafactor.py pallas-vs-jnp parity).
+#
+# NEGATIVE RESULT (measured, don't re-litigate): full-bench A/B on TPU v5e
+# at the REES46 config (V=390k, E=64, K=32 packing) — pallas arm 10.33
+# ms/step (12,396 ex/s) vs XLA arm 8.99/9.01 ms (14,232/14,199 ex/s). The
+# XLA chain wins because (a) the CE-bwd dW scatter-add fuses INTO the grad
+# buffer the optimizer then reads (a pallas_call is a fusion barrier on both
+# sides), and (b) XLA overlaps the elementwise passes with unrelated step
+# work, which the serialized two-kernel pipeline cannot. Kept as an opt-in
+# (`use_pallas=True`) measurement harness only; default stays False.
+
+_PALLAS_BLOCK_ROWS = 512
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _upd_a_kernel(n_rows, br, s_ref, g_ref, v_ref, nv_ref, ps_ref):
+    import jax.experimental.pallas as pl
+
+    i = pl.program_id(0)
+    decay = s_ref[0]
+    eps = s_ref[1]
+    g = g_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    nv = decay * v + (1.0 - decay) * (g * g + eps)
+    nv_ref[...] = nv.astype(nv_ref.dtype)
+    inv = jax.lax.rsqrt(nv)
+    # mask the ragged tail block (reads there are padding garbage)
+    row = i * br + jax.lax.broadcasted_iota(jnp.int32, g.shape, 0)
+    val = jnp.where(row < n_rows, (g * inv) ** 2, 0.0)
+    # ps is one full (G, 1) block resident across the grid (TPU tiling
+    # rejects (1, 1) blocks); each step writes its own row as a (1, 1) slice
+    # (scalar stores to VMEM are rejected by Mosaic)
+    ps_ref[pl.ds(i, 1), :] = val.sum().reshape(1, 1)
+
+
+def _upd_b_kernel(s_ref, g_ref, nv_ref, upd_ref):
+    coef = s_ref[2]
+    g = g_ref[...].astype(jnp.float32)
+    inv = jax.lax.rsqrt(nv_ref[...].astype(jnp.float32))
+    upd_ref[...] = (g * (coef * inv)).astype(upd_ref.dtype)
+
+
+def _pallas_unfactored_update(g, v, p, decay, lr, clipping_threshold, eps):
+    """Two-pass streamed update for a 2-D table leaf. Returns (upd, new_v)."""
+    import functools
+
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    V, E = p.shape
+    br = _PALLAS_BLOCK_ROWS
+    grid = (-(-V // br),)
+    interpret = not _on_tpu()
+    scalars = jnp.stack([
+        decay.astype(jnp.float32) if hasattr(decay, "astype")
+        else jnp.float32(decay),
+        jnp.float32(eps),
+        jnp.float32(0.0),  # coef placeholder (pass A ignores it)
+    ])
+    nv, ps = pl.pallas_call(
+        functools.partial(_upd_a_kernel, V, br),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((br, E), lambda i, *_: (i, 0)),
+                pl.BlockSpec((br, E), lambda i, *_: (i, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((br, E), lambda i, *_: (i, 0)),
+                pl.BlockSpec((grid[0], 1), lambda i, *_: (0, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((V, E), p.dtype),
+            jax.ShapeDtypeStruct((grid[0], 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(scalars, g, v)
+    if clipping_threshold is not None:
+        rms = jnp.sqrt(ps.sum() / (V * E))
+        scale = 1.0 / jnp.maximum(1.0, rms / clipping_threshold)
+    else:
+        scale = 1.0
+    coef = (-lr * scale).astype(jnp.float32)
+    scalars_b = jnp.stack([scalars[0], scalars[1], coef])
+    upd = pl.pallas_call(
+        _upd_b_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((br, E), lambda i, *_: (i, 0)),
+                pl.BlockSpec((br, E), lambda i, *_: (i, 0)),
+            ],
+            out_specs=pl.BlockSpec((br, E), lambda i, *_: (i, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((V, E), p.dtype),
+        interpret=interpret,
+    )(scalars_b, g, nv)
+    return upd, nv
+
+
 @dataclasses.dataclass
 class _LeafResult:
     """Opaque per-leaf container (NOT a registered pytree → jax.tree treats it
@@ -101,6 +216,7 @@ def fused_adafactor(
     decay_offset: int = 0,
     clipping_threshold: Optional[float] = 1.0,
     eps: float = 1e-30,
+    use_pallas: bool = False,
 ) -> optax.GradientTransformation:
     """Drop-in replacement for ``optax.adafactor(learning_rate,
     multiply_by_parameter_scale=False)`` with ~40% less HBM traffic on large
@@ -200,6 +316,14 @@ def fused_adafactor(
             # optax's version keeps `power(v, -0.5)` — two transcendentals
             # per element over (V, E)), and the clip rms recomputes
             # g²·inv_v instead of materializing the update tensor.
+            if (use_pallas and p.ndim == 2
+                    and p.shape[0] >= 4 * _PALLAS_BLOCK_ROWS):
+                upd, new_v = _pallas_unfactored_update(
+                    g, v.astype(jnp.float32), p, decay, lr,
+                    clipping_threshold, eps,
+                )
+                return _LeafResult(upd.astype(dtype), v_row, v_col,
+                                   new_v.astype(dtype))
             g2 = g * g + eps
             new_v = (decay * v + (1.0 - decay) * g2).astype(dtype)
             inv = jax.lax.rsqrt(new_v.astype(jnp.float32))
