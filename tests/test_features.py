@@ -207,3 +207,33 @@ def test_precomputed_mean_combiner_ignores_padding():
 
     with _pytest.raises(ValueError, match="pretrained_output_dims"):
         bad.feature_sizes()
+
+
+def test_embedding_custom_initializer_applies():
+    """Custom per-column initializers land in the created tables (reference
+    test_embedding_features_custom_init / _yoochoose_custom_initializers)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import transformers4rec_tpu as tr
+    from transformers4rec_tpu.data.synthetic import (
+        synthetic_data,
+        synthetic_ecommerce_data_schema,
+    )
+
+    schema = synthetic_ecommerce_data_schema(
+        num_items=50, num_categories=10, max_session_length=5
+    )
+    item_col = schema.item_id_column_name
+    const = lambda key, shape, dtype=jnp.float32: jnp.full(shape, 0.25, dtype)
+    feats = tr.EmbeddingFeatures.from_schema(
+        schema, embeddings_initializers={item_col: const}
+    )
+    data = synthetic_data(schema, num_rows=4, max_session_length=5, seed=0)
+    batch = {k: jnp.asarray(v) for k, v in data.items()}
+    params = feats.init(jax.random.PRNGKey(0), batch)
+    table = jax.tree_util.tree_leaves_with_path(params)
+    vals = [leaf for p, leaf in table
+            if f"{item_col}_table" in jax.tree_util.keystr(p)]
+    assert vals and np.allclose(np.asarray(vals[0]), 0.25)

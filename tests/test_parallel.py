@@ -238,3 +238,148 @@ def test_dryrun_multichip_covers_eval_and_sampled(capsys):
     g.dryrun_multichip(8)
     out = capsys.readouterr().out
     assert "eval_loss=" in out and "sampled_loss=" in out and "OK" in out
+
+
+class TestVocabParallelCE:
+    """sharded_softmax_ce / sharded_ce_and_rank: value, gradients, and ranks
+    must equal the unsharded fused ops on the gathered table (vocab-parallel
+    full softmax — the 100M-row output layer path)."""
+
+    def _setup(self, V=1024, E=16, N=32, vocab_size=1000, seed=0):
+        from transformers4rec_tpu.parallel import make_mesh
+        from transformers4rec_tpu.parallel.sharded_embedding import shard_table
+
+        mesh = make_mesh(model=2)
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.normal(size=(N, E)).astype(np.float32))
+        W = jnp.asarray(rng.normal(size=(V, E)).astype(np.float32) * 0.1)
+        labels = jnp.asarray(rng.integers(0, vocab_size, size=(N,)), jnp.int32)
+        weights = jnp.asarray((rng.random(N) > 0.2).astype(np.float32))
+        Ws = shard_table(W, mesh)
+        xs = jax.device_put(
+            x, jax.NamedSharding(mesh, jax.sharding.PartitionSpec("data", None))
+        )
+        return mesh, x, W, xs, Ws, labels, weights
+
+    def test_loss_and_grads_match_unsharded(self):
+        from transformers4rec_tpu.ops.vocab import fused_softmax_ce
+        from transformers4rec_tpu.parallel.sharded_embedding import (
+            sharded_softmax_ce,
+        )
+
+        mesh, x, W, xs, Ws, labels, weights = self._setup()
+
+        def ref_loss(x, W):
+            return fused_softmax_ce(x, W, labels, weights, vocab_size=1000)
+
+        def sh_loss(x, W):
+            return sharded_softmax_ce(x, W, labels, weights, mesh,
+                                      vocab_size=1000)
+
+        want, (wdx, wdW) = jax.value_and_grad(ref_loss, argnums=(0, 1))(x, W)
+        got, (gdx, gdW) = jax.jit(
+            jax.value_and_grad(sh_loss, argnums=(0, 1))
+        )(xs, Ws)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gdx), np.asarray(wdx),
+                                   rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gdW), np.asarray(wdW),
+                                   rtol=2e-4, atol=1e-6)
+
+    def test_ce_and_rank_matches_unsharded(self):
+        from transformers4rec_tpu.ops.vocab import fused_ce_and_rank
+        from transformers4rec_tpu.parallel.sharded_embedding import (
+            sharded_ce_and_rank,
+        )
+
+        mesh, x, W, xs, Ws, labels, weights = self._setup(seed=3)
+        want_loss, want_rank = fused_ce_and_rank(
+            x, W, labels, weights, vocab_size=1000
+        )
+        got_loss, got_rank = jax.jit(
+            lambda x, W: sharded_ce_and_rank(x, W, labels, weights, mesh,
+                                             vocab_size=1000)
+        )(xs, Ws)
+        np.testing.assert_allclose(float(got_loss), float(want_loss), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got_rank),
+                                      np.asarray(want_rank))
+
+    def test_label_on_every_shard_and_padding_rows(self):
+        """Labels distributed across both shards; vocab_size bound excludes
+        the table's 24 padding rows from softmax, ranks, and gradients."""
+        from transformers4rec_tpu.ops.vocab import fused_softmax_ce
+        from transformers4rec_tpu.parallel.sharded_embedding import (
+            sharded_softmax_ce,
+        )
+
+        mesh, x, W, xs, Ws, _, weights = self._setup(seed=7)
+        # half the labels on shard 0's rows, half on shard 1's
+        labels = jnp.asarray([5] * 16 + [700] * 16, jnp.int32)
+
+        want, wgrads = jax.value_and_grad(
+            lambda W: fused_softmax_ce(x, W, labels, weights, vocab_size=1000)
+        )(W)
+        got, ggrads = jax.jit(jax.value_and_grad(
+            lambda W: sharded_softmax_ce(x, W, labels, weights, mesh,
+                                         vocab_size=1000)
+        ))(Ws)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(ggrads), np.asarray(wgrads),
+                                   rtol=2e-4, atol=1e-6)
+        # padding rows (>= vocab_size) get exactly zero gradient
+        assert np.all(np.asarray(ggrads)[1000:] == 0.0)
+
+
+def test_vocab_parallel_task_end_to_end_matches_replicated():
+    """NextItemPredictionTask(vocab_parallel_mesh=mesh): full Trainer
+    train+evaluate at mesh_model_axis=2 with the row-sharded table routed
+    through the shard_map CE — losses and metrics match the auto-partitioned
+    (replicated-math) path step for step."""
+    import transformers4rec_tpu as tr
+    from transformers4rec_tpu.data.synthetic import (
+        synthetic_ecommerce_data_schema,
+    )
+    from transformers4rec_tpu.parallel import make_mesh
+
+    schema = synthetic_ecommerce_data_schema(
+        num_items=32768, num_categories=20, max_session_length=10
+    )
+    mesh = make_mesh(model=2)
+
+    def run(vocab_parallel):
+        im = tr.TabularSequenceFeatures.from_schema(
+            schema, d_output=32, masking="mlm", aggregation="concat",
+            embedding_dims={schema.item_id_column_name: 16},
+        )
+        cfg = tr.transformer_registry.parse("xlnet").build(
+            d_model=32, n_head=2, n_layer=1, total_seq_length=10
+        )
+        task = tr.NextItemPredictionTask(
+            weight_tying=True,
+            vocab_parallel_mesh=mesh if vocab_parallel else None,
+        )
+        model = cfg.to_model(im, task)
+        args = tr.T4RecTrainingArguments(
+            output_dir=f"/tmp/t4r_vp_{vocab_parallel}",
+            data_loader_engine="synthetic",
+            max_sequence_length=10,
+            per_device_train_batch_size=4,
+            per_device_eval_batch_size=4,
+            max_steps=3,
+            logging_steps=1,
+            mesh_model_axis=2,
+            seed=11,
+        )
+        trainer = tr.Trainer(model=model, args=args, schema=schema, mesh=mesh)
+        trainer.train()
+        losses = [h["loss"] for h in trainer.state.log_history if "loss" in h]
+        ev = trainer.evaluate()
+        return losses, ev
+
+    base_losses, base_ev = run(False)
+    vp_losses, vp_ev = run(True)
+    np.testing.assert_allclose(vp_losses, base_losses, rtol=2e-4)
+    for k, v in base_ev.items():
+        if k.startswith("eval_/") or k == "eval_loss":
+            np.testing.assert_allclose(vp_ev[k], v, rtol=2e-4, atol=1e-6,
+                                       err_msg=k)

@@ -255,19 +255,76 @@ class NextItemPredictionTask(PredictionTask):
     # the target count — targets beyond M (probability < 1e-9) drop; measured
     # 1792 → ~915 rows at the REES46 bench config vs the fixed 2p+0.1 rule.
     budget_target_prob: Optional[float] = None
+    # vocab-parallel full softmax (100M-row output tables): set to the
+    # ('data','model') Mesh whose 'model' axis row-shards the tied table, and
+    # train CE + fused eval run the shard_map ops of
+    # parallel/sharded_embedding.py — per-shard streamed kernels + O(N)
+    # collectives, never an O(V) gather (an auto-partitioned pallas_call
+    # would all-gather W). Requires label_smoothing == 0.
+    vocab_parallel_mesh: Optional[Any] = None
 
     def _budget_rows(self, N: int) -> Optional[int]:
         if self.loss_budget is not None:
             if self.loss_budget >= 1.0:
                 return None
-            return max(int(N * self.loss_budget), 1)
+            return self._round_budget(max(int(N * self.loss_budget), 1), N)
         p = self.budget_target_prob
         if p is None or p <= 0 or p >= 0.5:
             return None
         import math
 
         m = int(N * p + 6.0 * math.sqrt(N * p * (1.0 - p))) + 8
-        return m if m < N else None
+        return self._round_budget(m, N) if m < N else None
+
+    def _round_budget(self, m: int, N: int) -> int:
+        # shard_map (vocab_parallel_mesh) needs the row count divisible by
+        # the 'data' axis
+        mesh = self.vocab_parallel_mesh
+        if mesh is not None and "data" in mesh.shape:
+            d = mesh.shape["data"]
+            m = min(-(-m // d) * d, N)
+        return m
+
+    def _vocab_ce(self, x2d, W, labels, weights, vsz):
+        """Streamed full-softmax CE — vocab-parallel when a mesh is set."""
+        if self.vocab_parallel_mesh is not None:
+            if self.label_smoothing:
+                raise NotImplementedError(
+                    "vocab_parallel_mesh requires label_smoothing=0 (the ε/V "
+                    "spread is negligible at sharded-vocab scale)"
+                )
+            from ..parallel.sharded_embedding import sharded_softmax_ce
+
+            return sharded_softmax_ce(
+                x2d, W, labels.astype(jnp.int32), weights,
+                self.vocab_parallel_mesh, vocab_size=vsz,
+            )
+        from ..ops.vocab import fused_softmax_ce
+
+        return fused_softmax_ce(
+            x2d, W, labels.astype(jnp.int32), weights, vocab_size=vsz,
+            label_smoothing=self.label_smoothing,
+        )
+
+    def _vocab_ce_rank(self, x2d, W, labels, weights, vsz):
+        """Streamed eval CE + label ranks — vocab-parallel when a mesh is set."""
+        if self.vocab_parallel_mesh is not None:
+            if self.label_smoothing:
+                raise NotImplementedError(
+                    "vocab_parallel_mesh requires label_smoothing=0"
+                )
+            from ..parallel.sharded_embedding import sharded_ce_and_rank
+
+            return sharded_ce_and_rank(
+                x2d, W, labels.astype(jnp.int32), weights,
+                self.vocab_parallel_mesh, vocab_size=vsz,
+            )
+        from ..ops.vocab import fused_ce_and_rank
+
+        return fused_ce_and_rank(
+            x2d, W, labels.astype(jnp.int32), weights, vocab_size=vsz,
+            label_smoothing=self.label_smoothing,
+        )
 
     def _output_weights(self, info: MaskingInfo, d_in: int):
         if self.weight_tying:
@@ -371,26 +428,18 @@ class NextItemPredictionTask(PredictionTask):
                 xg = jnp.take_along_axis(x, idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
                 labels = jnp.take_along_axis(targets, idx[:, None].astype(jnp.int32), axis=1)[:, 0]
                 if fused:
-                    from ..ops.vocab import fused_ce_and_rank, fused_softmax_ce
-
                     xs = xg / temp
                     metrics = None
                     if compute_metrics:
                         # ONE streamed vocab pass for loss + ranks (eval was
                         # 3 (N,V) GEMM passes before: CE fwd + rank's label
                         # logit + rank count)
-                        loss, rank = fused_ce_and_rank(
-                            xs, W, labels.astype(jnp.int32), row_valid,
-                            vocab_size=vsz,
-                            label_smoothing=self.label_smoothing,
+                        loss, rank = self._vocab_ce_rank(
+                            xs, W, labels, row_valid, vsz
                         )
                         metrics = metrics_from_ranks(rank, self.metrics, weights=row_valid)
                     else:
-                        loss = fused_softmax_ce(
-                            xs, W, labels.astype(jnp.int32), row_valid,
-                            vocab_size=vsz,
-                            label_smoothing=self.label_smoothing,
-                        )
+                        loss = self._vocab_ce(xs, W, labels, row_valid, vsz)
                     return TaskOutput(loss=loss, labels=labels, predictions=None,
                                       weights=row_valid, metrics=metrics,
                                       loss_weight=row_valid.sum())
@@ -415,8 +464,6 @@ class NextItemPredictionTask(PredictionTask):
             flat_labels = targets.reshape(N)
             flat_mask = mask.reshape(N)
             if fused:
-                from ..ops.vocab import fused_ce_and_rank, fused_softmax_ce
-
                 x2d = x.reshape(N, -1) / temp
                 M = None
                 if training:
@@ -441,28 +488,19 @@ class NextItemPredictionTask(PredictionTask):
                     flat_mask = jnp.take(flat_mask, order)
                     if training:
                         lb = flat_labels.astype(jnp.int32)
-                        loss = fused_softmax_ce(
-                            x2d, W, lb, flat_mask, vocab_size=vsz,
-                            label_smoothing=self.label_smoothing,
-                        )
+                        loss = self._vocab_ce(x2d, W, lb, flat_mask, vsz)
                         return TaskOutput(loss=loss, labels=lb,
                                           predictions=None, weights=flat_mask,
                                           loss_weight=flat_mask.sum())
                 metrics = None
                 if compute_metrics and testing:
                     # full-position eval: single streamed pass for loss+ranks
-                    loss, rank = fused_ce_and_rank(
-                        x2d, W, flat_labels.astype(jnp.int32), flat_mask,
-                        vocab_size=vsz,
-                        label_smoothing=self.label_smoothing,
+                    loss, rank = self._vocab_ce_rank(
+                        x2d, W, flat_labels, flat_mask, vsz
                     )
                     metrics = metrics_from_ranks(rank, self.metrics, weights=flat_mask)
                 else:
-                    loss = fused_softmax_ce(
-                        x2d, W, flat_labels.astype(jnp.int32), flat_mask,
-                        vocab_size=vsz,
-                        label_smoothing=self.label_smoothing,
-                    )
+                    loss = self._vocab_ce(x2d, W, flat_labels, flat_mask, vsz)
                 return TaskOutput(loss=loss, labels=flat_labels, predictions=None,
                                   weights=flat_mask, metrics=metrics,
                                   loss_weight=flat_mask.sum())

@@ -165,7 +165,7 @@ def _ce_fwd_kernel_vmajor(smooth, v_total_ref, x_ref, w_ref, lbl_ref, lse_ref,
 def _ce_fwd_pallas_vmajor(x, W, labels, bn: int, bv: int, vocab_size=None,
                           smooth: bool = False):
     N, E = x.shape
-    V = vocab_size or W.shape[0]
+    V = W.shape[0] if vocab_size is None else vocab_size
     Wp, Vp = _pad_rows(W, bv)
     Np = ((N + bn - 1) // bn) * bn
     xp = jnp.pad(x, ((0, Np - N), (0, 0))) if Np != N else x
@@ -194,7 +194,7 @@ def _ce_fwd_pallas_vmajor(x, W, labels, bn: int, bv: int, vocab_size=None,
             jax.ShapeDtypeStruct((Np, 1), jnp.float32)
         ] * n_out,
     )(
-        jnp.asarray([V], jnp.int32),
+        jnp.full((1,), V, jnp.int32),
         xp.astype(jnp.bfloat16),
         Wp.astype(jnp.bfloat16),
         lblp[:, None].astype(jnp.int32),
@@ -221,7 +221,7 @@ def _ce_fwd_pallas(x, W, labels, bn: int, bv: int, vocab_size=None,
 def _ce_fwd_pallas_nmajor(x, W, labels, bn: int, bv: int, vocab_size=None,
                           smooth: bool = False):
     N, E = x.shape
-    V = vocab_size or W.shape[0]
+    V = W.shape[0] if vocab_size is None else vocab_size
     Wp, Vp = _pad_rows(W, bv)
     Np = ((N + bn - 1) // bn) * bn
     xp = jnp.pad(x, ((0, Np - N), (0, 0))) if Np != N else x
@@ -250,7 +250,7 @@ def _ce_fwd_pallas_nmajor(x, W, labels, bn: int, bv: int, vocab_size=None,
             jax.ShapeDtypeStruct((Np, 1), jnp.float32)
         ] * n_out,
     )(
-        jnp.asarray([V], jnp.int32),
+        jnp.full((1,), V, jnp.int32),
         xp.astype(jnp.bfloat16),
         Wp.astype(jnp.bfloat16),
         lblp[:, None].astype(jnp.int32),
@@ -265,7 +265,7 @@ def _ce_fwd_pallas_nmajor(x, W, labels, bn: int, bv: int, vocab_size=None,
 def _ce_fwd_scan(x, W, labels, chunk: int, vocab_size=None,
                  smooth: bool = False):
     N, E = x.shape
-    V = vocab_size or W.shape[0]
+    V = W.shape[0] if vocab_size is None else vocab_size
     Wp, Vp = _pad_rows(W, chunk)
     xb = x.astype(jnp.bfloat16)
     Wb = Wp.astype(jnp.bfloat16).reshape(Vp // chunk, chunk, E)
@@ -400,7 +400,7 @@ def _ce_bwd_pallas_dxsc(x, W, labels, lse, coef, bn: int, bv: int,
                         vocab_size=None, eps: float = 0.0):
     bv = min(bv, 2048)
     N, E = x.shape
-    V = vocab_size or W.shape[0]
+    V = W.shape[0] if vocab_size is None else vocab_size
     Wp, Vp = _pad_rows(W, bv)
     Np = ((N + bn - 1) // bn) * bn
     pad_n = Np != N
@@ -436,7 +436,7 @@ def _ce_bwd_pallas_dxsc(x, W, labels, lse, coef, bn: int, bv: int,
             jax.ShapeDtypeStruct((Np, E), jnp.float32),
         ],
     )(
-        jnp.asarray([V], jnp.int32),
+        jnp.full((1,), V, jnp.int32),
         xp.astype(jnp.bfloat16),
         Wp.astype(jnp.bfloat16),
         lblp[:, None].astype(jnp.int32),
@@ -461,7 +461,7 @@ def _ce_bwd_pallas_fused_partials(x, W, labels, lse, coef, bn: int, bv: int,
                                   vocab_size=None, eps: float = 0.0):
     bv = min(bv, 2048)
     N, E = x.shape
-    V = vocab_size or W.shape[0]
+    V = W.shape[0] if vocab_size is None else vocab_size
     Wp, Vp = _pad_rows(W, bv)
     Np = ((N + bn - 1) // bn) * bn
     pad_n = Np != N
@@ -494,7 +494,7 @@ def _ce_bwd_pallas_fused_partials(x, W, labels, lse, coef, bn: int, bv: int,
             jax.ShapeDtypeStruct((nv, Np, E), jnp.float32),
         ],
     )(
-        jnp.asarray([V], jnp.int32),
+        jnp.full((1,), V, jnp.int32),
         xp.astype(jnp.bfloat16),
         Wp.astype(jnp.bfloat16),
         lblp[:, None].astype(jnp.int32),
@@ -508,7 +508,7 @@ def _ce_bwd_pallas_fused_partials(x, W, labels, lse, coef, bn: int, bv: int,
 def _ce_bwd_scan(x, W, labels, lse, coef, chunk: int, vocab_size=None,
                  eps: float = 0.0):
     N, E = x.shape
-    V = vocab_size or W.shape[0]
+    V = W.shape[0] if vocab_size is None else vocab_size
     Wp, Vp = _pad_rows(W, chunk)
     xb = x.astype(jnp.bfloat16)
     Wb = Wp.astype(jnp.bfloat16).reshape(Vp // chunk, chunk, E)
@@ -588,7 +588,7 @@ def _fused_ce_fwd(x, W, labels, weights, block_n, block_v, use_pallas,
     eps = label_smoothing
     lse, ll, zs = _ce_forward_dispatch(x, W, labels, block_n, block_v,
                                        use_pallas, vocab_size, smooth=eps > 0)
-    V = vocab_size or W.shape[0]
+    V = W.shape[0] if vocab_size is None else vocab_size
     w = weights.astype(jnp.float32)
     wsum = jnp.maximum(w.sum(), 1.0)
     loss = (_smoothed_nll(lse, ll, zs, eps, V) * w).sum() / wsum
@@ -641,6 +641,70 @@ def _rank_kernel(v_total_ref, x_ref, w_ref, lbl_ref, ll_ref, rank_ref, cnt_sc):
         rank_ref[:, 0] = cnt_sc[:, 0].astype(jnp.int32)
 
 
+def rank_counts(
+    x: jnp.ndarray,
+    W: jnp.ndarray,
+    ll: jnp.ndarray,
+    labels: jnp.ndarray,
+    block_n: int = 256,
+    block_v: int = 4096,
+    use_pallas: Optional[bool] = None,
+    vocab_size: Optional[int] = None,
+) -> jnp.ndarray:
+    """Count of logits of ``x @ W.T`` strictly greater than the given label
+    logits ``ll`` (N,). When ``ll`` came from the streamed forward's
+    col==label accumulation, the label's own column compares bit-equal and is
+    never counted — no explicit exclusion needed. ``vocab_size`` may be a
+    TRACED scalar (vocab-parallel shards pass per-shard bounds)."""
+    on_tpu = _on_tpu() if use_pallas is None else use_pallas
+    N, E = x.shape
+    V = W.shape[0] if vocab_size is None else vocab_size
+    if on_tpu:
+        Wp, Vp = _pad_rows(W, block_v)
+        Np = ((N + block_n - 1) // block_n) * block_n
+        xp = jnp.pad(x, ((0, Np - N), (0, 0))) if Np != N else x
+        lblp = jnp.pad(labels, (0, Np - N)) if Np != N else labels
+        llp = jnp.pad(ll, (0, Np - N)) if Np != N else ll
+        rank = pl.pallas_call(
+            _rank_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(Np // block_n, Vp // block_v),
+                in_specs=[
+                    pl.BlockSpec((block_n, E), lambda i, j, *_: (i, 0)),
+                    pl.BlockSpec((block_v, E), lambda i, j, *_: (j, 0)),
+                    pl.BlockSpec((block_n, 1), lambda i, j, *_: (i, 0)),
+                    pl.BlockSpec((block_n, 1), lambda i, j, *_: (i, 0)),
+                ],
+                out_specs=pl.BlockSpec((block_n, 1), lambda i, j, *_: (i, 0)),
+                scratch_shapes=[pltpu.VMEM((block_n, 1), jnp.float32)],
+            ),
+            out_shape=jax.ShapeDtypeStruct((Np, 1), jnp.int32),
+        )(
+            jnp.full((1,), V, jnp.int32),
+            xp.astype(jnp.bfloat16),
+            Wp.astype(jnp.bfloat16),
+            lblp[:, None].astype(jnp.int32),
+            llp[:, None].astype(jnp.float32),
+        )
+        return rank[:N, 0]
+    Wp, Vp = _pad_rows(W, block_v)
+    xb = x.astype(jnp.bfloat16)
+    Wb = Wp.astype(jnp.bfloat16).reshape(Vp // block_v, block_v, E)
+
+    def body(cnt, args):
+        Wc, idx0 = args
+        logits = jnp.einsum("ne,ce->nc", xb, Wc,
+                            preferred_element_type=jnp.float32)
+        col = idx0 + jnp.arange(block_v)
+        greater = (col < V)[None, :] & (logits > ll[:, None])
+        return cnt + greater.sum(-1).astype(jnp.int32), None
+
+    idxs = jnp.arange(Vp // block_v) * block_v
+    rank, _ = jax.lax.scan(body, jnp.zeros((N,), jnp.int32), (Wb, idxs))
+    return rank
+
+
 def fused_label_rank(
     x: jnp.ndarray,
     W: jnp.ndarray,
@@ -655,7 +719,7 @@ def fused_label_rank(
     Equivalent to ``label_ranks(scores, labels, max_k)`` for rank < max_k."""
     on_tpu = _on_tpu() if use_pallas is None else use_pallas
     N, E = x.shape
-    V = vocab_size or W.shape[0]
+    V = W.shape[0] if vocab_size is None else vocab_size
     # label logit first (reuse CE forward machinery)
     if on_tpu:
         _, ll, _ = _ce_fwd_pallas(x, W, labels, block_n, block_v, vocab_size)
@@ -680,7 +744,7 @@ def fused_label_rank(
             ),
             out_shape=jax.ShapeDtypeStruct((Np, 1), jnp.int32),
         )(
-            jnp.asarray([V], jnp.int32),
+            jnp.full((1,), V, jnp.int32),
             xp.astype(jnp.bfloat16),
             Wp.astype(jnp.bfloat16),
             lblp[:, None].astype(jnp.int32),
@@ -796,7 +860,7 @@ def fused_ce_and_rank(
 
     on_tpu = _on_tpu() if use_pallas is None else use_pallas
     N, E = x.shape
-    V = vocab_size or W.shape[0]
+    V = W.shape[0] if vocab_size is None else vocab_size
     eps = label_smoothing
     smooth = eps > 0
     if on_tpu:
@@ -829,7 +893,7 @@ def fused_ce_and_rank(
             ),
             out_shape=out_shape,
         )(
-            jnp.asarray([V], jnp.int32),
+            jnp.full((1,), V, jnp.int32),
             xp.astype(jnp.bfloat16),
             Wp.astype(jnp.bfloat16),
             lblp[:, None].astype(jnp.int32),
@@ -890,7 +954,7 @@ def fused_topk(
     O(N*chunk) instead of O(N*V). Pure-JAX (the per-chunk top_k is already a
     fused XLA sort over VMEM-sized tiles)."""
     N, E = x.shape
-    V = vocab_size or W.shape[0]
+    V = W.shape[0] if vocab_size is None else vocab_size
     Wp, Vp = _pad_rows(W, chunk)
     xb = x.astype(jnp.bfloat16)
     Wb = Wp.astype(jnp.bfloat16).reshape(Vp // chunk, chunk, E)

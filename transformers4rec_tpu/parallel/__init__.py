@@ -7,7 +7,12 @@ from .mesh import (
     shard_batch,
     shard_stacked_batches,
 )
-from .sharded_embedding import shard_table, sharded_embedding_lookup
+from .sharded_embedding import (
+    shard_table,
+    sharded_ce_and_rank,
+    sharded_embedding_lookup,
+    sharded_softmax_ce,
+)
 
 __all__ = [
     "batch_sharding",
@@ -18,5 +23,7 @@ __all__ = [
     "shard_batch",
     "shard_stacked_batches",
     "shard_table",
+    "sharded_ce_and_rank",
     "sharded_embedding_lookup",
+    "sharded_softmax_ce",
 ]

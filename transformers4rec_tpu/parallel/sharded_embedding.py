@@ -78,3 +78,201 @@ def shard_table(table: jnp.ndarray, mesh: Mesh, axis: str = "model") -> jnp.ndar
     return jax.device_put(
         table, NamedSharding(mesh, P(axis, *([None] * (table.ndim - 1))))
     )
+
+
+# =========================================================================
+# vocab-parallel full softmax: CE (train, differentiable) + CE-and-rank
+# (eval) with the output table row-sharded over 'model'
+# =========================================================================
+#
+# At 100M-row vocab the tied-softmax (N, V) pass cannot run against a
+# replicated table, and letting XLA auto-partition the streamed Pallas CE
+# kernels would all-gather W (a pallas_call is opaque to the partitioner).
+# These ops run the SAME streamed kernels per shard on the local rows and
+# combine with O(N) collectives:
+#   lse_global  = online-logsumexp merge over 'model' (pmax + psum)
+#   label_logit = psum (only the owning shard's col==label term is nonzero)
+#   rank        = psum of local counts of strictly-greater logits
+#   backward    : dW is exactly the local rows' gradient (P uses lse_global);
+#                 dx partials psum over 'model'. Label terms land on the
+#                 owning shard only (out-of-range local labels match no col).
+# Communication: O(N) scalars per pass over ICI — never O(V).
+#
+# label_smoothing is not supported here (the ε/V spread term is negligible
+# at the vocab scales that require sharding); pass ε=0.
+
+
+def _local_bounds(W_l, vocab_size, model_axis):
+    V_l = W_l.shape[0]
+    v0 = (jax.lax.axis_index(model_axis) * V_l).astype(jnp.int32)
+    total = jnp.int32(vocab_size) if vocab_size is not None else jnp.int32(
+        V_l * jax.lax.axis_size(model_axis)
+    )
+    vsz = jnp.clip(total - v0, 0, V_l)
+    return v0, vsz
+
+
+def _merge_lse(lse_l, ll_l, model_axis):
+    m = jax.lax.pmax(lse_l, model_axis)
+    lse_g = m + jnp.log(jax.lax.psum(jnp.exp(lse_l - m), model_axis))
+    ll_g = jax.lax.psum(ll_l, model_axis)
+    return lse_g, ll_g
+
+
+def sharded_softmax_ce(
+    x: jnp.ndarray,
+    W: jnp.ndarray,
+    labels: jnp.ndarray,
+    weights: jnp.ndarray,
+    mesh: Mesh,
+    model_axis: str = "model",
+    data_axis: str = "data",
+    vocab_size: Optional[int] = None,
+    block_n: int = 256,
+    block_v: int = 4096,
+    use_pallas: Optional[bool] = None,
+):
+    """Differentiable weighted-mean CE of ``x @ W.T`` with W row-sharded
+    P(model_axis, None) and x/labels/weights sharded P(data_axis, ...).
+    Exact same value and gradients as ``ops.vocab.fused_softmax_ce`` on the
+    gathered table (pinned in tests/test_parallel.py)."""
+    from ..ops.vocab import _ce_bwd_scan, _ce_fwd_scan, _on_tpu
+
+    on_tpu = _on_tpu() if use_pallas is None else use_pallas
+
+    def fwd_local(x_l, W_l, lbl_l, w_l):
+        from ..ops.vocab import _ce_fwd_pallas
+
+        v0, vsz = _local_bounds(W_l, vocab_size, model_axis)
+        lbl_loc = lbl_l.astype(jnp.int32) - v0
+        # out-of-shard labels must match NO column (a raw offset can
+        # collide with a masked padding column and pick up its -1e30)
+        lbl_loc = jnp.where((lbl_loc >= 0) & (lbl_loc < vsz), lbl_loc, -1)
+        if on_tpu:
+            lse_l, ll_l, _ = _ce_fwd_pallas(
+                x_l, W_l, lbl_loc, block_n, block_v, vocab_size=vsz
+            )
+        else:
+            lse_l, ll_l, _ = _ce_fwd_scan(
+                x_l, W_l, lbl_loc, block_v, vocab_size=vsz
+            )
+        lse_g, ll_g = _merge_lse(lse_l, ll_l, model_axis)
+        w = w_l.astype(jnp.float32)
+        num = jax.lax.psum(((lse_g - ll_g) * w).sum(), data_axis)
+        den = jax.lax.psum(w.sum(), data_axis)
+        wsum = jnp.maximum(den, 1.0)
+        return num / wsum, lse_g, jnp.reshape(wsum, (1,))
+
+    def bwd_local(x_l, W_l, lbl_l, w_l, lse_l, coef_scale):
+        from ..ops.vocab import _ce_bwd_pallas_fused
+
+        v0, vsz = _local_bounds(W_l, vocab_size, model_axis)
+        lbl_loc = lbl_l.astype(jnp.int32) - v0
+        # out-of-shard labels must match NO column (a raw offset can
+        # collide with a masked padding column and pick up its -1e30)
+        lbl_loc = jnp.where((lbl_loc >= 0) & (lbl_loc < vsz), lbl_loc, -1)
+        coef = coef_scale[0] * w_l.astype(jnp.float32)
+        if on_tpu:
+            dx_p, dW_l = _ce_bwd_pallas_fused(
+                x_l, W_l, lbl_loc, lse_l, coef, block_n, block_v,
+                vocab_size=vsz,
+            )
+        else:
+            dx_p, dW_l = _ce_bwd_scan(
+                x_l, W_l, lbl_loc, lse_l, coef, block_v, vocab_size=vsz
+            )
+        # dx: every vocab shard contributes to every row → psum over 'model';
+        # dW: every DATA shard contributes to the local rows → psum over 'data'
+        return (jax.lax.psum(dx_p, model_axis),
+                jax.lax.psum(dW_l, data_axis))
+
+    data_spec = P(data_axis)
+    x_spec = P(data_axis, None)
+    w_spec = P(model_axis, None)
+
+    @jax.custom_vjp
+    def ce(x, W, labels, weights):
+        loss, _, _ = _fwd(x, W, labels, weights)
+        return loss
+
+    def _fwd(x, W, labels, weights):
+        return shard_map(
+            fwd_local, mesh=mesh,
+            in_specs=(x_spec, w_spec, data_spec, data_spec),
+            out_specs=(P(), data_spec, P()),
+            check_rep=False,
+        )(x, W, labels, weights)
+
+    def ce_fwd(x, W, labels, weights):
+        loss, lse, wsum = _fwd(x, W, labels, weights)
+        return loss, (x, W, labels, weights, lse, wsum)
+
+    def ce_bwd(res, g):
+        x, W, labels, weights, lse, wsum = res
+        coef_scale = jnp.reshape(g / wsum[0], (1,))
+        dx, dW = shard_map(
+            bwd_local, mesh=mesh,
+            in_specs=(x_spec, w_spec, data_spec, data_spec, data_spec, P()),
+            out_specs=(x_spec, w_spec),
+            check_rep=False,
+        )(x, W, labels, weights, lse, coef_scale)
+        return dx.astype(x.dtype), dW.astype(W.dtype), None, None
+
+    ce.defvjp(ce_fwd, ce_bwd)
+    return ce(x, W, labels, weights)
+
+
+def sharded_ce_and_rank(
+    x: jnp.ndarray,
+    W: jnp.ndarray,
+    labels: jnp.ndarray,
+    weights: jnp.ndarray,
+    mesh: Mesh,
+    model_axis: str = "model",
+    data_axis: str = "data",
+    vocab_size: Optional[int] = None,
+    block_n: int = 256,
+    block_v: int = 4096,
+    use_pallas: Optional[bool] = None,
+):
+    """Eval-fused vocab-parallel ``(loss, ranks)`` — the sharded analog of
+    ``ops.vocab.fused_ce_and_rank`` (not differentiable). Ranks are 0-based
+    counts of strictly-greater logits over the GLOBAL vocab; the label's own
+    column compares bit-equal on its owning shard (the ll term comes from the
+    same streamed tiles) and is never counted."""
+    from ..ops.vocab import _ce_fwd_pallas, _ce_fwd_scan, _on_tpu, rank_counts
+
+    on_tpu = _on_tpu() if use_pallas is None else use_pallas
+
+    def local(x_l, W_l, lbl_l, w_l):
+        v0, vsz = _local_bounds(W_l, vocab_size, model_axis)
+        lbl_loc = lbl_l.astype(jnp.int32) - v0
+        # out-of-shard labels must match NO column (a raw offset can
+        # collide with a masked padding column and pick up its -1e30)
+        lbl_loc = jnp.where((lbl_loc >= 0) & (lbl_loc < vsz), lbl_loc, -1)
+        if on_tpu:
+            lse_l, ll_l, _ = _ce_fwd_pallas(
+                x_l, W_l, lbl_loc, block_n, block_v, vocab_size=vsz
+            )
+        else:
+            lse_l, ll_l, _ = _ce_fwd_scan(
+                x_l, W_l, lbl_loc, block_v, vocab_size=vsz
+            )
+        lse_g, ll_g = _merge_lse(lse_l, ll_l, model_axis)
+        cnt_l = rank_counts(
+            x_l, W_l, ll_g, lbl_loc, block_n, block_v,
+            use_pallas=use_pallas, vocab_size=vsz,
+        )
+        rank_g = jax.lax.psum(cnt_l, model_axis)
+        w = w_l.astype(jnp.float32)
+        num = jax.lax.psum(((lse_g - ll_g) * w).sum(), data_axis)
+        den = jax.lax.psum(w.sum(), data_axis)
+        return num / jnp.maximum(den, 1.0), rank_g
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(data_axis, None), P(model_axis, None), P(data_axis),
+                  P(data_axis)),
+        out_specs=(P(), P(data_axis)),
+        check_rep=False,
+    )(x, W, labels, weights)
