@@ -74,8 +74,14 @@ def main():
         for k, v in synthetic_data(schema, num_rows=8, max_session_length=20, seed=0).items()
     }
     params = model.init(rngs, example, training=True)
-    path = export_model(model, params, example, "/tmp/t4r_latency_artifact",
-                        top_k=args.top_k, weights_dtype=args.weights_dtype)
+    # T4R_REUSE_ARTIFACT=1 skips the (minutes-long at V=390k) re-export when
+    # the artifact dir already exists — e.g. between --http and runner runs
+    art_dir = f"/tmp/t4r_latency_artifact_{args.weights_dtype or 'float32'}"
+    if os.environ.get("T4R_REUSE_ARTIFACT") == "1" and os.path.isdir(art_dir):
+        path = art_dir
+    else:
+        path = export_model(model, params, example, art_dir,
+                            top_k=args.top_k, weights_dtype=args.weights_dtype)
 
     def report(tag, bs, lat_ms, qps):
         lat = np.asarray(lat_ms)
@@ -117,8 +123,13 @@ def main():
                     f"{base}/v2/predict", data=body,
                     headers={"Content-Type": "application/json"},
                 )
-                with urllib.request.urlopen(r) as resp:
-                    json.loads(resp.read())
+                try:
+                    with urllib.request.urlopen(r) as resp:
+                        json.loads(resp.read())
+                except urllib.error.HTTPError as e:
+                    raise RuntimeError(
+                        f"server {e.code}: {e.read().decode()[:500]}"
+                    ) from e
                 return (time.perf_counter() - t0) * 1000
 
             with concurrent.futures.ThreadPoolExecutor(args.concurrency) as ex:
