@@ -75,8 +75,13 @@ def main():
     }
     params = model.init(rngs, example, training=True)
     # T4R_REUSE_ARTIFACT=1 skips the (minutes-long at V=390k) re-export when
-    # the artifact dir already exists — e.g. between --http and runner runs
-    art_dir = f"/tmp/t4r_latency_artifact_{args.weights_dtype or 'float32'}"
+    # the artifact dir already exists — e.g. between --http and runner runs.
+    # The dir is keyed by every config knob that changes the export, so a
+    # stale artifact can never be benchmarked under the wrong label.
+    art_dir = (
+        f"/tmp/t4r_latency_artifact_{args.weights_dtype or 'float32'}"
+        f"_v{args.vocab}_d{args.d_model}_k{args.top_k}"
+    )
     if os.environ.get("T4R_REUSE_ARTIFACT") == "1" and os.path.isdir(art_dir):
         path = art_dir
     else:

@@ -12,7 +12,7 @@ Checks (a pyflakes-subset chosen for signal, not style):
   F632  `is` comparison with a literal
   E711  `== None` / `!= None` comparison
   F541  f-string without placeholders
-  W605  assert on a non-empty tuple (always true)
+  F631  assert on a non-empty tuple (always true)
   F811  duplicate top-level def/class name
 
 Suppress a line with a trailing ``# noqa`` comment.
@@ -163,7 +163,7 @@ class Visitor(ast.NodeVisitor):
 
     def visit_Assert(self, node):
         if isinstance(node.test, ast.Tuple) and node.test.elts:
-            self.add("W605", node.lineno,
+            self.add("F631", node.lineno,
                      "assert on a non-empty tuple is always true")
         self.generic_visit(node)
 

@@ -383,3 +383,51 @@ def test_vocab_parallel_task_end_to_end_matches_replicated():
         if k.startswith("eval_/") or k == "eval_loss":
             np.testing.assert_allclose(vp_ev[k], v, rtol=2e-4, atol=1e-6,
                                        err_msg=k)
+
+
+def test_vocab_parallel_composes_with_session_packing():
+    """vocab_parallel_mesh x pack_sessions: packed train batches (segment_ids
+    block-diagonal attention) through the shard_map CE — finite decreasing
+    loss and packed-eval metrics at mesh_model_axis=2."""
+    import transformers4rec_tpu as tr
+    from transformers4rec_tpu.data.synthetic import (
+        synthetic_ecommerce_data_schema,
+    )
+    from transformers4rec_tpu.parallel import make_mesh
+
+    schema = synthetic_ecommerce_data_schema(
+        num_items=32768, num_categories=20, max_session_length=10
+    )
+    mesh = make_mesh(model=2)
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=32, masking="mlm", aggregation="concat",
+        embedding_dims={schema.item_id_column_name: 16},
+    )
+    cfg = tr.transformer_registry.parse("xlnet").build(
+        d_model=32, n_head=2, n_layer=1, total_seq_length=10
+    )
+    model = cfg.to_model(
+        im, tr.NextItemPredictionTask(weight_tying=True,
+                                      vocab_parallel_mesh=mesh)
+    )
+    args = tr.T4RecTrainingArguments(
+        output_dir="/tmp/t4r_vp_pack",
+        data_loader_engine="synthetic",
+        max_sequence_length=10,
+        per_device_train_batch_size=4,
+        per_device_eval_batch_size=4,
+        max_steps=6,
+        logging_steps=1,
+        pack_sessions=True,
+        pack_eval_sessions=True,
+        mesh_model_axis=2,
+        learning_rate=1e-2,
+        seed=4,
+    )
+    trainer = tr.Trainer(model=model, args=args, schema=schema, mesh=mesh)
+    trainer.train()
+    hist = [h["loss"] for h in trainer.state.log_history if "loss" in h]
+    assert np.isfinite(hist).all() and hist[-1] < hist[0]
+    e = trainer.evaluate()
+    assert np.isfinite(e["eval_loss"])
+    assert any(k.startswith("eval_/") for k in e)

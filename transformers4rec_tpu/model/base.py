@@ -30,6 +30,50 @@ from .prediction_task import (
 )
 
 
+def task_loss_state(outs: Dict[str, "TaskOutput"]) -> Dict[str, tuple]:
+    """Per-task (weighted-loss-sum, weight-sum) — the exact sufficient
+    statistics for a dataset-level weighted-mean loss. Zero-filled tail
+    batches (drop_last=False) contribute only their real targets' weight,
+    instead of a full batch's weight under mean-of-batch-means. Shared by
+    Trainer.evaluate and Model.evaluate."""
+    state = {}
+    for task_name, out in outs.items():
+        w = out.loss_weight
+        w = jnp.ones(()) if w is None else jnp.maximum(w, 0.0)
+        state[task_name] = (out.loss * w, w)
+    return state
+
+
+def merge_loss_state(state: Dict[str, tuple], new: Dict[str, tuple]):
+    """Elementwise-additive merge of two task-loss states."""
+    if not state:
+        return new
+    return {
+        name: (state[name][0] + s, state[name][1] + w)
+        for name, (s, w) in new.items()
+    }
+
+
+def combine_task_losses(model, task_means: Dict[str, float]) -> float:
+    """Recombine per-task dataset-level mean losses with the SAME head/task
+    weighting Model.__call__ applies per batch."""
+    heads = list(getattr(model, "heads", ()) or ())
+    if not heads:
+        vals = list(task_means.values())
+        return float(sum(vals)) / max(len(vals), 1)
+    hw = list(model.head_weights or [1.0] * len(heads))
+    total = 0.0
+    for w_h, head in zip(hw, heads):
+        tasks = list(head.tasks)
+        tw = list(head.task_weights or [1.0] * len(tasks))
+        h = sum(
+            w_t * task_means.get(t.task_name, 0.0)
+            for w_t, t in zip(tw, tasks)
+        )
+        total += w_h * h / max(sum(tw), 1e-9)
+    return float(total) / max(sum(hw), 1e-9)
+
+
 class Head(nn.Module):
     """One body + one or more prediction tasks (reference model/base.py:235-492)."""
 
@@ -364,15 +408,11 @@ class Model(nn.Module):
                 params, batch, targets=batch, testing=True, compute_metrics=True
             )
             metrics = {}
-            lstate = {}
             for task_name, out in outs.items():
-                w = out.loss_weight
-                w = jnp.ones(()) if w is None else jnp.maximum(w, 0.0)
-                lstate[task_name] = (out.loss * w, w)
                 if out.metrics:
                     for k, v in out.metrics.items():
                         metrics[f"{task_name}/{k}"] = v
-            return lstate, metrics
+            return task_loss_state(outs), metrics
 
         metric_state: Dict[str, Any] = {}
         # per-task (Σ loss·w, Σ w): the dataset-level loss is the exact
@@ -385,27 +425,19 @@ class Model(nn.Module):
                 max_sequence_length = self._ragged_max_len(batch)
             batch = self._as_dense(batch, max_sequence_length)
             lstate, metrics = eval_step(params, batch)
-            loss_state = (
-                {
-                    name: (loss_state[name][0] + s, loss_state[name][1] + w)
-                    for name, (s, w) in lstate.items()
-                }
-                if loss_state
-                else lstate
-            )
+            loss_state = merge_loss_state(loss_state, lstate)
             metric_state = (
                 update_metric_state(metric_state, metrics)
                 if metric_state
                 else metrics
             )
-        task_means = [
-            float(s) / max(float(w), 1.0) for s, w in loss_state.values()
-        ]
-        # equal-weight tasks (Model.fit path builds single-head equal-weight
-        # models; the Trainer recombines with configured head/task weights)
-        results = {
-            f"{mode}_loss": sum(task_means) / max(len(task_means), 1)
+        task_means = {
+            name: float(s) / max(float(w), 1.0)
+            for name, (s, w) in loss_state.items()
         }
+        # recombine with the model's configured head/task weights — same
+        # weighting as the training objective
+        results = {f"{mode}_loss": combine_task_losses(self, task_means)}
         if metric_state:
             for name, val in finalize_metrics(metric_state).items():
                 results[f"{mode}_/{name}"] = float(val)

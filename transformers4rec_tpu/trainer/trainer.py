@@ -138,11 +138,13 @@ class Trainer:
                      is_train: bool = False, **kwargs):
         engine = self.args.data_loader_engine
         cls = dataloader_registry.parse("parquet" if engine == "merlin" else engine)
-        # HF semantics: dataloader_drop_last applies to the TRAIN loader only
-        # (reference trainer evaluates/predicts every session — HF
-        # Trainer.get_eval_dataloader never drops the tail). Eval/test
-        # loaders always keep the tail as a zero-filled full-size batch whose
-        # fill rows carry no loss/metric weight.
+        # dataloader_drop_last applies to the TRAIN loader only: eval/test
+        # loaders ALWAYS keep the tail as a zero-filled full-size batch whose
+        # fill rows carry no loss/metric weight, so every session counts
+        # exactly once and predict() rows align 1:1 with input sessions.
+        # (Deliberately stricter than HF, which forwards the flag to eval
+        # loaders too — silently dropping tail sessions from reported
+        # metrics is never the right default for session-based rec eval.)
         kwargs.setdefault(
             "drop_last", self.args.dataloader_drop_last if is_train else False
         )
@@ -390,42 +392,14 @@ class Trainer:
 
         return jax.jit(train_step_multi, donate_argnums=(0,))
 
-    @staticmethod
-    def _task_loss_state(outs):
-        """Per-task (weighted-loss-sum, weight-sum) — the exact sufficient
-        statistics for a dataset-level weighted-mean loss. Zero-filled tail
-        batches (drop_last=False) contribute only their real targets'
-        weight, instead of a full batch's weight under mean-of-batch-means."""
-        state = {}
-        for task_name, out in outs.items():
-            w = out.loss_weight
-            if w is None:
-                w = jnp.ones(())
-            else:
-                w = jnp.maximum(w, 0.0)
-            state[task_name] = (out.loss * w, w)
-        return state
-
     def _combine_task_losses(self, task_means: Dict[str, float]) -> float:
-        """Recombine per-task dataset-level means with the SAME head/task
-        weighting Model.__call__ applies per batch."""
-        heads = list(getattr(self.model, "heads", ()) or ())
-        if not heads:
-            vals = list(task_means.values())
-            return float(sum(vals)) / max(len(vals), 1)
-        hw = list(self.model.head_weights or [1.0] * len(heads))
-        total = 0.0
-        for w_h, head in zip(hw, heads):
-            tasks = list(head.tasks)
-            tw = list(head.task_weights or [1.0] * len(tasks))
-            h = sum(
-                w_t * task_means.get(t.task_name, 0.0)
-                for w_t, t in zip(tw, tasks)
-            )
-            total += w_h * h / max(sum(tw), 1e-9)
-        return float(total) / max(sum(hw), 1e-9)
+        from ..model.base import combine_task_losses
+
+        return combine_task_losses(self.model, task_means)
 
     def _build_eval_step(self, compute_metrics: bool):
+        from ..model.base import task_loss_state
+
         model = self.model
 
         def eval_step(params, batch):
@@ -438,7 +412,7 @@ class Trainer:
                 if out.metrics:
                     for k, v in out.metrics.items():
                         metrics[f"{task_name}/{k}"] = v
-            return Trainer._task_loss_state(outs), metrics
+            return task_loss_state(outs), metrics
 
         return jax.jit(eval_step, static_argnames=())
 
@@ -448,6 +422,8 @@ class Trainer:
         dozen tiny dispatched accumulation ops per batch on top of the step
         dispatch itself. Returns (summed_loss, merged_metric_state, K)."""
         model = self.model
+
+        from ..model.base import merge_loss_state, task_loss_state
 
         def eval_one(params, batch):
             _, outs = model.apply(
@@ -459,7 +435,7 @@ class Trainer:
                 if out.metrics:
                     for k, v in out.metrics.items():
                         metrics[f"{task_name}/{k}"] = v
-            return Trainer._task_loss_state(outs), metrics
+            return task_loss_state(outs), metrics
 
         def eval_multi(params, stacked):
             first = jax.tree.map(lambda x: x[0], stacked)
@@ -469,15 +445,11 @@ class Trainer:
             def body(carry, batch):
                 lstate, mstate = carry
                 l, m = eval_one(params, batch)
-                lmerged = {
-                    name: (lstate[name][0] + s, lstate[name][1] + w)
-                    for name, (s, w) in l.items()
-                }
                 merged = {
                     name: (mstate[name][0] + s, mstate[name][1] + c)
                     for name, (s, c) in m.items()
                 } if m else mstate
-                return (lmerged, merged), None
+                return (merge_loss_state(lstate, l), merged), None
 
             (lstate, mstate), _ = jax.lax.scan(body, (l0, m0), rest)
             return lstate, mstate
@@ -763,16 +735,11 @@ class Trainer:
         n_batches, n_examples = 0, 0
         pending: List[Dict[str, Any]] = []
 
+        from ..model.base import merge_loss_state
+
         def merge_loss(lstate):
             nonlocal loss_state
-            loss_state = (
-                {
-                    name: (loss_state[name][0] + s, loss_state[name][1] + w)
-                    for name, (s, w) in lstate.items()
-                }
-                if loss_state
-                else lstate
-            )
+            loss_state = merge_loss_state(loss_state, lstate)
 
         def flush(group):
             nonlocal metric_state, n_batches, n_examples
