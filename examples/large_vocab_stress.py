@@ -36,6 +36,12 @@ def main():
         "sparse_adam = gather rows outside autodiff + O(N*E) scatter update "
         "(ops/sparse_update.py) — the only viable mode at 100M rows",
     )
+    ap.add_argument(
+        "--objective", choices=["sampled", "full"], default="sampled",
+        help="sampled = log-uniform sampled softmax; full = vocab-parallel "
+        "FULL softmax via the shard_map CE (sharded_softmax_ce) — requires "
+        "--optimizer adagrad (dense table gradient)",
+    )
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -91,13 +97,33 @@ def main():
         logits = jnp.concatenate([pos, negs], axis=1)
         return -jax.nn.log_softmax(logits)[:, 0].mean()
 
-    def loss_fn(table, rng):
-        emb = sharded_embedding_lookup(table, ids, mesh)  # (B, S, E) via psum
-        neg = sampler.sample(rng)
-        pos_w = sharded_embedding_lookup(table, labels, mesh)
-        neg_w = sharded_embedding_lookup(table, neg, mesh)
-        return scores_loss(emb, pos_w, neg_w, neg)
+    if args.objective == "full":
+        # vocab-parallel FULL softmax: the shard_map CE streams each shard's
+        # rows locally and merges with O(N) collectives (sharded_softmax_ce)
+        # — the output-layer path for 100M-row tables where even sampled
+        # negatives' logQ table would be awkward to host
+        from transformers4rec_tpu.parallel.sharded_embedding import (
+            sharded_softmax_ce,
+        )
 
+        ones = jnp.ones((B,), jnp.float32)
+
+        def loss_fn(table, rng):
+            emb = sharded_embedding_lookup(table, ids, mesh)
+            hidden = emb.mean(axis=1)  # (B, E)
+            return sharded_softmax_ce(hidden, table, labels, ones, mesh)
+
+    else:
+        def loss_fn(table, rng):
+            emb = sharded_embedding_lookup(table, ids, mesh)  # (B, S, E) via psum
+            neg = sampler.sample(rng)
+            pos_w = sharded_embedding_lookup(table, labels, mesh)
+            neg_w = sharded_embedding_lookup(table, neg, mesh)
+            return scores_loss(emb, pos_w, neg_w, neg)
+
+    if args.objective == "full" and args.optimizer != "adagrad":
+        raise SystemExit("--objective full produces a dense (V, E) gradient; "
+                         "use --optimizer adagrad")
     if args.optimizer == "adagrad":
         tx = optax.adagrad(0.5)
         opt = tx.init(table)

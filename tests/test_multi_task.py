@@ -210,3 +210,53 @@ def test_binary_regression_streaming_metrics_exact_on_unequal_batches():
     np.testing.assert_allclose(
         streamed["play_percentage/mse"], oracle_mse, rtol=1e-5
     )
+
+
+def test_model_evaluate_honors_task_weights(batch):
+    """Standalone Model.evaluate recombines per-task dataset means with the
+    CONFIGURED task_weights — the same weighting as the training objective
+    (equal-weighting silently changed eval_loss for weighted models)."""
+    from transformers4rec_tpu.model.base import combine_task_losses
+
+    feature_schema = ms.schema.remove_by_tag(tr.Tags.TARGET)
+    im = tr.TabularSequenceFeatures.from_schema(
+        feature_schema, d_output=32, masking="mlm", aggregation="concat"
+    )
+    cfg = tr.transformer_registry.parse("bert").build(32, 2, 1, 20)
+
+    def build(weights):
+        head = tr.Head.from_body(
+            input_module=im,
+            transformer=cfg,
+            tasks=[
+                tr.NextItemPredictionTask(weight_tying=True),
+                tr.BinaryClassificationTask(task_name="click",
+                                            target_name="click"),
+            ],
+            task_weights=weights,
+        )
+        return tr.Model(heads=(head,))
+
+    model_eq = build([1.0, 1.0])
+    model_w = build([3.0, 1.0])
+    # identical parameters (same structure) → identical per-task losses
+    params = model_eq.init(RNGS, batch, targets=batch, training=True)
+
+    class _OneBatch:
+        def __iter__(self):
+            return iter([{k: np.asarray(v) for k, v in batch.items()}])
+
+    r_eq = model_eq.evaluate(_OneBatch(), params)
+    r_w = model_w.evaluate(_OneBatch(), params)
+
+    # recover the per-task means from the two weighted combinations and pin
+    # against a direct apply() of each weighting
+    _, outs = model_eq.apply(params, batch, targets=batch, testing=True)
+    means = {}
+    for name, out in outs.items():
+        means[name] = float(out.loss)
+    for model, got in ((model_eq, r_eq), (model_w, r_w)):
+        want = combine_task_losses(model, means)
+        np.testing.assert_allclose(got["eval_loss"], want, rtol=1e-5)
+    # the weighted model's eval loss must actually differ from equal weights
+    assert abs(r_w["eval_loss"] - r_eq["eval_loss"]) > 1e-6
