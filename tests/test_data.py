@@ -360,3 +360,65 @@ def test_eval_counts_each_session_exactly_once_with_keep_last(tmp_path, ecommerc
         np.testing.assert_allclose(got_counts[k], want_counts[k], rtol=1e-6,
                                    err_msg=f"{k} count")
         np.testing.assert_allclose(got[k], want[k], rtol=1e-4, err_msg=k)
+
+
+def test_multiprocess_loaders_yield_equal_batch_counts(tmp_path, ecommerce_schema):
+    """Uneven row striping (N % global_size != 0, and N_local % B straddling
+    a batch boundary) must NOT desynchronize processes: every rank yields
+    len(loader) batches (a rank entering the cross-process batch-assembly
+    collective one extra time deadlocks multi-host jobs), and each real row
+    appears exactly once across ranks (drop_last=False)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from transformers4rec_tpu.data.loader import (
+        ParquetDataLoader,
+        StreamingParquetDataLoader,
+    )
+    from transformers4rec_tpu.data.synthetic import synthetic_data
+
+    N, B, GS = 33, 8, 2  # rank0 gets 17 rows (ceil 3 batches), rank1 16 (2)
+    rows = synthetic_data(ecommerce_schema, num_rows=N,
+                          max_session_length=10, seed=0)
+    p = tmp_path / "d.parquet"
+    pq.write_table(pa.table({k: list(v) for k, v in rows.items()}), p,
+                   row_group_size=5)
+    item = ecommerce_schema.item_id_column_name
+
+    for cls in (ParquetDataLoader, StreamingParquetDataLoader):
+        loaders = [
+            cls.from_schema(
+                ecommerce_schema, str(p), batch_size=B,
+                max_sequence_length=10, shuffle=False, drop_last=False,
+                global_rank=r, global_size=GS, seed=0,
+            )
+            for r in range(GS)
+        ]
+        lens = [len(ld) for ld in loaders]
+        assert lens[0] == lens[1] == -(-N // (B * GS)), (cls.__name__, lens)
+        seen = []
+        for ld in loaders:
+            batches = list(ld)
+            assert len(batches) == lens[0], (cls.__name__, len(batches))
+            for b in batches:
+                assert b[item].shape[0] == B
+                for row in np.asarray(b[item]):
+                    if (row != 0).any():
+                        seen.append(tuple(row))
+        # every real session exactly once across ranks
+        assert len(seen) == N and len(set(seen)) == N, (cls.__name__, len(seen))
+
+        # drop_last=True also agrees across ranks (train-loader lockstep)
+        loaders_t = [
+            cls.from_schema(
+                ecommerce_schema, str(p), batch_size=B,
+                max_sequence_length=10, shuffle=False, drop_last=True,
+                global_rank=r, global_size=GS, seed=0,
+            )
+            for r in range(GS)
+        ]
+        lens_t = [len(ld) for ld in loaders_t]
+        counts_t = [len(list(ld)) for ld in loaders_t]
+        assert lens_t[0] == lens_t[1] == counts_t[0] == counts_t[1], (
+            cls.__name__, lens_t, counts_t
+        )

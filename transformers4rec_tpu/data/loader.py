@@ -118,6 +118,7 @@ class ParquetDataLoader(T4RecDataLoader):
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
+        self.global_size = global_size
         self._epoch = 0
         self._skip_batches = 0
         # per-host row striping
@@ -125,6 +126,11 @@ class ParquetDataLoader(T4RecDataLoader):
         idx = np.arange(global_rank, n, global_size)
         self.data = {k: v[idx] for k, v in data.items()}
         self.num_rows = len(idx)
+        # GLOBAL row count: every process must yield the SAME number of
+        # batches (a process entering the cross-process batch-assembly
+        # collective one more time than its peers deadlocks), so __len__
+        # derives from the global count, not the local shard's
+        self.total_rows = n
         self.prefetch = prefetch
 
     @classmethod
@@ -184,9 +190,12 @@ class ParquetDataLoader(T4RecDataLoader):
         )
 
     def __len__(self) -> int:
+        # process-count-invariant: global rows over the GLOBAL batch
+        # (batch_size is per-process; every process agrees on the count)
+        gbatch = self.batch_size * self.global_size
         if self.drop_last:
-            return max(1, self.num_rows // self.batch_size) if self.num_rows >= self.batch_size else 1
-        return -(-self.num_rows // self.batch_size)
+            return max(1, self.total_rows // gbatch) if self.total_rows >= gbatch else 1
+        return -(-self.total_rows // gbatch)
 
     def _epoch_order(self) -> np.ndarray:
         if self.shuffle:
@@ -338,13 +347,13 @@ class StreamingParquetDataLoader(T4RecDataLoader):
         if not self._groups:
             raise ValueError(f"No parquet row groups under {self.paths!r}")
         self._stripe_groups = len(self._groups) >= global_size
+        self.total_rows = sum(g[2] for g in self._groups)
         if self._stripe_groups:
             self._my_groups = self._groups[global_rank::global_size]
             self.num_rows = sum(g[2] for g in self._my_groups)
         else:
             self._my_groups = list(self._groups)
-            total = sum(g[2] for g in self._groups)
-            self.num_rows = len(range(global_rank, total, global_size))
+            self.num_rows = len(range(global_rank, self.total_rows, global_size))
 
     @classmethod
     def from_schema(
@@ -379,9 +388,13 @@ class StreamingParquetDataLoader(T4RecDataLoader):
 
     def __len__(self) -> int:
         if not self.pack:
+            # process-count-invariant (global rows over the global batch):
+            # every process yields the same batch count, so cross-process
+            # batch assembly never deadlocks on a missing participant
+            gbatch = self.batch_size * self.global_size
             if not self.drop_last:
-                return -(-self.num_rows // self.batch_size)
-            return max(self.num_rows // self.batch_size, 1)
+                return -(-self.total_rows // gbatch)
+            return max(self.total_rows // gbatch, 1)
         if self._exact_len is not None:
             return self._exact_len
         # estimate from the first buffer's measured pack ratio (sessions/row)
@@ -430,6 +443,11 @@ class StreamingParquetDataLoader(T4RecDataLoader):
         rows_packed = 0
         pending: List[NDArrayDict] = []
         pending_rows = 0
+        # unpacked: emit EXACTLY len(self) batches — the count is derived
+        # from the GLOBAL row total so all processes stay in lockstep; local
+        # shards may hold ±stripe-remainder rows vs total/global_size
+        target = None if (self.pack or peek_ratio_only) else len(self)
+        template: Optional[NDArrayDict] = None
         for pos, gi in enumerate(order):
             path, group, _ = self._my_groups[gi]
             cols = self._read_group(path, group)
@@ -455,17 +473,21 @@ class StreamingParquetDataLoader(T4RecDataLoader):
                 rows = {k: np.concatenate([carry[k], rows[k]]) for k in rows}
                 carry = None
             n = _n_rows(rows, ragged=False)
+            template = rows
             perm = rng.permutation(n) if self.shuffle else np.arange(n)
             full = (n // self.batch_size) * self.batch_size
             for start in range(0, full, self.batch_size):
                 sel = perm[start : start + self.batch_size]
+                if target is not None and batches_out >= target:
+                    break  # local shard overshoots the global batch count
                 batches_out += 1
                 if batches_out > skip:
                     yield {k: v[sel] for k, v in rows.items()}
             if n > full:
                 sel = perm[full:]
                 carry = {k: v[sel] for k, v in rows.items()}
-        if carry is not None and not self.drop_last:
+        if (carry is not None and not self.drop_last
+                and (target is None or batches_out < target)):
             # zero-fill the final partial batch to full size (static shapes);
             # fill rows are all-padding sessions with zero loss/metric weight
             m = _n_rows(carry, ragged=False)
@@ -475,6 +497,18 @@ class StreamingParquetDataLoader(T4RecDataLoader):
                     [v, np.zeros((pad, *v.shape[1:]), dtype=v.dtype)]
                 )
                 for k, v in carry.items()
+            }
+            batches_out += 1
+            if batches_out > skip and not peek_ratio_only:
+                yield batch
+        # lockstep shortfall: a local shard with fewer rows than its peers
+        # still owes the collective its batches — emit all-zero (weightless)
+        # batches up to the global count
+        while (target is not None and batches_out < target
+               and template is not None):
+            batch = {
+                k: np.zeros((self.batch_size, *v.shape[1:]), dtype=v.dtype)
+                for k, v in template.items()
             }
             batches_out += 1
             if batches_out > skip and not peek_ratio_only:
