@@ -74,3 +74,44 @@ def test_flash_grads_match_reference(qkv):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=3e-2, rtol=5e-2)
+
+
+def test_flash_learned_bias_gradient_flows():
+    """bias_grad=True must produce the TRUE bias cotangent (the fused
+    backward cannot emit one — without this flag a learned rel-position bias
+    silently freezes at init on the flash path)."""
+    import jax
+    import numpy as np
+
+    from transformers4rec_tpu.ops.attention import (
+        flash_attention,
+        reference_attention,
+    )
+
+    B, S, H, Dh = 2, 128, 2, 16
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, S, H, Dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, S, H, Dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, S, H, Dh)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(1, H, S, S)).astype(np.float32) * 0.1)
+
+    def f_flash(b):
+        return flash_attention(q, k, v, bias=b, interpret=True,
+                               block_q=128, block_k=128,
+                               bias_grad=True).sum()
+
+    def f_ref(b):
+        return reference_attention(q, k, v, bias=b).sum()
+
+    dflash = jax.grad(f_flash)(bias)
+    dref = jax.grad(f_ref)(bias)
+    assert float(jnp.abs(dref).max()) > 0  # the probe is non-trivial
+    np.testing.assert_allclose(np.asarray(dflash), np.asarray(dref),
+                               rtol=2e-3, atol=2e-4)
+
+    # default (constant-bias) path still returns a zero cotangent
+    dzero = jax.grad(
+        lambda b: flash_attention(q, k, v, bias=b, interpret=True,
+                                  block_q=128, block_k=128).sum()
+    )(bias)
+    assert float(jnp.abs(dzero).max()) == 0.0

@@ -207,10 +207,14 @@ class MultiHeadAttention(nn.Module):
         if flash_ctx is not None and use_flash(S, self.dropout, not deterministic):
             # fused Pallas kernel for long sequences (ops/attention.py):
             # causal/pad handled inline, only perm/local/rel biases read as
-            # tensors
-            extra_bias, pad_mask = flash_ctx
+            # tensors. bias_grad=True when the bias carries LEARNED relative
+            # positions — the backward then takes the XLA-remat path that
+            # emits the bias cotangent (the fused backward would silently
+            # zero it and freeze the rel-bias table).
+            extra_bias, pad_mask, bias_grad = flash_ctx
             ctx = flash_attention(
-                q, k, v, bias=extra_bias, pad_mask=pad_mask, causal=self.causal
+                q, k, v, bias=extra_bias, pad_mask=pad_mask,
+                causal=self.causal, bias_grad=bias_grad,
             ).astype(self.dtype)
         else:
             scale = Dh ** -0.5
@@ -454,7 +458,9 @@ class TransformerEncoder(nn.Module):
                                 query_stream=False, mem_len=M)
         if rel_bias is not None:
             extra = rel_bias if extra is None else extra + rel_bias
-        flash_ctx = (extra, pad_mask) if M == 0 else None
+        flash_ctx = (
+            (extra, pad_mask, rel_bias is not None) if M == 0 else None
+        )
 
         query_hidden = None
         query_bias = None
@@ -479,7 +485,9 @@ class TransformerEncoder(nn.Module):
                                       query_stream=True, mem_len=M)
             if rel_bias is not None:
                 q_extra = rel_bias if q_extra is None else q_extra + rel_bias
-            query_flash_ctx = (q_extra, pad_mask) if M == 0 else None
+            query_flash_ctx = (
+                (q_extra, pad_mask, rel_bias is not None) if M == 0 else None
+            )
 
         if self.embed_layer_norm:
             ln_emb = nn.LayerNorm(

@@ -600,7 +600,7 @@ def _flash_backward(q, k, v, bias, pad_mask, causal, block_q, block_k,
             unflatten(dv, Sk).astype(v.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -611,14 +611,24 @@ def flash_attention(
     block_q: int = 512,
     block_k: int = 1024,
     interpret: bool = False,
+    bias_grad: bool = False,
 ) -> jnp.ndarray:
     """Fused attention. q/k/v: (B, S, H, Dh); ``bias`` broadcastable to
     (B, H, S, S) (perm/local/relative); ``pad_mask``: (B, S) bool valid-key
-    mask; ``causal`` applied inline."""
+    mask; ``causal`` applied inline.
+
+    ``bias_grad``: set True when ``bias`` carries LEARNED parameters (e.g.
+    RelativePositionBias) — the backward then runs a rematerialized XLA vjp
+    that produces the bias cotangent (materializes the (B, H, S, S)
+    probabilities; the O(S) fused backward cannot emit it). With the default
+    False the fused backward runs and the bias cotangent is zero — correct
+    ONLY for constant biases (perm/segment/local-window masks). The encoder
+    sets this flag automatically from its rel-bias configuration."""
     return _flash_forward(q, k, v, bias, pad_mask, causal, block_q, block_k, interpret)
 
 
-def _flash_fwd(q, k, v, bias, pad_mask, causal, block_q, block_k, interpret):
+def _flash_fwd(q, k, v, bias, pad_mask, causal, block_q, block_k, interpret,
+               bias_grad):
     out, o_flat, lse = _flash_forward(
         q, k, v, bias, pad_mask, causal, block_q, block_k, interpret,
         want_lse=True,
@@ -636,9 +646,21 @@ def _flash_fwd(q, k, v, bias, pad_mask, causal, block_q, block_k, interpret):
 FUSED_BWD_MIN_SEQ = 0
 
 
-def _flash_bwd(causal, block_q, block_k, interpret, res, g):
+def _flash_bwd(causal, block_q, block_k, interpret, bias_grad, res, g):
     q, k, v, bias, pad_mask, o_flat, lse = res
     S = q.shape[1]
+    if bias is not None and bias_grad:
+        # learned bias (rel-position tables): the fused backward cannot emit
+        # a bias cotangent, so rematerialize through XLA for ALL cotangents —
+        # O(S²) memory, paid only when the bias actually carries parameters
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_, b_: reference_attention(
+                q_, k_, v_, bias=b_, pad_mask=pad_mask, causal=causal
+            ),
+            q, k, v, bias,
+        )
+        dq, dk, dv, dbias = vjp(g)
+        return dq, dk, dv, dbias, None
     if S < FUSED_BWD_MIN_SEQ and not interpret:
         _, vjp = jax.vjp(
             lambda q_, k_, v_: reference_attention(
@@ -660,8 +682,8 @@ flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 def use_flash(seq_len: int, attn_dropout: float, training: bool) -> bool:
     """Dispatch policy for MultiHeadAttention."""
-    try:
-        on_tpu = jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover
-        on_tpu = False
-    return on_tpu and seq_len >= 128 and not (training and attn_dropout > 0.0)
+    from .vocab import _on_tpu  # single platform probe for all ops
+
+    return _on_tpu() and seq_len >= 128 and not (
+        training and attn_dropout > 0.0
+    )

@@ -55,6 +55,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from .vocab import _on_tpu  # single platform probe for all ops
+
 ScalarOrSchedule = Union[float, Callable[[jnp.ndarray], jnp.ndarray]]
 
 
@@ -76,13 +78,6 @@ ScalarOrSchedule = Union[float, Callable[[jnp.ndarray], jnp.ndarray]]
 # (`use_pallas=True`) measurement harness only; default stays False.
 
 _PALLAS_BLOCK_ROWS = 512
-
-
-def _on_tpu() -> bool:
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:  # pragma: no cover
-        return False
 
 
 def _upd_a_kernel(n_rows, br, s_ref, g_ref, v_ref, nv_ref, ps_ref):

@@ -207,13 +207,18 @@ def _ce_fwd_pallas_vmajor(x, W, labels, bn: int, bv: int, vocab_size=None,
 
 
 # full-row scratch caps: stay well under the ~16MB VMEM budget
-_FWD_SCRATCH_MAX_ROWS = 1 << 20
+_FWD_SCRATCH_MAX_BYTES = 8 << 20
 _BWD_DX_SCRATCH_MAX_BYTES = 8 << 20
 
 
 def _ce_fwd_pallas(x, W, labels, bn: int, bv: int, vocab_size=None,
                    smooth: bool = False):
-    if x.shape[0] <= _FWD_SCRATCH_MAX_ROWS:
+    # v-major keeps (n_out + 1) full-N f32 scratch columns resident — gate on
+    # the actual BYTES (smoothing adds a 4th/5th column) so a large-N smooth
+    # forward dispatches to n-major instead of overflowing VMEM
+    n_scratch = (3 if smooth else 2) + 1
+    np_rows = -(-x.shape[0] // bn) * bn
+    if n_scratch * np_rows * 4 <= _FWD_SCRATCH_MAX_BYTES:
         return _ce_fwd_pallas_vmajor(x, W, labels, bn, bv, vocab_size, smooth)
     return _ce_fwd_pallas_nmajor(x, W, labels, bn, bv, vocab_size, smooth)
 
@@ -560,7 +565,12 @@ def fused_softmax_ce(
     logits. x: (N, E); W: (V, E); labels: (N,) int; weights: (N,) float.
     ``vocab_size`` bounds the true vocab when W carries padded rows
     (features/embedding.py vocab_padding_multiple) — rows ≥ vocab_size are
-    excluded from the softmax and receive zero gradient."""
+    excluded from the softmax and receive zero gradient.
+
+    ``weights`` is explicitly NON-differentiable (stop_gradient at entry):
+    it is a validity mask, and the custom backward returns no cotangent for
+    it — learned per-row loss weighting would need the dense CE path."""
+    weights = jax.lax.stop_gradient(weights)
     loss, _ = _fused_ce_fwd(x, W, labels, weights, block_n, block_v,
                             use_pallas, vocab_size, label_smoothing)
     return loss
@@ -634,11 +644,13 @@ def _rank_kernel(v_total_ref, x_ref, w_ref, lbl_ref, ll_ref, rank_ref, cnt_sc):
     col = vi * BV + jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
     valid = col < v_total_ref[0]
     greater = valid & (logits > ll_ref[:])
-    cnt_sc[:, 0] += greater.sum(axis=1).astype(jnp.float32)
+    # int32 accumulation: f32 counts lose exactness past 2^24, i.e. ranks
+    # deeper than ~16.7M at the 100M-vocab north star
+    cnt_sc[:, 0] += greater.sum(axis=1).astype(jnp.int32)
 
     @pl.when(vi == nv - 1)
     def _():
-        rank_ref[:, 0] = cnt_sc[:, 0].astype(jnp.int32)
+        rank_ref[:, 0] = cnt_sc[:, 0]
 
 
 def rank_counts(
@@ -677,7 +689,7 @@ def rank_counts(
                     pl.BlockSpec((block_n, 1), lambda i, j, *_: (i, 0)),
                 ],
                 out_specs=pl.BlockSpec((block_n, 1), lambda i, j, *_: (i, 0)),
-                scratch_shapes=[pltpu.VMEM((block_n, 1), jnp.float32)],
+                scratch_shapes=[pltpu.VMEM((block_n, 1), jnp.int32)],
             ),
             out_shape=jax.ShapeDtypeStruct((Np, 1), jnp.int32),
         )(
@@ -716,57 +728,17 @@ def fused_label_rank(
 ) -> jnp.ndarray:
     """Exact 0-based rank of each label's logit among all V logits
     (count of strictly-greater logits). Never materializes (N, V) nor sorts.
-    Equivalent to ``label_ranks(scores, labels, max_k)`` for rank < max_k."""
+    Equivalent to ``label_ranks(scores, labels, max_k)`` for rank < max_k.
+    The label logit comes from the CE forward's col==label accumulation, so
+    its own column compares bit-equal in ``rank_counts`` and is never
+    counted."""
     on_tpu = _on_tpu() if use_pallas is None else use_pallas
-    N, E = x.shape
-    V = W.shape[0] if vocab_size is None else vocab_size
-    # label logit first (reuse CE forward machinery)
     if on_tpu:
         _, ll, _ = _ce_fwd_pallas(x, W, labels, block_n, block_v, vocab_size)
-        Wp, Vp = _pad_rows(W, block_v)
-        Np = ((N + block_n - 1) // block_n) * block_n
-        xp = jnp.pad(x, ((0, Np - N), (0, 0))) if Np != N else x
-        lblp = jnp.pad(labels, (0, Np - N)) if Np != N else labels
-        llp = jnp.pad(ll, (0, Np - N)) if Np != N else ll
-        rank = pl.pallas_call(
-            _rank_kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(Np // block_n, Vp // block_v),
-                in_specs=[
-                    pl.BlockSpec((block_n, E), lambda i, j, *_: (i, 0)),
-                    pl.BlockSpec((block_v, E), lambda i, j, *_: (j, 0)),
-                    pl.BlockSpec((block_n, 1), lambda i, j, *_: (i, 0)),
-                    pl.BlockSpec((block_n, 1), lambda i, j, *_: (i, 0)),
-                ],
-                out_specs=pl.BlockSpec((block_n, 1), lambda i, j, *_: (i, 0)),
-                scratch_shapes=[pltpu.VMEM((block_n, 1), jnp.float32)],
-            ),
-            out_shape=jax.ShapeDtypeStruct((Np, 1), jnp.int32),
-        )(
-            jnp.full((1,), V, jnp.int32),
-            xp.astype(jnp.bfloat16),
-            Wp.astype(jnp.bfloat16),
-            lblp[:, None].astype(jnp.int32),
-            llp[:, None].astype(jnp.float32),
-        )
-        return rank[:N, 0]
-    # scan fallback
-    _, ll, _ = _ce_fwd_scan(x, W, labels, block_v, vocab_size)
-    Wp, Vp = _pad_rows(W, block_v)
-    xb = x.astype(jnp.bfloat16)
-    Wb = Wp.astype(jnp.bfloat16).reshape(Vp // block_v, block_v, E)
-
-    def body(cnt, args):
-        Wc, idx0 = args
-        logits = jnp.einsum("ne,ce->nc", xb, Wc, preferred_element_type=jnp.float32)
-        col = idx0 + jnp.arange(block_v)
-        greater = (col < V)[None, :] & (logits > ll[:, None])
-        return cnt + greater.sum(-1).astype(jnp.int32), None
-
-    idxs = jnp.arange(Vp // block_v) * block_v
-    rank, _ = jax.lax.scan(body, jnp.zeros((N,), jnp.int32), (Wb, idxs))
-    return rank
+    else:
+        _, ll, _ = _ce_fwd_scan(x, W, labels, block_v, vocab_size)
+    return rank_counts(x, W, ll, labels, block_n, block_v,
+                       use_pallas=use_pallas, vocab_size=vocab_size)
 
 
 # =========================================================================
@@ -797,7 +769,7 @@ def _ce_rank_kernel(smooth, v_total_ref, x_ref, w_ref, lbl_ref, ll_ref,
     def _():
         m_sc[sl, :] = jnp.full((BN, 1), NEG, jnp.float32)
         s_sc[sl, :] = jnp.zeros((BN, 1), jnp.float32)
-        cnt_sc[sl, :] = jnp.zeros((BN, 1), jnp.float32)
+        cnt_sc[sl, :] = jnp.zeros((BN, 1), jnp.int32)
         if smooth:
             zs_sc[sl, :] = jnp.zeros((BN, 1), jnp.float32)
 
@@ -823,16 +795,18 @@ def _ce_rank_kernel(smooth, v_total_ref, x_ref, w_ref, lbl_ref, ll_ref,
     s_sc[sl, :] = s_new[:, None]
 
     # exclude the label's own column: its gathered logit may differ from the
-    # MXU tile value in the last ulp, which would off-by-one the rank
+    # MXU tile value in the last ulp, which would off-by-one the rank.
+    # int32 accumulation: f32 counts lose exactness past 2^24 (ranks deeper
+    # than ~16.7M at the 100M-vocab north star)
     greater = valid & (col != lbl_ref[:]) & (logits > ll_ref[:])
     cnt_sc[sl, :] = cnt_sc[sl, :] + greater.sum(axis=1).astype(
-        jnp.float32
+        jnp.int32
     )[:, None]
 
     @pl.when(vi == nv - 1)
     def _():
         lse_ref[:, :] = m_sc[sl, :] + jnp.log(s_sc[sl, :])
-        rank_ref[:, :] = cnt_sc[sl, :].astype(jnp.int32)
+        rank_ref[:, :] = cnt_sc[sl, :]
         if smooth:
             zs_ref[:, :] = zs_sc[sl, :]
 
@@ -888,8 +862,10 @@ def fused_ce_and_rank(
                     pl.BlockSpec((block_n, 1), lambda j, i, *_: (i, 0))
                 ] * len(out_shape),
                 scratch_shapes=[
-                    pltpu.VMEM((Np, 1), jnp.float32)
-                ] * (len(out_shape) + 1),
+                    pltpu.VMEM((Np, 1), jnp.float32),   # m
+                    pltpu.VMEM((Np, 1), jnp.float32),   # s
+                    pltpu.VMEM((Np, 1), jnp.int32),     # count-of-greater
+                ] + ([pltpu.VMEM((Np, 1), jnp.float32)] if smooth else []),
             ),
             out_shape=out_shape,
         )(

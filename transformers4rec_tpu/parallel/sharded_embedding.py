@@ -135,7 +135,9 @@ def sharded_softmax_ce(
     """Differentiable weighted-mean CE of ``x @ W.T`` with W row-sharded
     P(model_axis, None) and x/labels/weights sharded P(data_axis, ...).
     Exact same value and gradients as ``ops.vocab.fused_softmax_ce`` on the
-    gathered table (pinned in tests/test_parallel.py)."""
+    gathered table (pinned in tests/test_parallel.py). Like the unsharded op,
+    ``weights`` is a NON-differentiable validity mask (no cotangent)."""
+    weights = jax.lax.stop_gradient(weights)
     from ..ops.vocab import _ce_bwd_scan, _ce_fwd_scan, _on_tpu
 
     on_tpu = _on_tpu() if use_pallas is None else use_pallas
