@@ -237,3 +237,85 @@ def test_embedding_custom_initializer_applies():
     vals = [leaf for p, leaf in table
             if f"{item_col}_table" in jax.tree_util.keystr(p)]
     assert vals and np.allclose(np.asarray(vals[0]), 0.25)
+
+
+def test_pretrained_initializer_composes_with_vocab_padding():
+    """PretrainedEmbeddingsInitializer must tolerate the vocab-row padding
+    setup() applies (rows rounded to vocab_padding_multiple): extra rows are
+    zero-filled; trainable=False freezes the table via stop_gradient."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import transformers4rec_tpu as tr
+    from transformers4rec_tpu.data.synthetic import (
+        synthetic_data,
+        synthetic_ecommerce_data_schema,
+    )
+
+    # cardinality NOT divisible by the padding multiple (the common case)
+    schema = synthetic_ecommerce_data_schema(
+        num_items=9, num_categories=5, max_session_length=4
+    )
+    item = schema.item_id_column_name
+    card = schema.categorical_cardinalities()[item]
+    assert card % 8 != 0
+    w = np.random.default_rng(0).normal(size=(card, 16)).astype(np.float32)
+
+    feats = tr.SequenceEmbeddingFeatures.from_schema(
+        schema,
+        embedding_dims={item: 16},
+        embeddings_initializers={
+            item: tr.PretrainedEmbeddingsInitializer(w, trainable=False)
+        },
+    )
+    data = synthetic_data(schema, num_rows=4, max_session_length=4, seed=0)
+    batch = {k: jnp.asarray(v) for k, v in data.items()}
+    params = feats.init(jax.random.PRNGKey(0), batch)
+    table = [
+        leaf for p, leaf in jax.tree_util.tree_leaves_with_path(params)
+        if f"{item}_table" in jax.tree_util.keystr(p)
+    ][0]
+    assert table.shape[0] % 8 == 0 and table.shape[0] >= card
+    np.testing.assert_allclose(np.asarray(table)[:card], w)  # rows preserved
+    assert np.all(np.asarray(table)[card:] == 0.0)           # padding zeroed
+
+    # trainable=False: no gradient reaches the frozen table
+    def loss(p):
+        out = feats.apply(p, batch)
+        return sum(jnp.sum(v ** 2) for v in out.values())
+
+    grads = jax.grad(loss)(params)
+    gtab = [
+        leaf for p, leaf in jax.tree_util.tree_leaves_with_path(grads)
+        if f"{item}_table" in jax.tree_util.keystr(p)
+    ][0]
+    assert float(jnp.abs(gtab).max()) == 0.0
+
+
+def test_nonzero_padding_idx_honored_in_lookup():
+    """padding_idx=2: the embedding layer zeroes id-2 rows (not id 0) and the
+    mean combiner counts only non-pad positions."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import transformers4rec_tpu as tr
+    from transformers4rec_tpu.data.synthetic import (
+        synthetic_ecommerce_data_schema,
+    )
+
+    schema = synthetic_ecommerce_data_schema(
+        num_items=20, num_categories=5, max_session_length=4
+    )
+    item = schema.item_id_column_name
+    feats = tr.SequenceEmbeddingFeatures.from_schema(
+        schema, embedding_dims={item: 8}, padding_idx=2
+    )
+    assert feats.padding_idx == 2
+    ids = jnp.asarray([[3, 4, 2, 2]])
+    batch = {item: ids, "category": jnp.asarray([[1, 1, 0, 0]])}
+    params = feats.init(jax.random.PRNGKey(0), batch)
+    out = feats.apply(params, batch)[item]
+    assert np.all(np.asarray(out)[0, 2:] == 0.0)   # pad id 2 zeroed
+    assert np.abs(np.asarray(out)[0, 0]).max() > 0  # real ids live

@@ -107,8 +107,15 @@ def test_pretrained_embeddings_initializer():
     init = tr.PretrainedEmbeddingsInitializer(weights, trainable=False)
     got = init(jax.random.PRNGKey(0), (10, 4))
     np.testing.assert_allclose(np.asarray(got), weights, rtol=1e-6)
+    # MORE rows than pretrained = the vocab-padding case (setup() rounds
+    # tables to vocab_padding_multiple rows): extra rows zero-fill
+    padded = init(jax.random.PRNGKey(0), (16, 4))
+    np.testing.assert_allclose(np.asarray(padded)[:10], weights, rtol=1e-6)
+    assert np.all(np.asarray(padded)[10:] == 0.0)
     with pytest.raises(ValueError):
-        init(jax.random.PRNGKey(0), (11, 4))
+        init(jax.random.PRNGKey(0), (9, 4))   # fewer rows than pretrained
+    with pytest.raises(ValueError):
+        init(jax.random.PRNGKey(0), (10, 8))  # wrong embedding dim
     with pytest.raises(ValueError):
         tr.PretrainedEmbeddingsInitializer(np.zeros(3))
 

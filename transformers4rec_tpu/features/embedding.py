@@ -115,6 +115,9 @@ class EmbeddingFeatures(TabularBlock):
     feature_configs: Dict[str, FeatureConfig] = dataclasses.field(default_factory=dict)
     item_id: Optional[str] = None
     mask_padding: bool = True
+    # the id that marks padding (reference uses the torch nn.Embedding
+    # padding_idx=0 convention; configurable to match MaskSequence's)
+    padding_idx: int = 0
     table_dtype: Any = jnp.float32
     # round table rows up so they divide any 'model' mesh axis ≤ this value
     vocab_padding_multiple: int = 8
@@ -173,7 +176,14 @@ class EmbeddingFeatures(TabularBlock):
         self._tables = tables
 
     def table_param(self, name: str) -> jnp.ndarray:
-        return self._tables[name]
+        table = self._tables[name]
+        init = self.feature_configs[name].table.initializer
+        if getattr(init, "trainable", True) is False:
+            # frozen pretrained table (PretrainedEmbeddingsInitializer
+            # trainable=False): no gradient reaches the param, so the
+            # optimizer never moves it
+            table = jax.lax.stop_gradient(table)
+        return table
 
     def item_embedding_table(self) -> jnp.ndarray:
         """The item-id table — called by NextItemPredictionTask for weight tying."""
@@ -185,17 +195,24 @@ class EmbeddingFeatures(TabularBlock):
         table = self.table_param(name)
         emb = table[ids]
         if self.mask_padding:
-            emb = emb * (ids != 0)[..., None].astype(emb.dtype)
+            emb = emb * (ids != self.padding_idx)[..., None].astype(emb.dtype)
         return emb
 
     def compute_feature(self, name: str, ids: jnp.ndarray) -> jnp.ndarray:
         emb = self.lookup(name, ids)
         if ids.ndim == 2:  # (B, S) → combine to (B, dim)
             cfg = self.feature_configs[name].table
-            valid = (ids != 0).sum(axis=-1, keepdims=True).astype(emb.dtype)
             if cfg.combiner == "sum":
                 return emb.sum(axis=1)
-            return emb.sum(axis=1) / jnp.maximum(valid, 1.0)
+            if self.mask_padding:
+                valid = (ids != self.padding_idx).sum(
+                    axis=-1, keepdims=True
+                ).astype(emb.dtype)
+                return emb.sum(axis=1) / jnp.maximum(valid, 1.0)
+            # unmasked mean: every position contributes, divisor = S (a
+            # valid-count divisor with unmasked embeddings would be neither
+            # a mean over all positions nor over valid ones)
+            return emb.mean(axis=1)
         return emb
 
     def compute(self, inputs: TabularData, training: bool = False) -> TabularData:
@@ -211,9 +228,8 @@ class EmbeddingFeatures(TabularBlock):
 
 class SequenceEmbeddingFeatures(EmbeddingFeatures):
     """3-D sequence lookups: (B, S) ids → (B, S, dim); pad positions zeroed
-    (reference features/sequence.py:43-90, padding_idx=0)."""
-
-    padding_idx: int = 0
+    (reference features/sequence.py:43-90, padding_idx from the base
+    EmbeddingFeatures field)."""
 
     def compute_feature(self, name: str, ids: jnp.ndarray) -> jnp.ndarray:
         return self.lookup(name, ids)
@@ -235,8 +251,10 @@ class SoftEmbedding(nn.Module):
             self.emb_initializer or _default_initializer(),
             (self.num_embeddings, self.embedding_dim),
         )
-        if x.ndim >= 1 and x.shape[-1] != 1:
-            x = x[..., None]
+        # input is a RAW scalar column ((B,) or (B, S)) — always unsqueeze,
+        # exactly like the reference (embedding.py:272 input.unsqueeze(-1));
+        # a trailing-dim==1 heuristic misreads S=1 sequences and B=1 batches
+        x = x[..., None]
         logits = nn.Dense(self.num_embeddings, name="projection")(x.astype(jnp.float32))
         weights = jax.nn.softmax(logits, axis=-1)
         return weights @ table
@@ -413,9 +431,16 @@ class PretrainedEmbeddingsInitializer:
         self.trainable = trainable
 
     def __call__(self, key, shape, dtype=jnp.float32):
-        if tuple(shape) != self.weight_matrix.shape:
+        rows, dim = self.weight_matrix.shape
+        # tables are rounded up to vocab_padding_multiple rows for
+        # shardability (EmbeddingFeatures.setup) — extra rows are zero-filled
+        # (they are never looked up and the head masks them out of softmax)
+        if len(shape) != 2 or shape[1] != dim or shape[0] < rows:
             raise ValueError(
                 f"pretrained weights {self.weight_matrix.shape} do not match "
                 f"table shape {tuple(shape)}"
             )
-        return jnp.asarray(self.weight_matrix, dtype)
+        w = jnp.asarray(self.weight_matrix, dtype)
+        if shape[0] > rows:
+            w = jnp.pad(w, ((0, shape[0] - rows), (0, 0)))
+        return w

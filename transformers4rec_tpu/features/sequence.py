@@ -55,6 +55,10 @@ class TabularSequenceFeatures(TabularFeatures):
         masking_kwargs: Optional[dict] = None,
         **kwargs,
     ) -> "TabularSequenceFeatures":
+        # keep the embedding layer's padding convention in sync with the
+        # masking scheme's (both default 0)
+        if (masking_kwargs or {}).get("padding_idx") is not None:
+            kwargs.setdefault("padding_idx", masking_kwargs["padding_idx"])
         base = super().from_schema(
             schema,
             continuous_tags=continuous_tags,
@@ -65,9 +69,14 @@ class TabularSequenceFeatures(TabularFeatures):
             **kwargs,
         )
         agg = base.aggregation
-        if (masking is not None or d_output is not None) and not agg:
+        if (
+            masking is not None or d_output is not None
+            or projection is not None
+        ) and not agg:
             # masking/projection require a single tensor: force concat
-            # (reference sequence.py:208-210)
+            # (reference sequence.py:208-210 — projection included there too;
+            # without this a projection-only module would silently skip its
+            # Dense layers and output_size() would lie)
             agg = "concat"
 
         projection_dims: Optional[Tuple[int, ...]] = None
@@ -118,7 +127,8 @@ class TabularSequenceFeatures(TabularFeatures):
         item_ids = None
         if self.item_id is not None and self.item_id in inputs:
             item_ids = inputs[self.item_id].astype(jnp.int32)
-        pad_mask = (item_ids != 0) if item_ids is not None else None
+        pad = self.padding_idx
+        pad_mask = (item_ids != pad) if item_ids is not None else None
 
         pre = parse_transformation(self.pre)
         if pre is not None:

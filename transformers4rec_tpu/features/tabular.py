@@ -19,6 +19,49 @@ from .continuous import ContinuousFeatures
 from .embedding import EmbeddingFeatures, PretrainedEmbeddingFeatures, SoftEmbeddingFeatures
 
 
+# kwargs TabularFeatures.from_schema forwards to the embedding module —
+# everything EmbeddingFeatures.from_schema/clone accepts
+_EMBEDDING_KWARGS = (
+    "embedding_dims",
+    "embedding_dim_default",
+    "infer_embedding_sizes",
+    "infer_embedding_sizes_multiplier",
+    "embeddings_initializers",
+    "combiner",
+    "mask_padding",
+    "padding_idx",
+    "table_dtype",
+    "vocab_padding_multiple",
+)
+
+_PRETRAINED_KWARGS = (
+    "pretrained_embeddings",
+    "pretrained_output_dims",
+    "pretrained_trainable",
+    "pretrained_projection_dim",
+    "pretrained_sequence_combiner",
+)
+
+
+def _check_known_kwargs(kwargs):
+    """Fail fast on unknown from_schema kwargs — a silently-dropped option
+    (or a typo like embedding_dim=) otherwise trains with defaults and the
+    user never learns their setting did nothing."""
+    unknown = [
+        k for k in kwargs
+        if k not in _EMBEDDING_KWARGS
+        and k not in _PRETRAINED_KWARGS
+        and k not in ("pre", "post")
+        and not k.startswith("soft_embedding")
+    ]
+    if unknown:
+        raise TypeError(
+            f"from_schema got unknown keyword argument(s) {unknown}; "
+            f"accepted extras: {sorted(_EMBEDDING_KWARGS + _PRETRAINED_KWARGS)}"
+            " + pre/post + soft_embedding_*"
+        )
+
+
 class TabularFeatures(TabularBlock):
     """Tag-routed input block over continuous + categorical (+ soft/pretrained)."""
 
@@ -43,6 +86,7 @@ class TabularFeatures(TabularBlock):
         continuous_soft_embeddings: bool = False,
         **kwargs,
     ) -> "TabularFeatures":
+        _check_known_kwargs(kwargs)
         maybe_continuous = None
         maybe_categorical = None
 
@@ -64,15 +108,7 @@ class TabularFeatures(TabularBlock):
                 emb_kwargs = {
                     k: v
                     for k, v in kwargs.items()
-                    if k
-                    in (
-                        "embedding_dims",
-                        "embedding_dim_default",
-                        "infer_embedding_sizes",
-                        "infer_embedding_sizes_multiplier",
-                        "embeddings_initializers",
-                        "combiner",
-                    )
+                    if k in _EMBEDDING_KWARGS
                 }
                 maybe_categorical = cls.EMBEDDING_MODULE_CLASS.from_schema(
                     cat_schema, **emb_kwargs
@@ -123,6 +159,14 @@ class TabularFeatures(TabularBlock):
         if self.categorical_module is not None:
             return getattr(self.categorical_module, "item_id", None)
         return None
+
+    @property
+    def padding_idx(self) -> int:
+        """The id marking padding (the embedding layer's convention; 0 by
+        default — sequence.py and Head build pad masks from it)."""
+        if self.categorical_module is not None:
+            return int(getattr(self.categorical_module, "padding_idx", 0))
+        return 0
 
     def item_embedding_table(self) -> jnp.ndarray:
         if self.categorical_module is None:

@@ -136,12 +136,14 @@ def _ensure_min_masking_segments(rng, mask_labels, non_pad, segment_ids):
     seg_len = jax.ops.segment_sum(flat_valid.astype(jnp.int32), key, n_seg)
     seg_masked = jax.ops.segment_sum(flat_mask.astype(jnp.int32), key, n_seg)
 
-    # random per-segment representative: argmax of uniform scores over the
-    # segment's valid positions (matches the reference's uniform choice)
-    scores = jax.random.uniform(rng, (B * S,))
-    scores = jnp.where(flat_valid, scores, -1.0)
-    seg_best = jax.ops.segment_max(scores, key, n_seg)
-    is_rep = flat_valid & (scores == seg_best[key])
+    # random per-segment representative via a random PERMUTATION of integer
+    # ranks — tie-free by construction (f32 uniform scores can collide within
+    # a segment, which would pick TWO representatives and let the unmask step
+    # clear both labels of a fully-masked 2-item segment)
+    ranks = jax.random.permutation(rng, B * S).astype(jnp.int32)
+    ranks = jnp.where(flat_valid, ranks, -1)
+    seg_best = jax.ops.segment_max(ranks, key, n_seg)
+    is_rep = flat_valid & (ranks == seg_best[key])
 
     # ≥1 masked: force the representative where the segment has no label
     needs_mask = (seg_len > 0) & (seg_masked == 0)
@@ -293,9 +295,10 @@ class MaskedLanguageModeling(MaskSequence):
                                segment_ids=None) -> MaskingInfo:
         # session packing: MLM's Bernoulli masking is per-position, so packed
         # training needs no label change — the encoder's block-diagonal
-        # attention restricts each prediction to its own session's context.
-        # (The >=1-masked / >=1-unmasked guarantee holds per ROW, not per
-        # packed segment — a relaxation with negligible effect at p>=0.1.)
+        # attention restricts each prediction to its own session's context,
+        # and the >=1-masked / >=1-unmasked guarantee is enforced PER SEGMENT
+        # (_ensure_min_masking_segments below — the reference's per-session
+        # guarantee applied to every packed session).
         non_pad = item_ids != self.padding_idx
         B, S = item_ids.shape
         if not training and not testing:
@@ -516,11 +519,19 @@ class ReplacementLanguageModeling(MaskedLanguageModeling):
 
     def sample_from_batch_ids(self, rng, item_ids: jnp.ndarray) -> jnp.ndarray:
         """Uniformly sample replacement ids from the batch's non-pad items
-        (implicitly popularity-weighted, like in-batch negatives)."""
+        (implicitly popularity-weighted, like in-batch negatives).
+
+        O(B·S log B·S): uniform draws over the cumulative non-pad count +
+        searchsorted — jax.random.categorical with batched (B·S,)-wide logits
+        would materialize a (B·S, B·S) Gumbel matrix (2.4 GB at B=128,
+        S=192)."""
         B, S = item_ids.shape
         flat = item_ids.reshape(-1)
         non_pad = flat != self.padding_idx
-        # sample flat indices weighted toward non-pad entries
-        logits = jnp.where(non_pad, 0.0, -jnp.inf)
-        idx = jax.random.categorical(rng, logits[None, :], shape=(B * S,))
+        cum = jnp.cumsum(non_pad.astype(jnp.int32))
+        total = jnp.maximum(cum[-1], 1)
+        # k-th non-pad position (1-based k) = first index with cum == k
+        draws = jax.random.randint(rng, (B * S,), 1, total + 1)
+        idx = jnp.searchsorted(cum, draws, side="left")
+        idx = jnp.clip(idx, 0, B * S - 1)
         return flat[idx].reshape(B, S)

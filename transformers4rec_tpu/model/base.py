@@ -182,7 +182,8 @@ class Head(nn.Module):
         pad_mask = None
         item_id = getattr(self.input_module, "item_id", None)
         if item_id is not None and item_id in inputs:
-            pad_mask = inputs[item_id] != 0
+            pad = getattr(self.input_module, "padding_idx", 0)
+            pad_mask = inputs[item_id] != pad
 
         hidden, info = self.body(
             inputs, training=training, testing=testing, pad_mask=pad_mask
