@@ -395,7 +395,12 @@ def test_multiprocess_loaders_yield_equal_batch_counts(tmp_path, ecommerce_schem
             for r in range(GS)
         ]
         lens = [len(ld) for ld in loaders]
-        assert lens[0] == lens[1] == -(-N // (B * GS)), (cls.__name__, lens)
+        # ranks must agree (lockstep); the in-memory loader stripes ROWS so
+        # its count is exactly the global ceil; the streaming loader sizes to
+        # the largest per-rank GROUP shard (>= the global ceil, never drops)
+        assert lens[0] == lens[1] >= -(-N // (B * GS)), (cls.__name__, lens)
+        if cls is ParquetDataLoader:
+            assert lens[0] == -(-N // (B * GS))
         seen = []
         for ld in loaders:
             batches = list(ld)

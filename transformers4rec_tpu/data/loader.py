@@ -82,6 +82,10 @@ def _table_to_columns(table, schema: Schema, max_sequence_length: int,
         if pa.types.is_list(chunked.type) or pa.types.is_large_list(chunked.type):
             flat = np.asarray(chunked.flatten().to_numpy(zero_copy_only=False))
             offsets = np.asarray(chunked.offsets.to_numpy(zero_copy_only=False))
+            # sliced arrays carry a nonzero logical offset: flatten() rebases
+            # the values but .offsets does NOT — align them
+            if len(offsets) and offsets[0] != 0:
+                offsets = offsets - offsets[0]
             if ragged:
                 out[f"{col.name}__values"] = flat
                 out[f"{col.name}__offsets"] = offsets
@@ -90,6 +94,44 @@ def _table_to_columns(table, schema: Schema, max_sequence_length: int,
         else:
             out[col.name] = chunked.to_numpy(zero_copy_only=False)
     return out
+
+
+def _prefetched(iter_fn, prefetch: int) -> Iterator[NDArrayDict]:
+    """Background-thread prefetch that does NOT leak when the consumer stops
+    early: the trainer abandons iterators routinely (next(iter(loader)) shape
+    probes, max_steps/eval mid-epoch breaks), and a producer blocked on
+    q.put with no consumer would pin its thread + buffers for the process
+    lifetime. The producer polls a stop event set by the generator's
+    finally (GeneratorExit on abandonment)."""
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    _END = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def producer():
+        for b in iter_fn():
+            if not _put(b):
+                return
+        _put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
+    finally:
+        stop.set()
 
 
 @dataloader_registry.register("parquet")
@@ -187,6 +229,7 @@ class ParquetDataLoader(T4RecDataLoader):
             seed=seed,
             global_rank=global_rank,
             global_size=global_size,
+            prefetch=kwargs.get("prefetch", 2),
         )
 
     def __len__(self) -> int:
@@ -262,21 +305,7 @@ class ParquetDataLoader(T4RecDataLoader):
         if self.prefetch <= 0:
             yield from self._iter_batches()
             return
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        _END = object()
-
-        def producer():
-            for b in self._iter_batches():
-                q.put(b)
-            q.put(_END)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            yield item
+        yield from _prefetched(self._iter_batches, self.prefetch)
 
 
 @dataloader_registry.register("parquet_streaming")
@@ -331,6 +360,15 @@ class StreamingParquetDataLoader(T4RecDataLoader):
         self.global_rank = global_rank
         self.global_size = global_size
         self.pack = pack
+        if pack and global_size > 1:
+            raise ValueError(
+                "StreamingParquetDataLoader(pack=True) does not support "
+                "multi-process training: per-host packing produces "
+                "nondeterministic per-host batch counts, which would "
+                "desynchronize the cross-process batch collective. Use the "
+                "in-memory ParquetDataLoader(pack=True) (packs globally "
+                "before striping) or stream unpacked."
+            )
         self.buffer_rows = max(buffer_rows, batch_size)
         self.prefetch = prefetch
         self._epoch = 0
@@ -351,9 +389,18 @@ class StreamingParquetDataLoader(T4RecDataLoader):
         if self._stripe_groups:
             self._my_groups = self._groups[global_rank::global_size]
             self.num_rows = sum(g[2] for g in self._my_groups)
+            # every process sees ALL groups' metadata, so all agree on the
+            # largest per-rank shard — the batch count is sized to IT, so no
+            # rank ever drops rows and all ranks stay in collective lockstep
+            # (short ranks pad with weightless zero batches)
+            self._max_local_rows = max(
+                sum(g[2] for g in self._groups[r::global_size])
+                for r in range(global_size)
+            )
         else:
             self._my_groups = list(self._groups)
             self.num_rows = len(range(global_rank, self.total_rows, global_size))
+            self._max_local_rows = -(-self.total_rows // global_size)
 
     @classmethod
     def from_schema(
@@ -384,17 +431,18 @@ class StreamingParquetDataLoader(T4RecDataLoader):
             pack=pack,
             buffer_rows=buffer_rows,
             drop_last=drop_last,
+            prefetch=kwargs.get("prefetch", 2),
         )
 
     def __len__(self) -> int:
         if not self.pack:
-            # process-count-invariant (global rows over the global batch):
-            # every process yields the same batch count, so cross-process
-            # batch assembly never deadlocks on a missing participant
-            gbatch = self.batch_size * self.global_size
+            # process-count-invariant: sized to the LARGEST per-rank shard
+            # (identical on every process — all see all group metadata), so
+            # every rank yields the same batch count (lockstep, no collective
+            # deadlock) and no rank ever drops real rows
             if not self.drop_last:
-                return -(-self.total_rows // gbatch)
-            return max(self.total_rows // gbatch, 1)
+                return -(-self._max_local_rows // self.batch_size)
+            return max(self._max_local_rows // self.batch_size, 1)
         if self._exact_len is not None:
             return self._exact_len
         # estimate from the first buffer's measured pack ratio (sessions/row)
@@ -479,14 +527,28 @@ class StreamingParquetDataLoader(T4RecDataLoader):
             for start in range(0, full, self.batch_size):
                 sel = perm[start : start + self.batch_size]
                 if target is not None and batches_out >= target:
-                    break  # local shard overshoots the global batch count
+                    # local shard overshoots the global batch count: the
+                    # remaining LOCAL rows cannot be yielded without breaking
+                    # cross-process lockstep. Group striping balances group
+                    # counts, not rows — size row groups evenly to avoid this.
+                    import warnings
+
+                    warnings.warn(
+                        f"StreamingParquetDataLoader: dropping {n - start} "
+                        f"surplus local rows to keep the global batch count "
+                        f"({target}) in lockstep across processes; write "
+                        f"more evenly sized row groups to avoid data loss",
+                        stacklevel=2,
+                    )
+                    break
                 batches_out += 1
                 if batches_out > skip:
                     yield {k: v[sel] for k, v in rows.items()}
             if n > full:
                 sel = perm[full:]
                 carry = {k: v[sel] for k, v in rows.items()}
-        if (carry is not None and not self.drop_last
+        if (carry is not None
+                and (not self.drop_last or batches_out == 0)
                 and (target is None or batches_out < target)):
             # zero-fill the final partial batch to full size (static shapes);
             # fill rows are all-padding sessions with zero loss/metric weight
@@ -522,21 +584,7 @@ class StreamingParquetDataLoader(T4RecDataLoader):
         if self.prefetch <= 0:
             yield from self._iter_batches()
             return
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        _END = object()
-
-        def producer():
-            for b in self._iter_batches():
-                q.put(b)
-            q.put(_END)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            yield item
+        yield from _prefetched(self._iter_batches, self.prefetch)
 
 
 def _n_rows(cols: NDArrayDict, ragged: bool) -> int:
@@ -627,4 +675,5 @@ class SyntheticDataLoader(ParquetDataLoader):
             seed=seed,
             global_rank=global_rank,
             global_size=global_size,
+            prefetch=kwargs.get("prefetch", 2),
         )

@@ -62,7 +62,7 @@ def pack_sessions(
     sequential (a scalar per-session feature cannot share a packed row).
     Sessions shorter than ``min_session_len`` are dropped (they carry no
     next-item signal). ``num_rows`` pads/truncates the packed batch to a
-    static row count (wrap-around fill) for fixed-shape training.
+    static row count (all-zero weightless fill rows) for fixed shapes.
     """
     feature_names = sorted(
         {k.removesuffix("__values") for k in data if k.endswith("__values")}
@@ -79,8 +79,21 @@ def pack_sessions(
                 f"{item_id_col!r} — packing requires aligned sequence features"
             )
 
+    for name in feature_names:
+        if f"{name}__values" not in data and np.asarray(data[name]).ndim < 2:
+            raise ValueError(
+                f"feature {name!r} is a scalar per-session column — every "
+                f"packed feature must be sequential (drop scalar columns "
+                f"before packing)"
+            )
     full_lengths = lengths
     keep = np.nonzero(full_lengths >= min_session_len)[0]
+    if len(keep) == 0:
+        raise ValueError(
+            f"no sessions with length >= min_session_len ({min_session_len}) "
+            f"to pack (max session length in data: "
+            f"{int(full_lengths.max()) if len(full_lengths) else 0})"
+        )
     lengths = np.minimum(full_lengths[keep], max_len)
     per_feature = {}
     for name in feature_names:
@@ -137,8 +150,16 @@ def pack_sessions(
         if B >= num_rows:
             out = {k: v[:num_rows] for k, v in out.items()}
         else:
-            reps = -(-num_rows // B)
-            out = {k: np.concatenate([v] * reps)[:num_rows] for k, v in out.items()}
+            # ZERO-fill (all-padding rows carry no loss/metric weight) — a
+            # wrap-around duplicate fill would double-count the repeated
+            # sessions, the same defect the loaders' tail batches had
+            pad_n = num_rows - B
+            out = {
+                k: np.concatenate(
+                    [v, np.zeros((pad_n, *v.shape[1:]), dtype=v.dtype)]
+                )
+                for k, v in out.items()
+            }
     return out
 
 

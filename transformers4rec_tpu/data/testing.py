@@ -129,14 +129,23 @@ class TestingDataset(ParquetDataset):
                 max_session_length=self._schema.sequence_length(default=20),
                 seed=self._seed,
             )
+            # ONE session-length vector (from the item-id / first integer
+            # sequence column) applied to EVERY list column — per-column
+            # lengths would misalign float features from item_id and break
+            # the aligned-sequence convention (pack_sessions validates it)
+            lengths = None
+            for col in self._schema:
+                arr = data[col.name]
+                if arr.ndim == 2 and np.issubdtype(arr.dtype, np.integer):
+                    lengths = (arr != 0).sum(axis=1)
+                    break
             frame = {}
             for col in self._schema:
                 arr = data[col.name]
                 if arr.ndim == 2:
-                    lengths = (arr != 0).sum(axis=1) if np.issubdtype(
-                        arr.dtype, np.integer) else np.full(len(arr), arr.shape[1])
+                    n_rows = np.full(len(arr), arr.shape[1]) if lengths is None else lengths
                     frame[col.name] = [
-                        list(row[: max(int(n), 2)]) for row, n in zip(arr, lengths)
+                        list(row[: max(int(n), 2)]) for row, n in zip(arr, n_rows)
                     ]
                 else:
                     frame[col.name] = arr

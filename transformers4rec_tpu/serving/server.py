@@ -81,8 +81,10 @@ class DynamicBatcher:
 
     # ------------------------------------------------------------------ worker
     def _run(self):
+        carry = None  # peeked request that would have overflowed the cap
         while not self._stop.is_set():
-            item = self._q.get()
+            item = carry if carry is not None else self._q.get()
+            carry = None
             if item is None:
                 break
             pending = [item]
@@ -99,8 +101,16 @@ class DynamicBatcher:
                 if nxt is None:
                     self._stop.set()
                     break
+                n_next = nxt[0][next(iter(nxt[0]))].shape[0]
+                if rows + n_next > self.max_batch_size:
+                    # coalescing past the cap would fail every request in the
+                    # merge on a fixed-shape artifact (and compile unbucketed
+                    # shapes on a polymorphic one) — seed the NEXT batch with
+                    # it instead
+                    carry = nxt
+                    break
                 pending.append(nxt)
-                rows += nxt[0][next(iter(nxt[0]))].shape[0]
+                rows += n_next
             self._execute(pending)
 
     def _execute(self, pending):
