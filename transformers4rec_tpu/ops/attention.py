@@ -17,8 +17,11 @@ The backward pass is a SINGLE-PASS fused Pallas kernel (one logits recompute
 → dq/dk/dv, dq accumulated in a full-Sq VMEM scratch under an 8MB cap) and is
 the live path whenever the forward kernel engages (``FUSED_BWD_MIN_SEQ = 0``:
 measured 2.20 vs 2.24 ms at S=1024 and 23.0 vs 351.9 ms at S=8192 against the
-older split dq/dkv pair, which remains only as the >cap fallback). Numerics
-are validated against jax.vjp of ``reference_attention`` in tests.
+older split dq/dkv pair, which remains only as the >cap fallback). Exception:
+``bias_grad=True`` (a LEARNED bias, e.g. relative-position tables) reroutes
+the whole backward through an XLA-remat vjp — the fused kernels cannot emit a
+bias cotangent, and silently zeroing it would freeze the bias parameters.
+Numerics are validated against jax.vjp of ``reference_attention`` in tests.
 
 Dispatch policy: sessions in this domain are short (S≈20 — SURVEY.md §5), where
 XLA's fused attention is already optimal; the kernel engages at S ≥ 128.
