@@ -842,3 +842,19 @@ def test_eval_predict_tail_protocol(tmp_path, ecommerce_schema, engine):
     trainer.train_dataset = str(p)
     tl = trainer.get_train_dataloader()
     assert len(tl) == 72 // (8 * 8)  # train batch 64 → tail dropped
+
+
+def test_best_metric_bare_name_resolves_to_task_key(tmp_path, ecommerce_schema):
+    """metric_for_best_model='recall_at_10' (the HF-style bare name) must
+    resolve to the task-prefixed 'eval_/next-item/recall_at_10' key — it
+    previously matched nothing and best tracking silently no-opped."""
+    trainer = _make_trainer(
+        tmp_path, ecommerce_schema,
+        load_best_model_at_end=True,
+        metric_for_best_model="recall_at_10",
+        greater_is_better=True,
+        eval_steps=4, save_steps=4, max_steps=8,
+    )
+    trainer.train()
+    assert getattr(trainer, "_best_checkpoint", None) is not None
+    assert getattr(trainer, "_best_metric", None) is not None

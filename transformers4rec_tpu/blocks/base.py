@@ -66,6 +66,19 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, inputs, training: bool = False, **kwargs):
+        # forward the train/eval switch when the wrapped callable takes it
+        # (a dropout-bearing module called without it would misbehave)
+        try:
+            import inspect
+
+            params = inspect.signature(self.module.__call__).parameters
+            if "training" in params or any(
+                p.kind is inspect.Parameter.VAR_KEYWORD
+                for p in params.values()
+            ):
+                return self.module(inputs, training=training)
+        except (TypeError, ValueError):
+            pass
         return self.module(inputs)
 
 
@@ -154,6 +167,10 @@ class TransformerBlock(nn.Module):
 
     def output_size(self) -> int:
         t = self.transformer
+        if isinstance(t, str):
+            # same default build _resolve applies — a bare 0 here would make
+            # SequentialBlock.output_size fall through to an EARLIER block
+            t = transformer_registry.parse(t).build(64, 4, 2, 20)
         if isinstance(t, T4RecConfig):
             return t.d_model
         return getattr(t, "d_model", 0)

@@ -186,10 +186,15 @@ class Trainer:
             raise ValueError("Trainer: evaluation requires an eval_dataset")
         # pack_eval_sessions (opt-in): per-segment last-item targets give
         # EXACTLY the unpacked metric sums at ~1.7-1.8x fewer rows/pass
-        return self._make_loader(
+        loader = self._make_loader(
             ds, self.args.eval_batch_size, shuffle=False,
             pack=self.args.pack_eval_sessions,
         )
+        if eval_dataset is None:
+            # cache: periodic mid-train evaluation would otherwise re-read
+            # and re-materialize the whole eval dataset every eval_steps
+            self._eval_dataloader = loader
+        return loader
 
     def _has_eval_data(self) -> bool:
         return (
@@ -322,43 +327,10 @@ class Trainer:
             )
 
     # ------------------------------------------------------------------ steps
-    def _build_train_step(self):
-        model, tx = self.model, self._tx
-
-        def train_step(state: TrainState, batch):
-            rng, new_rng = jax.random.split(state.rng)
-            r = {
-                "masking": jax.random.fold_in(rng, 0),
-                "dropout": jax.random.fold_in(rng, 1),
-                "sampling": jax.random.fold_in(rng, 2),
-                # train-time augmentations (StochasticSwapNoise)
-                "augment": jax.random.fold_in(rng, 3),
-            }
-
-            def loss_fn(params):
-                loss, _ = model.apply(
-                    params, batch, targets=batch, training=True,
-                    compute_metrics=False, rngs=r,
-                )
-                return loss
-
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            updates, opt_state = tx.update(grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
-            return (
-                TrainState(params=params, opt_state=opt_state,
-                           step=state.step + 1, rng=new_rng),
-                loss,
-            )
-
-        return jax.jit(train_step, donate_argnums=(0,))
-
-    def _build_train_step_multi(self):
-        """K optimizer steps per dispatch: lax.scan of the single step over
-        (K, B, ...) stacked batches (steps_per_execution>1). Same per-step
-        RNG chain as single-step execution → bit-identical trajectories;
-        amortizes per-dispatch overhead (measured +28% throughput at K=8 on
-        the REES46 bench config). Returns (state, (K,) losses)."""
+    def _make_one_train_step(self):
+        """The single optimizer step — shared by the K=1 jit and the
+        lax.scan K-packing so the two stay bit-identical (the equivalence is
+        pinned by test; a divergence here would silently break it)."""
         model, tx = self.model, self._tx
 
         def one_step(state: TrainState, batch):
@@ -387,6 +359,19 @@ class Trainer:
                 loss,
             )
 
+        return one_step
+
+    def _build_train_step(self):
+        return jax.jit(self._make_one_train_step(), donate_argnums=(0,))
+
+    def _build_train_step_multi(self):
+        """K optimizer steps per dispatch: lax.scan of the single step over
+        (K, B, ...) stacked batches (steps_per_execution>1). Same per-step
+        RNG chain as single-step execution → bit-identical trajectories;
+        amortizes per-dispatch overhead (measured +28% throughput at K=8 on
+        the REES46 bench config). Returns (state, (K,) losses)."""
+        one_step = self._make_one_train_step()
+
         def train_step_multi(state: TrainState, stacked_batches):
             return jax.lax.scan(one_step, state, stacked_batches)
 
@@ -397,33 +382,12 @@ class Trainer:
 
         return combine_task_losses(self.model, task_means)
 
-    def _build_eval_step(self, compute_metrics: bool):
+    def _make_eval_one(self, compute_metrics: bool):
+        """Single eval batch → (task-loss state, metric states) — shared by
+        the unpacked jit and the K-packed scan so they cannot diverge."""
         from ..model.base import task_loss_state
 
         model = self.model
-
-        def eval_step(params, batch):
-            _, outs = model.apply(
-                params, batch, targets=batch, testing=True,
-                compute_metrics=compute_metrics,
-            )
-            metrics = {}
-            for task_name, out in outs.items():
-                if out.metrics:
-                    for k, v in out.metrics.items():
-                        metrics[f"{task_name}/{k}"] = v
-            return task_loss_state(outs), metrics
-
-        return jax.jit(eval_step, static_argnames=())
-
-    def _build_eval_step_multi(self, compute_metrics: bool):
-        """K eval batches per dispatch: scan the eval step and merge the
-        (sum, count) metric states on device — the unpacked loop pays ~a
-        dozen tiny dispatched accumulation ops per batch on top of the step
-        dispatch itself. Returns (summed_loss, merged_metric_state, K)."""
-        model = self.model
-
-        from ..model.base import merge_loss_state, task_loss_state
 
         def eval_one(params, batch):
             _, outs = model.apply(
@@ -436,6 +400,20 @@ class Trainer:
                     for k, v in out.metrics.items():
                         metrics[f"{task_name}/{k}"] = v
             return task_loss_state(outs), metrics
+
+        return eval_one
+
+    def _build_eval_step(self, compute_metrics: bool):
+        return jax.jit(self._make_eval_one(compute_metrics))
+
+    def _build_eval_step_multi(self, compute_metrics: bool):
+        """K eval batches per dispatch: scan the eval step and merge the
+        (sum, count) metric states on device — the unpacked loop pays ~a
+        dozen tiny dispatched accumulation ops per batch on top of the step
+        dispatch itself. Returns (summed_loss, merged_metric_state, K)."""
+        from ..model.base import merge_loss_state
+
+        eval_one = self._make_eval_one(compute_metrics)
 
         def eval_multi(params, stacked):
             first = jax.tree.map(lambda x: x[0], stacked)
@@ -511,6 +489,7 @@ class Trainer:
             except ImportError:
                 pass
         losses = []
+        loss_acc = [jnp.zeros(()), 0]  # (device loss sum, step count)
         step_in_run = 0
         epochs = math.inf if a.max_steps > 0 else a.num_train_epochs
         done = num_steps <= 0  # resume may find the run already complete
@@ -522,7 +501,10 @@ class Trainer:
         # (incremental window) starts its loader from the top.
         pos = self._resume_position
         self._resume_position = None
-        if pos and pos[1] > 0 and hasattr(loader, "set_state"):
+        if pos and (pos[0] > 0 or pos[1] > 0) and hasattr(loader, "set_state"):
+            # batches_in_epoch may be 0 at an epoch boundary — the shuffle
+            # EPOCH must still be restored or the resumed run replays
+            # already-consumed epochs' data order
             loader.set_state(*pos)
         else:
             self.state.batches_in_epoch = 0
@@ -532,6 +514,7 @@ class Trainer:
             # so read it rather than counting locally
             self.state.loader_epoch = getattr(loader, "_epoch", self.state.loader_epoch)
             pending: List[Dict[str, Any]] = []
+            epoch_batches = 0
 
             def dispatch(group):
                 """Run a group of batches: one multi-step dispatch if the
@@ -552,12 +535,24 @@ class Trainer:
                         self._train_state, sb
                     )
                     step_losses = [loss]
+                # device-side running sum → exact MEAN train loss over the
+                # run (HF reports the average, not a last-step sample)
+                loss_acc[0] = loss_acc[0] + (
+                    step_losses.sum() if hasattr(step_losses, "sum")
+                    else step_losses[0]
+                )
+                loss_acc[1] += len(group)
                 for i, b in enumerate(group):
                     step_in_run += 1
                     self.state.global_step = self.state.past_global_steps + step_in_run
                     self.state.batches_in_epoch += 1
-                    n_examples += next(iter(b.values())).shape[0]
-                    if step_in_run % a.logging_steps == 0 or step_in_run == num_steps:
+                    # batches are per-process shards; report GLOBAL examples
+                    n_examples += (
+                        next(iter(b.values())).shape[0] * jax.process_count()
+                    )
+                    if (a.logging_steps
+                            and step_in_run % a.logging_steps == 0) \
+                            or step_in_run == num_steps:
                         l = float(step_losses[i])
                         losses.append(l)
                         self.state.log_history.append(
@@ -584,6 +579,7 @@ class Trainer:
                     done = True
 
             for batch in loader:
+                epoch_batches += 1
                 if profile_range and step_in_run == profile_range[0]:
                     jax.profiler.start_trace(
                         a.profile_dir or os.path.join(a.output_dir, "profile")
@@ -621,6 +617,11 @@ class Trainer:
                         dispatch([b])
                 pending = []
                 self.state.batches_in_epoch = 0
+            if epoch_batches == 0 and not done:
+                raise ValueError(
+                    "train dataloader yielded no batches — with max_steps>0 "
+                    "this would loop forever; check the train dataset"
+                )
             epoch += 1
             self.state.epoch = epoch
 
@@ -645,7 +646,10 @@ class Trainer:
                 )
         runtime = time.time() - start
         metrics = {
-            "train_loss": losses[-1] if losses else float("nan"),
+            "train_loss": (
+                float(loss_acc[0]) / loss_acc[1] if loss_acc[1]
+                else float("nan")
+            ),
             "train_runtime": runtime,
             "train_samples_per_second": n_examples / max(runtime, 1e-9),
             "train_steps": step_in_run,
@@ -916,7 +920,18 @@ class Trainer:
         if key not in metrics and not key.startswith("eval_"):
             key = f"eval_{key}"
         if key not in metrics:
-            return
+            # HF-style bare names ('recall_at_10') vs this framework's
+            # task-prefixed keys ('eval_/next-item/recall_at_10'): resolve a
+            # UNIQUE suffix match so the natural name works
+            suffix = a.metric_for_best_model.lstrip("/")
+            cands = [k for k in metrics if k.endswith(f"/{suffix}")]
+            if len(cands) == 1:
+                key = cands[0]
+            else:
+                raise ValueError(
+                    f"metric_for_best_model={a.metric_for_best_model!r} does "
+                    f"not match any eval metric; available: {sorted(metrics)}"
+                )
         value = float(metrics[key])
         greater = a.greater_is_better
         if greater is None:
