@@ -181,19 +181,33 @@ class Trainer:
     def get_eval_dataloader(self, eval_dataset=None):
         ds = eval_dataset if eval_dataset is not None else self.eval_dataset
         if self._eval_dataloader is not None and eval_dataset is None:
-            return self._eval_dataloader
+            cfg = (
+                self.args.pack_eval_sessions, self.args.eval_batch_size,
+                self.args.max_sequence_length, self.args.data_loader_engine,
+                self.args.dataloader_drop_last,
+            )
+            if getattr(self, "_eval_loader_cfg", cfg) == cfg:
+                return self._eval_dataloader
         if ds is None and self.args.data_loader_engine != "synthetic":
             raise ValueError("Trainer: evaluation requires an eval_dataset")
         # pack_eval_sessions (opt-in): per-segment last-item targets give
         # EXACTLY the unpacked metric sums at ~1.7-1.8x fewer rows/pass
+        cfg = (
+            self.args.pack_eval_sessions, self.args.eval_batch_size,
+            self.args.max_sequence_length, self.args.data_loader_engine,
+            self.args.dataloader_drop_last,
+        )
         loader = self._make_loader(
             ds, self.args.eval_batch_size, shuffle=False,
             pack=self.args.pack_eval_sessions,
         )
         if eval_dataset is None:
             # cache: periodic mid-train evaluation would otherwise re-read
-            # and re-materialize the whole eval dataset every eval_steps
+            # and re-materialize the whole eval dataset every eval_steps;
+            # keyed by the loader-shaping args so a mid-run flip (e.g.
+            # pack_eval_sessions) rebuilds instead of serving a stale loader
             self._eval_dataloader = loader
+            self._eval_loader_cfg = cfg
         return loader
 
     def _has_eval_data(self) -> bool:
