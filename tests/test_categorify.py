@@ -354,3 +354,26 @@ def test_paper_cli_categorify_flag(tmp_path):
     train = pd.read_parquet(win / "1" / "train.parquet")
     vals = np.concatenate(train["item_id"].to_numpy())
     assert vals.max() < CATEGORIFY_START_INDEX + 100
+
+
+def test_runner_single_raw_session_pads(categorified_artifact):
+    """A SINGLE raw session (and any uniform-length batch) shorter than the
+    artifact's max_len must pad to the exported shape — the categories encode
+    path previously collapsed uniform-length batches to a dense (N, L) array
+    that bypassed _densify's padding and failed at inference."""
+    from transformers4rec_tpu.serving import load_runner
+
+    path, maps, schema, model, params, batch = categorified_artifact
+    runner = load_runner(path)
+    raw_vocab = maps["item_id"]
+
+    one = [list(raw_vocab[[0, 3, 5]])]  # one session, len 3 < max_len
+    scores, ids = runner.predict({"item_id": one})
+    assert scores.shape[0] == 1 and ids.shape[0] == 1
+
+    # uniform-length multi-session batch (every row len 3)
+    uniform = [list(raw_vocab[[0, 3, 5]]), list(raw_vocab[[2, 4, 6]])]
+    scores2, ids2 = runner.predict({"item_id": uniform})
+    assert scores2.shape[0] == 2
+    # row 0 must match the single-session result (same session, same pad)
+    np.testing.assert_allclose(scores2[0], scores[0], rtol=1e-5, atol=1e-5)

@@ -352,18 +352,22 @@ class NextItemPredictionTask(PredictionTask):
         return x
 
     def _sampled_logits(self, rng, x2d, labels, weights_table):
-        """Sampled-softmax logits + zero labels (reference sampled() :673-696)."""
+        """Sampled-softmax logits + zero labels (reference sampled() :673-696).
+        ``softmax_temperature`` is applied to the RAW scores here — dividing
+        the returned logits would scale the logQ correction by 1/temp and
+        bias the estimator toward popular items at any temp != 1."""
         sampler = LogUniformSampler(
             self.max_n_samples,
             self.target_dim or weights_table.shape[0],
             self.min_id,
         )
+        temp = self.softmax_temperature or 1.0
         neg_ids = sampler.sample(rng)  # (n,)
         pos_w = weights_table[labels]  # (N, E)
         neg_w = weights_table[neg_ids]  # (n, E)
-        pos_scores = (x2d * pos_w).sum(-1, keepdims=True)
+        pos_scores = (x2d * pos_w).sum(-1, keepdims=True) / temp
         neg_scores = jnp.einsum("ne,se->ns", x2d, neg_w,
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32) / temp
         # logQ correction
         eps = 1e-16
         pos_scores = pos_scores - jnp.log(sampler.expected_probs(labels) + eps)[:, None]
@@ -409,8 +413,9 @@ class NextItemPredictionTask(PredictionTask):
                 N = targets.shape[0] * targets.shape[1]
                 x2d = x.reshape(N, -1)
                 labels = targets.reshape(N).astype(jnp.int32)
+                # temperature applied inside _sampled_logits (raw scores
+                # only — the logQ correction must not be tempered)
                 logits, zero_labels = self._sampled_logits(rng, x2d, labels, W)
-                logits = logits / temp
                 loss = cross_entropy_with_logits(
                     logits, zero_labels, weights=mask.reshape(N),
                     label_smoothing=self.label_smoothing,

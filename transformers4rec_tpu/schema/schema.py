@@ -334,11 +334,16 @@ class Schema:
     # ------------------------------------------------------------------ pbtxt
     @classmethod
     def from_proto_text(cls, path_or_text: str) -> "Schema":
+        import os
+
         text = path_or_text
         if "\n" not in path_or_text and (
-            path_or_text.endswith(".pbtxt") or path_or_text.endswith(".pb_txt")
-            or path_or_text.endswith(".txt")
+            os.path.exists(path_or_text)
+            or path_or_text.endswith((".pbtxt", ".pb_txt", ".txt"))
         ):
+            # a path (any extension) — not inline proto text; a nonexistent
+            # path with a schema-ish extension gets a clean file error
+            # instead of a baffling tokenizer error
             with open(path_or_text) as f:
                 text = f.read()
         return _parse_proto_text(cls, text)
@@ -429,9 +434,13 @@ def _parse_message(tokens, i):
             raise ValueError(f"Expected field name, got {value!r}")
         field = value
         i += 1
+        if i >= len(tokens):
+            raise ValueError(f"Truncated proto text after field {field!r}")
         kind2, value2 = tokens[i]
         if kind2 == "colon":
             i += 1
+            if i >= len(tokens):
+                raise ValueError(f"Truncated proto text after {field!r}:")
             kind2, value2 = tokens[i]
             if kind2 == "string":
                 val = json.loads(value2)
@@ -500,6 +509,14 @@ def _column_from_msg(feat: dict) -> ColumnSchema:
         col.tags = [str(t) for t in _as_list(ann.get("tag"))]
         extra = ann.get("extra_metadata") or ann.get("extraMetadata")
         if extra:
+            if isinstance(extra, str):
+                # the pbtxt emitter stores the dict as a JSON string —
+                # decode so round-trips are lossless (not double-wrapped)
+                try:
+                    decoded = json.loads(extra)
+                    extra = decoded if isinstance(decoded, dict) else extra
+                except (ValueError, TypeError):
+                    pass
             col.extra_metadata = extra if isinstance(extra, dict) else {"raw": extra}
     return col
 
@@ -542,10 +559,16 @@ def _emit_proto_text(schema: Schema) -> str:
             lines.append(f"    min: {c.float_domain.min}")
             lines.append(f"    max: {c.float_domain.max}")
             lines.append("  }")
-        if c.tags:
+        if c.tags or c.extra_metadata:
             lines.append("  annotation {")
             for t in c.tags:
                 lines.append(f'    tag: "{t}"')
+            if c.extra_metadata:
+                # round-trip annotation.extra_metadata as a JSON string —
+                # silently dropping it would strip properties a downstream
+                # Merlin consumer may rely on
+                payload = json.dumps(c.extra_metadata, sort_keys=True)
+                lines.append(f'    extra_metadata: {json.dumps(payload)}')
             lines.append("  }")
         lines.append("}")
         lines.append("")
@@ -580,8 +603,13 @@ def _schema_to_json_dict(schema: Schema) -> dict:
                 "min": c.float_domain.min,
                 "max": c.float_domain.max,
             }
-        if c.tags:
-            f["annotation"] = {"tag": list(c.tags)}
+        if c.tags or c.extra_metadata:
+            ann: Dict[str, object] = {}
+            if c.tags:
+                ann["tag"] = list(c.tags)
+            if c.extra_metadata:
+                ann["extra_metadata"] = dict(c.extra_metadata)
+            f["annotation"] = ann
         feats.append(f)
     return {"feature": feats}
 

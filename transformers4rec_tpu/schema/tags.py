@@ -45,10 +45,6 @@ class Tags(str, enum.Enum):
         return self.value
 
 
-# Aliases the reference treats as equivalent when matching the item-id column
-# (reference: merlin_standard_lib/schema/schema.py:387-393 matches Tags.ITEM_ID).
-ITEM_ID_TAGS = (Tags.ITEM_ID.value, "item_id")
-
 
 def normalize_tag(tag) -> str:
     """Accept Tags enums, strings, or Merlin-style enum reprs and return the string value."""

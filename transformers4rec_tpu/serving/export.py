@@ -110,7 +110,7 @@ def export_model(
     with open(os.path.join(path, "metadata.json"), "w") as f:
         json.dump(
             {
-                "top_k": top_k,
+                "top_k": top_k or model.top_k,
                 "features": {k: list(np.asarray(v).shape[1:]) for k, v in example.items()},
                 "dtypes": {k: str(np.asarray(v).dtype) for k, v in example.items()},
                 "batch_polymorphic": batch_polymorphic,
@@ -194,7 +194,12 @@ class InferenceRunner:
         codes = self._codes[name]
         if isinstance(v, (list, tuple)) and len(v) and isinstance(
             v[0], (list, tuple, np.ndarray)
-        ) and len({len(r) for r in v}) > 1:
+        ):
+            # keep list-of-sessions RAGGED (even when all lengths match):
+            # a uniform-length batch collapsed to a dense (N, L) array here
+            # would bypass _densify's pad-to-max_len and fail at inference
+            # for any L != the artifact length — including the most common
+            # request shape, a single session
             return [encode_with_categories(r, codes) for r in v]
         return encode_with_categories(v, codes)
 
@@ -228,11 +233,19 @@ class InferenceRunner:
                 max_len = feat_shape[0]
                 values = np.concatenate(
                     [np.asarray(r, dtype=dtype) for r in v]
-                ) if v else np.zeros(0, dtype=dtype)
+                )
                 offsets = np.zeros(len(v) + 1, np.int64)
                 np.cumsum([len(r) for r in v], out=offsets[1:])
                 return pad_ragged(values, offsets, max_len)
-        return np.asarray(v, dtype=dtype)
+        arr = np.asarray(v, dtype=dtype)
+        if feat_shape and arr.ndim == 2 and arr.shape[1] != feat_shape[0]:
+            # dense batch at the wrong session length: same keep-first /
+            # right-pad-0 rule as the ragged path
+            L = feat_shape[0]
+            arr = arr[:, :L] if arr.shape[1] >= L else np.pad(
+                arr, ((0, 0), (0, L - arr.shape[1]))
+            )
+        return arr
 
 
 def load_runner(path: str) -> InferenceRunner:
