@@ -858,3 +858,33 @@ def test_best_metric_bare_name_resolves_to_task_key(tmp_path, ecommerce_schema):
     trainer.train()
     assert getattr(trainer, "_best_checkpoint", None) is not None
     assert getattr(trainer, "_best_metric", None) is not None
+
+
+def test_eval_dataset_reassignment_invalidates_cached_loader(tmp_path, ecommerce_schema):
+    """The incremental-window protocol reassigns trainer.eval_dataset between
+    windows (utils.fit_and_evaluate); the eval-loader cache must rebuild for
+    the new dataset — a stale loader would score every window on window 1's
+    data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from transformers4rec_tpu.data.synthetic import synthetic_data
+
+    paths = []
+    for i, seed in enumerate((0, 1)):
+        rows = synthetic_data(ecommerce_schema, num_rows=32,
+                              max_session_length=20, seed=seed)
+        p = tmp_path / f"w{i}.parquet"
+        pq.write_table(pa.table({k: list(v) for k, v in rows.items()}), p)
+        paths.append(str(p))
+
+    trainer = _make_trainer(tmp_path, ecommerce_schema,
+                            data_loader_engine="parquet")
+    trainer.eval_dataset = paths[0]
+    r0 = trainer.evaluate()
+    first_loader = trainer._eval_dataloader
+    trainer.eval_dataset = paths[1]
+    r1 = trainer.evaluate()
+    assert trainer._eval_dataloader is not first_loader
+    # different data -> different loss (same params, deterministic eval)
+    assert r0["eval_loss"] != r1["eval_loss"]

@@ -93,8 +93,16 @@ def default_sharding_rules(min_rows_to_shard: int = 16384) -> List[ShardingRule]
 
     The row threshold keeps small tables (category vocab ~100s) replicated —
     sharding them would cost more in collectives than it saves in HBM.
+    NOTE: the threshold is enforced by ``param_shardings`` — pass it THERE
+    (``param_shardings(..., min_rows_to_shard=N)``); this signature keeps the
+    parameter only for call-compat and raises if a non-default value is
+    passed here, where it could not take effect.
     """
-    del min_rows_to_shard  # bound at call time in param_shardings
+    if min_rows_to_shard != 16384:
+        raise ValueError(
+            "default_sharding_rules cannot apply min_rows_to_shard — pass it "
+            "to param_shardings(..., min_rows_to_shard=...) instead"
+        )
     return [
         (r".*_table$", lambda ndim: P("model", *([None] * (ndim - 1)))),
     ]

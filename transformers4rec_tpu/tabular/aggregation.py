@@ -46,6 +46,11 @@ class StackFeatures(TabularAggregation):
         sizes = set(input_sizes.values())
         if len(sizes) != 1:
             raise ValueError(f"stack requires equal dims, got {input_sizes}")
+        # the default axis=-1 stacks features into a NEW last axis, so the
+        # output's trailing dim is the FEATURE COUNT (reference
+        # forward_output_size semantics), not the shared per-feature dim
+        if self.axis in (-1, None):
+            return len(input_sizes)
         return next(iter(sizes))
 
 

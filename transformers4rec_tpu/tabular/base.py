@@ -156,11 +156,28 @@ class TabularBlock(nn.Module):
         if pre is not None:
             inputs = pre(inputs, training=training, pad_mask=pad_mask)
 
-        outputs = self.compute(inputs, training=training)
+        # pad-mask-aware compute(): subclasses that declare a pad_mask
+        # parameter (MergeTabular threads it to children) receive it
+        import inspect
+
+        if "pad_mask" in inspect.signature(self.compute).parameters:
+            outputs = self.compute(inputs, training=training, pad_mask=pad_mask)
+        else:
+            outputs = self.compute(inputs, training=training)
 
         if merge_with is not None:
+            # copy before merging: the default compute() returns `inputs` by
+            # identity, and update() would mutate the CALLER's dict
+            outputs = dict(outputs)
             for block in merge_with if isinstance(merge_with, list) else [merge_with]:
-                outputs.update(block(inputs, training=training, pad_mask=pad_mask))
+                merged = block(inputs, training=training, pad_mask=pad_mask)
+                if not isinstance(merged, dict):
+                    raise ValueError(
+                        f"merge_with block {block!r} returned an aggregated "
+                        f"array — merged blocks must return TabularData "
+                        f"(unset their aggregation)"
+                    )
+                outputs.update(merged)
 
         post = parse_transformation(self.post)
         if post is not None:
@@ -178,10 +195,13 @@ class MergeTabular(TabularBlock):
 
     to_merge: Sequence[TabularBlock] = ()
 
-    def compute(self, inputs: TabularData, training: bool = False) -> TabularData:
+    def compute(self, inputs: TabularData, training: bool = False,
+                pad_mask=None) -> TabularData:
+        # children get the pad_mask too — their pre/post transformations
+        # (e.g. StochasticSwapNoise) need it
         out: TabularData = {}
         for block in self.to_merge:
-            out.update(block(inputs, training=training))
+            out.update(block(inputs, training=training, pad_mask=pad_mask))
         return out
 
     def feature_sizes(self) -> Dict[str, int]:

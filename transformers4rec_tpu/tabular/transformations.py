@@ -39,18 +39,20 @@ class StochasticSwapNoise(TabularTransformation):
         out: TabularData = {}
         for key, val in inputs.items():
             rng, k1, k2, k3 = jax.random.split(rng, 4)
-            mask = pad_mask
-            if mask is not None and val.ndim == mask.ndim + 1:
-                # embeddings (B,S,D): swap whole positions
-                mask_e = mask[..., None]
+            # per-feature validity: the shared pad_mask when its shape
+            # matches this feature's leading dims; otherwise derive from
+            # pad_token like the reference (a (B, D) context feature must
+            # NOT be broadcast against a (B, S) session mask, and with no
+            # mask at all pad positions must never be swap sources/targets)
+            if pad_mask is not None and val.shape[: pad_mask.ndim] == pad_mask.shape:
+                mask = pad_mask
+            elif val.ndim == 3:
+                mask = (val != self.pad_token).any(axis=-1)
             else:
-                mask_e = mask
+                mask = val != self.pad_token
             flat = val.reshape(-1, val.shape[-1]) if val.ndim == 3 else val.reshape(-1)
             n = flat.shape[0]
-            if mask is not None:
-                mflat = jnp.broadcast_to(mask, val.shape[:mask.ndim]).reshape(-1)
-            else:
-                mflat = jnp.ones((n,), dtype=bool)
+            mflat = mask.reshape(-1)
             # sample a random source among non-pad elements via Gumbel-max over the mask
             gumbel = jax.random.gumbel(k1, (n,))
             # one shared random ranking; per-target offsets decorrelate picks
@@ -60,13 +62,10 @@ class StochasticSwapNoise(TabularTransformation):
             pick = jax.random.randint(k2, (n,), 0, n) % num_valid
             src = order[pick]
             replaced = flat[src].reshape(val.shape)
-            swap = jax.random.bernoulli(k3, self.replacement_prob, val.shape[: mask.ndim] if mask is not None else val.shape)
-            if mask is not None:
-                swap = swap & mask
-                if val.ndim == mask.ndim + 1:
-                    swap = swap[..., None]
-            elif val.ndim == 3:
-                swap = swap[..., :1] if swap.ndim == 3 else swap
+            swap = jax.random.bernoulli(k3, self.replacement_prob, mask.shape)
+            swap = swap & mask
+            if val.ndim == mask.ndim + 1:
+                swap = swap[..., None]
             out[key] = jnp.where(swap, replaced, val)
         return out
 

@@ -184,7 +184,7 @@ class Trainer:
             cfg = (
                 self.args.pack_eval_sessions, self.args.eval_batch_size,
                 self.args.max_sequence_length, self.args.data_loader_engine,
-                self.args.dataloader_drop_last,
+                self.args.dataloader_drop_last, repr(self.eval_dataset),
             )
             if getattr(self, "_eval_loader_cfg", cfg) == cfg:
                 return self._eval_dataloader
@@ -192,10 +192,12 @@ class Trainer:
             raise ValueError("Trainer: evaluation requires an eval_dataset")
         # pack_eval_sessions (opt-in): per-segment last-item targets give
         # EXACTLY the unpacked metric sums at ~1.7-1.8x fewer rows/pass
+        # keyed by dataset identity too: the incremental-window protocol
+        # reassigns trainer.eval_dataset between windows (fit_and_evaluate)
         cfg = (
             self.args.pack_eval_sessions, self.args.eval_batch_size,
             self.args.max_sequence_length, self.args.data_loader_engine,
-            self.args.dataloader_drop_last,
+            self.args.dataloader_drop_last, repr(self.eval_dataset),
         )
         loader = self._make_loader(
             ds, self.args.eval_batch_size, shuffle=False,
