@@ -329,6 +329,89 @@ class TestVocabParallelCE:
         # padding rows (>= vocab_size) get exactly zero gradient
         assert np.all(np.asarray(ggrads)[1000:] == 0.0)
 
+    @pytest.mark.parametrize("eps", [0.2, 0.6])
+    def test_label_smoothing_matches_unsharded(self, eps):
+        """Fused ε: sharded per-shard zsum + psum must give the exact
+        unsharded smoothed loss AND gradients (the tuned reference command
+        lines run ε 0.2–0.9 — the vocab-parallel path must carry them)."""
+        from transformers4rec_tpu.ops.vocab import fused_softmax_ce
+        from transformers4rec_tpu.parallel.sharded_embedding import (
+            sharded_softmax_ce,
+        )
+
+        mesh, x, W, xs, Ws, labels, weights = self._setup(seed=13)
+
+        def ref_loss(x, W):
+            return fused_softmax_ce(x, W, labels, weights, vocab_size=1000,
+                                    label_smoothing=eps)
+
+        def sh_loss(x, W):
+            return sharded_softmax_ce(x, W, labels, weights, mesh,
+                                      vocab_size=1000, label_smoothing=eps)
+
+        want, (wdx, wdW) = jax.value_and_grad(ref_loss, argnums=(0, 1))(x, W)
+        got, (gdx, gdW) = jax.jit(
+            jax.value_and_grad(sh_loss, argnums=(0, 1))
+        )(xs, Ws)
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gdx), np.asarray(wdx),
+                                   rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gdW), np.asarray(wdW),
+                                   rtol=2e-4, atol=1e-6)
+        # padding rows still get exactly zero gradient under smoothing (the
+        # ε/V pull applies to VALID columns only)
+        np.testing.assert_array_equal(np.asarray(gdW)[1000:], 0.0)
+
+    @pytest.mark.parametrize("eps", [0.2, 0.6])
+    def test_ce_and_rank_smoothing_matches_unsharded(self, eps):
+        from transformers4rec_tpu.ops.vocab import fused_ce_and_rank
+        from transformers4rec_tpu.parallel.sharded_embedding import (
+            sharded_ce_and_rank,
+        )
+
+        mesh, x, W, xs, Ws, labels, weights = self._setup(seed=17)
+        want_loss, want_rank = fused_ce_and_rank(
+            x, W, labels, weights, vocab_size=1000, label_smoothing=eps
+        )
+        got_loss, got_rank = jax.jit(
+            lambda x, W: sharded_ce_and_rank(x, W, labels, weights, mesh,
+                                             vocab_size=1000,
+                                             label_smoothing=eps)
+        )(xs, Ws)
+        np.testing.assert_allclose(float(got_loss), float(want_loss),
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got_rank),
+                                      np.asarray(want_rank))
+
+    @pytest.mark.parametrize("model_axis", [2, 4])
+    def test_sharded_topk_matches_unsharded(self, model_axis):
+        """Local per-shard top-k + candidate merge == fused_topk on the
+        gathered table (scores AND ids), incl. the padded-row vocab bound."""
+        from transformers4rec_tpu.ops.vocab import fused_topk
+        from transformers4rec_tpu.parallel import make_mesh
+        from transformers4rec_tpu.parallel.sharded_embedding import (
+            shard_table,
+            sharded_topk,
+        )
+
+        mesh = make_mesh(model=model_axis)
+        rng = np.random.default_rng(23)
+        N, E, V, vsz, k = 16, 16, 1024, 1000, 20
+        x = jnp.asarray(rng.normal(size=(N, E)).astype(np.float32))
+        W = jnp.asarray(rng.normal(size=(V, E)).astype(np.float32))
+        want_s, want_i = fused_topk(x, W, k, vocab_size=vsz)
+        Ws = shard_table(W, mesh)
+        xs = jax.device_put(
+            x, jax.NamedSharding(mesh, P("data", None))
+        )
+        got_s, got_i = jax.jit(
+            lambda x, W: sharded_topk(x, W, k, mesh, vocab_size=vsz)
+        )(xs, Ws)
+        np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+        assert np.all(np.asarray(got_i) < vsz)
+
 
 def test_vocab_parallel_task_end_to_end_matches_replicated():
     """NextItemPredictionTask(vocab_parallel_mesh=mesh): full Trainer
@@ -369,6 +452,9 @@ def test_vocab_parallel_task_end_to_end_matches_replicated():
             logging_steps=1,
             mesh_model_axis=2,
             seed=11,
+            # the baseline arm must NOT auto-engage (32768 rows crosses the
+            # auto threshold) — it pins the XLA-partitioned replicated math
+            auto_vocab_parallel=False,
         )
         trainer = tr.Trainer(model=model, args=args, schema=schema, mesh=mesh)
         trainer.train()
@@ -383,6 +469,142 @@ def test_vocab_parallel_task_end_to_end_matches_replicated():
         if k.startswith("eval_/") or k == "eval_loss":
             np.testing.assert_allclose(vp_ev[k], v, rtol=2e-4, atol=1e-6,
                                        err_msg=k)
+
+
+def _vp_model_and_schema(num_items=32768, label_smoothing=0.0,
+                         weight_tying=True, sampled=False):
+    import transformers4rec_tpu as tr
+    from transformers4rec_tpu.data.synthetic import (
+        synthetic_ecommerce_data_schema,
+    )
+
+    schema = synthetic_ecommerce_data_schema(
+        num_items=num_items, num_categories=20, max_session_length=10
+    )
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=32, masking="mlm", aggregation="concat",
+        embedding_dims={schema.item_id_column_name: 16},
+    )
+    cfg = tr.transformer_registry.parse("xlnet").build(
+        d_model=32, n_head=2, n_layer=1, total_seq_length=10
+    )
+    task = tr.NextItemPredictionTask(
+        weight_tying=weight_tying, label_smoothing=label_smoothing,
+        sampled_softmax=sampled, target_dim=None if weight_tying else num_items,
+    )
+    return schema, cfg.to_model(im, task)
+
+
+class TestAutoVocabParallel:
+    """Trainer auto-engagement: with mesh_model_axis>1 and a tied table that
+    row-shards, the task must come out carrying vocab_parallel_mesh — the
+    default path would silently all-gather the (V, E) table every step."""
+
+    def _args(self, tmpdir_name, **kw):
+        import transformers4rec_tpu as tr
+
+        kw.setdefault("mesh_model_axis", 2)
+        return tr.T4RecTrainingArguments(
+            output_dir=f"/tmp/{tmpdir_name}",
+            data_loader_engine="synthetic",
+            max_sequence_length=10,
+            per_device_train_batch_size=4,
+            per_device_eval_batch_size=4,
+            max_steps=2,
+            seed=3,
+            **kw,
+        )
+
+    def _task(self, trainer):
+        return trainer.model.heads[0].tasks[0]
+
+    def test_engages_above_threshold(self):
+        import transformers4rec_tpu as tr
+
+        schema, model = _vp_model_and_schema(num_items=32768,
+                                             label_smoothing=0.2)
+        trainer = tr.Trainer(
+            model=model, args=self._args("t4r_avp_on"), schema=schema
+        )
+        assert self._task(trainer).vocab_parallel_mesh is trainer.mesh
+        # and the rewritten model trains + evals end-to-end (ε=0.2 exercises
+        # the smoothed sharded kernels through the production Trainer)
+        trainer.train()
+        ev = trainer.evaluate()
+        assert np.isfinite(ev["eval_loss"])
+
+    def test_no_engage_small_vocab(self):
+        import transformers4rec_tpu as tr
+
+        schema, model = _vp_model_and_schema(num_items=1024)
+        trainer = tr.Trainer(
+            model=model, args=self._args("t4r_avp_small"), schema=schema
+        )
+        assert self._task(trainer).vocab_parallel_mesh is None
+
+    def test_no_engage_when_disabled_or_data_parallel(self):
+        import transformers4rec_tpu as tr
+
+        schema, model = _vp_model_and_schema(num_items=32768)
+        t = tr.Trainer(
+            model=model,
+            args=self._args("t4r_avp_off", auto_vocab_parallel=False),
+            schema=schema,
+        )
+        assert self._task(t).vocab_parallel_mesh is None
+        t2 = tr.Trainer(
+            model=model, args=self._args("t4r_avp_dp", mesh_model_axis=1),
+            schema=schema,
+        )
+        assert self._task(t2).vocab_parallel_mesh is None
+
+    def test_no_engage_sampled_softmax(self):
+        import transformers4rec_tpu as tr
+
+        schema, model = _vp_model_and_schema(num_items=32768, sampled=True)
+        trainer = tr.Trainer(
+            model=model, args=self._args("t4r_avp_sampled"), schema=schema
+        )
+        assert self._task(trainer).vocab_parallel_mesh is None
+
+    def test_predict_topk_routes_sharded_and_matches_replicated(self, monkeypatch):
+        """Trainer.predict() under the auto-engaged mesh must ROUTE through
+        sharded_topk (pinned via wrapper) and score within bf16 GEMM
+        tolerance of the replicated f32-einsum run. Exact id/score equality
+        of sharded_topk vs the bf16 fused_topk on the gathered table is
+        pinned separately (TestVocabParallelCE::test_sharded_topk_*)."""
+        import transformers4rec_tpu as tr
+        from transformers4rec_tpu.parallel import sharded_embedding as se
+
+        calls = []
+        orig = se.sharded_topk
+        monkeypatch.setattr(
+            se, "sharded_topk",
+            lambda *a, **kw: calls.append(1) or orig(*a, **kw),
+        )
+
+        def run(model_axis):
+            schema, model = _vp_model_and_schema(num_items=32768)
+            args = self._args(
+                f"t4r_avp_pred{model_axis}", mesh_model_axis=model_axis,
+                predict_top_k=5,
+            )
+            trainer = tr.Trainer(model=model, args=args, schema=schema)
+            return trainer.predict()
+
+        s1, i1 = run(1)
+        assert not calls, "data-parallel predict must not use sharded_topk"
+        s2, i2 = run(2)
+        assert calls, "model-parallel predict must route through sharded_topk"
+        # identical seeded init params; scores differ only by bf16 GEMM
+        # rounding (training scores the same table in bf16)
+        np.testing.assert_allclose(s2, s1, atol=2e-2)
+        assert i2.shape == i1.shape and (i2 >= 0).all() and (i2 < 32768).all()
+        # near-ties may swap under rounding, but the sets must mostly agree
+        overlap = np.mean([
+            len(set(a) & set(b)) / len(a) for a, b in zip(i1, i2)
+        ])
+        assert overlap >= 0.8, f"top-k id overlap {overlap:.2f}"
 
 
 def test_vocab_parallel_composes_with_session_packing():

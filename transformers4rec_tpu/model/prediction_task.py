@@ -257,10 +257,12 @@ class NextItemPredictionTask(PredictionTask):
     budget_target_prob: Optional[float] = None
     # vocab-parallel full softmax (100M-row output tables): set to the
     # ('data','model') Mesh whose 'model' axis row-shards the tied table, and
-    # train CE + fused eval run the shard_map ops of
+    # train CE + fused eval + inference top-k run the shard_map ops of
     # parallel/sharded_embedding.py — per-shard streamed kernels + O(N)
     # collectives, never an O(V) gather (an auto-partitioned pallas_call
-    # would all-gather W). Requires label_smoothing == 0.
+    # would all-gather W). label_smoothing is fused into the sharded kernels
+    # like the unsharded ones. The Trainer auto-threads its mesh here when
+    # the tied table row-shards (trainer.py _maybe_auto_vocab_parallel).
     vocab_parallel_mesh: Optional[Any] = None
 
     def _budget_rows(self, N: int) -> Optional[int]:
@@ -288,16 +290,12 @@ class NextItemPredictionTask(PredictionTask):
     def _vocab_ce(self, x2d, W, labels, weights, vsz):
         """Streamed full-softmax CE — vocab-parallel when a mesh is set."""
         if self.vocab_parallel_mesh is not None:
-            if self.label_smoothing:
-                raise NotImplementedError(
-                    "vocab_parallel_mesh requires label_smoothing=0 (the ε/V "
-                    "spread is negligible at sharded-vocab scale)"
-                )
             from ..parallel.sharded_embedding import sharded_softmax_ce
 
             return sharded_softmax_ce(
                 x2d, W, labels.astype(jnp.int32), weights,
                 self.vocab_parallel_mesh, vocab_size=vsz,
+                label_smoothing=self.label_smoothing,
             )
         from ..ops.vocab import fused_softmax_ce
 
@@ -309,15 +307,12 @@ class NextItemPredictionTask(PredictionTask):
     def _vocab_ce_rank(self, x2d, W, labels, weights, vsz):
         """Streamed eval CE + label ranks — vocab-parallel when a mesh is set."""
         if self.vocab_parallel_mesh is not None:
-            if self.label_smoothing:
-                raise NotImplementedError(
-                    "vocab_parallel_mesh requires label_smoothing=0"
-                )
             from ..parallel.sharded_embedding import sharded_ce_and_rank
 
             return sharded_ce_and_rank(
                 x2d, W, labels.astype(jnp.int32), weights,
                 self.vocab_parallel_mesh, vocab_size=vsz,
+                label_smoothing=self.label_smoothing,
             )
         from ..ops.vocab import fused_ce_and_rank
 
@@ -535,6 +530,14 @@ class NextItemPredictionTask(PredictionTask):
         extended = info.pad_mask is not None and info.pad_mask.shape[1] > item_ids.shape[1]
         last_idx = jnp.clip(non_pad if extended else non_pad - 1, 0, x.shape[1] - 1)
         xg = jnp.take_along_axis(x, last_idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+        if top_k is not None and self.vocab_parallel_mesh is not None:
+            # row-sharded table: local per-shard top-k + O(N·k) candidate
+            # merge — fused_topk here would all-gather the (V, E) table
+            from ..parallel.sharded_embedding import sharded_topk
+
+            return sharded_topk(
+                xg / temp, W, top_k, self.vocab_parallel_mesh, vocab_size=vsz
+            )
         # (isinstance check keeps shape-polymorphic serving export tractable —
         # symbolic batch dims can't be compared against the threshold)
         if (top_k is not None and fused and isinstance(xg.shape[0], int)

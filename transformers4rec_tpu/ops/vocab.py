@@ -402,7 +402,8 @@ def _ce_bwd_fused_kernel_dxsc(eps, eps_over_v, v_total_ref, x_ref, w_ref,
 
 
 def _ce_bwd_pallas_dxsc(x, W, labels, lse, coef, bn: int, bv: int,
-                        vocab_size=None, eps: float = 0.0):
+                        vocab_size=None, eps: float = 0.0,
+                        eps_over_v: Optional[float] = None):
     bv = min(bv, 2048)
     N, E = x.shape
     V = W.shape[0] if vocab_size is None else vocab_size
@@ -416,7 +417,8 @@ def _ce_bwd_pallas_dxsc(x, W, labels, lse, coef, bn: int, bv: int,
 
     nv = Vp // bv
     dW, dx = pl.pallas_call(
-        functools.partial(_ce_bwd_fused_kernel_dxsc, eps, eps / V),
+        functools.partial(_ce_bwd_fused_kernel_dxsc, eps,
+                          eps / V if eps_over_v is None else eps_over_v),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nv, Np // bn),  # V outer, N inner: W streamed once
@@ -452,18 +454,23 @@ def _ce_bwd_pallas_dxsc(x, W, labels, lse, coef, bn: int, bv: int,
 
 
 def _ce_bwd_pallas_fused(x, W, labels, lse, coef, bn: int, bv: int,
-                         vocab_size=None, eps: float = 0.0):
+                         vocab_size=None, eps: float = 0.0,
+                         eps_over_v: Optional[float] = None):
+    """``eps_over_v`` overrides the ε/V smoothing spread when ``vocab_size``
+    is a traced per-shard bound but the GLOBAL vocab is static (the
+    vocab-parallel path — parallel/sharded_embedding.py)."""
     N, E = x.shape
     Np = ((N + bn - 1) // bn) * bn
     if Np * E * 4 <= _BWD_DX_SCRATCH_MAX_BYTES:
         return _ce_bwd_pallas_dxsc(x, W, labels, lse, coef, bn, bv, vocab_size,
-                                   eps)
+                                   eps, eps_over_v)
     return _ce_bwd_pallas_fused_partials(x, W, labels, lse, coef, bn, bv,
-                                         vocab_size, eps)
+                                         vocab_size, eps, eps_over_v)
 
 
 def _ce_bwd_pallas_fused_partials(x, W, labels, lse, coef, bn: int, bv: int,
-                                  vocab_size=None, eps: float = 0.0):
+                                  vocab_size=None, eps: float = 0.0,
+                                  eps_over_v: Optional[float] = None):
     bv = min(bv, 2048)
     N, E = x.shape
     V = W.shape[0] if vocab_size is None else vocab_size
@@ -477,7 +484,8 @@ def _ce_bwd_pallas_fused_partials(x, W, labels, lse, coef, bn: int, bv: int,
 
     nv = Vp // bv
     dW, dxp = pl.pallas_call(
-        functools.partial(_ce_bwd_fused_kernel, eps, eps / V),
+        functools.partial(_ce_bwd_fused_kernel, eps,
+                          eps / V if eps_over_v is None else eps_over_v),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nv, Np // bn),  # V outer, N inner
@@ -511,9 +519,10 @@ def _ce_bwd_pallas_fused_partials(x, W, labels, lse, coef, bn: int, bv: int,
 
 
 def _ce_bwd_scan(x, W, labels, lse, coef, chunk: int, vocab_size=None,
-                 eps: float = 0.0):
+                 eps: float = 0.0, eps_over_v: Optional[float] = None):
     N, E = x.shape
     V = W.shape[0] if vocab_size is None else vocab_size
+    eov = eps / V if eps_over_v is None else eps_over_v
     Wp, Vp = _pad_rows(W, chunk)
     xb = x.astype(jnp.bfloat16)
     Wb = Wp.astype(jnp.bfloat16).reshape(Vp // chunk, chunk, E)
@@ -524,7 +533,7 @@ def _ce_bwd_scan(x, W, labels, lse, coef, chunk: int, vocab_size=None,
         col = idx0 + jnp.arange(chunk)
         valid = (col < V)[None, :]
         if eps:
-            p = jnp.where(valid, jnp.exp(logits - lse[:, None]) - eps / V, 0.0)
+            p = jnp.where(valid, jnp.exp(logits - lse[:, None]) - eov, 0.0)
             p = p - (1.0 - eps) * (col[None, :] == labels[:, None]).astype(
                 jnp.float32
             )

@@ -47,6 +47,46 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def process_data_stripe(mesh: Mesh) -> Tuple[int, int]:
+    """(rank, size) batch striping for THIS process, derived from the mesh.
+
+    With the default pod layout ('data' spans processes, 'model' within a
+    host) each process loads its 1/process_count slice. But when the 'model'
+    axis spans processes — a table row-sharded ACROSS hosts — a process's
+    devices cover SEVERAL 'data' rows and its loader must supply every batch
+    row those devices need (jax.make_array_from_process_local_data assembles
+    from addressable shards, so the local slice must cover them). In the
+    extreme (model axis == all processes) every process loads the FULL
+    global batch. Single-process always returns (0, 1).
+
+    Requires each process's 'data' rows to be one contiguous aligned block
+    (true for any reshape-order mesh over process-contiguous device lists);
+    raises otherwise since a strided slice can't be loaded as one stripe.
+    """
+    import jax
+
+    if jax.process_count() <= 1:
+        return 0, 1
+    devs = np.asarray(mesh.devices)
+    if devs.ndim == 1:
+        devs = devs[:, None]
+    pid = jax.process_index()
+    rows = sorted({
+        i for i in range(devs.shape[0])
+        if any(d.process_index == pid for d in devs[i].flat)
+    })
+    n = len(rows)
+    if not rows:
+        raise ValueError(f"process {pid} owns no devices in mesh {mesh}")
+    if rows != list(range(rows[0], rows[0] + n)) or rows[0] % n or devs.shape[0] % n:
+        raise ValueError(
+            f"process {pid}'s 'data' rows {rows} are not one aligned "
+            "contiguous block — reorder the mesh devices so each process's "
+            "data slice is contiguous"
+        )
+    return rows[0] // n, devs.shape[0] // n
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over 'data'."""
     return NamedSharding(mesh, P("data"))
@@ -87,8 +127,13 @@ def shard_stacked_batches(batches, mesh: Mesh) -> Dict[str, jax.Array]:
 # (regex over param path, PartitionSpec factory given array ndim)
 ShardingRule = Tuple[str, Callable[[int], P]]
 
+# row threshold below which tables stay replicated (param_shardings default;
+# the Trainer's vocab-parallel auto-engagement keys off the same constant so
+# the CE path and the table sharding can never disagree)
+MIN_ROWS_TO_SHARD = 16384
 
-def default_sharding_rules(min_rows_to_shard: int = 16384) -> List[ShardingRule]:
+
+def default_sharding_rules(min_rows_to_shard: int = MIN_ROWS_TO_SHARD) -> List[ShardingRule]:
     """Row-shard big embedding tables over 'model'; replicate the rest.
 
     The row threshold keeps small tables (category vocab ~100s) replicated —
@@ -98,7 +143,7 @@ def default_sharding_rules(min_rows_to_shard: int = 16384) -> List[ShardingRule]
     parameter only for call-compat and raises if a non-default value is
     passed here, where it could not take effect.
     """
-    if min_rows_to_shard != 16384:
+    if min_rows_to_shard != MIN_ROWS_TO_SHARD:
         raise ValueError(
             "default_sharding_rules cannot apply min_rows_to_shard — pass it "
             "to param_shardings(..., min_rows_to_shard=...) instead"
@@ -112,7 +157,7 @@ def param_shardings(
     params,
     mesh: Mesh,
     rules: Optional[List[ShardingRule]] = None,
-    min_rows_to_shard: int = 16384,
+    min_rows_to_shard: int = MIN_ROWS_TO_SHARD,
 ):
     """Map every param leaf to a NamedSharding by path-regex rules.
 

@@ -98,8 +98,13 @@ def shard_table(table: jnp.ndarray, mesh: Mesh, axis: str = "model") -> jnp.ndar
 #                 owning shard only (out-of-range local labels match no col).
 # Communication: O(N) scalars per pass over ICI — never O(V).
 #
-# label_smoothing is not supported here (the ε/V spread term is negligible
-# at the vocab scales that require sharding); pass ε=0.
+# label_smoothing rides the same streamed kernels: each shard accumulates the
+# sum of its valid logits (zsum), one extra O(N) psum merges it, and the
+# per-row loss is lse − (1−ε)·ll − (ε/V)·zsum with V the GLOBAL true vocab.
+# The backward residual P − (1−ε)·onehot − ε/V is local per shard (each
+# shard's valid columns get the −ε/V pull; the onehot lands on the owning
+# shard) — the ε/V constant is passed in statically because the per-shard
+# vocab bound is traced (ops/vocab.py eps_over_v).
 
 
 def _local_bounds(W_l, vocab_size, model_axis):
@@ -131,16 +136,25 @@ def sharded_softmax_ce(
     block_n: int = 256,
     block_v: int = 4096,
     use_pallas: Optional[bool] = None,
+    label_smoothing: float = 0.0,
 ):
     """Differentiable weighted-mean CE of ``x @ W.T`` with W row-sharded
     P(model_axis, None) and x/labels/weights sharded P(data_axis, ...).
     Exact same value and gradients as ``ops.vocab.fused_softmax_ce`` on the
-    gathered table (pinned in tests/test_parallel.py). Like the unsharded op,
+    gathered table (pinned in tests/test_parallel.py), including
+    ``label_smoothing`` (torch CrossEntropyLoss semantics — the tuned
+    reference command lines use ε 0.2–0.9). Like the unsharded op,
     ``weights`` is a NON-differentiable validity mask (no cotangent)."""
     weights = jax.lax.stop_gradient(weights)
     from ..ops.vocab import _ce_bwd_scan, _ce_fwd_scan, _on_tpu
 
     on_tpu = _on_tpu() if use_pallas is None else use_pallas
+    eps = float(label_smoothing)
+    smooth = eps > 0
+    # GLOBAL true vocab (static): the traced per-shard bound can't feed the
+    # static ε/V kernel constant
+    V_total = vocab_size if vocab_size is not None else W.shape[0]
+    eps_over_v = eps / V_total if smooth else 0.0
 
     def fwd_local(x_l, W_l, lbl_l, w_l):
         from ..ops.vocab import _ce_fwd_pallas
@@ -151,16 +165,21 @@ def sharded_softmax_ce(
         # collide with a masked padding column and pick up its -1e30)
         lbl_loc = jnp.where((lbl_loc >= 0) & (lbl_loc < vsz), lbl_loc, -1)
         if on_tpu:
-            lse_l, ll_l, _ = _ce_fwd_pallas(
-                x_l, W_l, lbl_loc, block_n, block_v, vocab_size=vsz
+            lse_l, ll_l, zs_l = _ce_fwd_pallas(
+                x_l, W_l, lbl_loc, block_n, block_v, vocab_size=vsz,
+                smooth=smooth,
             )
         else:
-            lse_l, ll_l, _ = _ce_fwd_scan(
-                x_l, W_l, lbl_loc, block_v, vocab_size=vsz
+            lse_l, ll_l, zs_l = _ce_fwd_scan(
+                x_l, W_l, lbl_loc, block_v, vocab_size=vsz, smooth=smooth
             )
         lse_g, ll_g = _merge_lse(lse_l, ll_l, model_axis)
+        nll = lse_g - ll_g
+        if smooth:
+            zs_g = jax.lax.psum(zs_l, model_axis)
+            nll = lse_g - (1.0 - eps) * ll_g - eps_over_v * zs_g
         w = w_l.astype(jnp.float32)
-        num = jax.lax.psum(((lse_g - ll_g) * w).sum(), data_axis)
+        num = jax.lax.psum((nll * w).sum(), data_axis)
         den = jax.lax.psum(w.sum(), data_axis)
         wsum = jnp.maximum(den, 1.0)
         return num / wsum, lse_g, jnp.reshape(wsum, (1,))
@@ -177,11 +196,12 @@ def sharded_softmax_ce(
         if on_tpu:
             dx_p, dW_l = _ce_bwd_pallas_fused(
                 x_l, W_l, lbl_loc, lse_l, coef, block_n, block_v,
-                vocab_size=vsz,
+                vocab_size=vsz, eps=eps, eps_over_v=eps_over_v,
             )
         else:
             dx_p, dW_l = _ce_bwd_scan(
-                x_l, W_l, lbl_loc, lse_l, coef, block_v, vocab_size=vsz
+                x_l, W_l, lbl_loc, lse_l, coef, block_v, vocab_size=vsz,
+                eps=eps, eps_over_v=eps_over_v,
             )
         # dx: every vocab shard contributes to every row → psum over 'model';
         # dW: every DATA shard contributes to the local rows → psum over 'data'
@@ -236,15 +256,20 @@ def sharded_ce_and_rank(
     block_n: int = 256,
     block_v: int = 4096,
     use_pallas: Optional[bool] = None,
+    label_smoothing: float = 0.0,
 ):
     """Eval-fused vocab-parallel ``(loss, ranks)`` — the sharded analog of
     ``ops.vocab.fused_ce_and_rank`` (not differentiable). Ranks are 0-based
     counts of strictly-greater logits over the GLOBAL vocab; the label's own
     column compares bit-equal on its owning shard (the ll term comes from the
-    same streamed tiles) and is never counted."""
+    same streamed tiles) and is never counted. ``label_smoothing`` smooths
+    the reported eval loss exactly like the unsharded op (ranks unaffected)."""
     from ..ops.vocab import _ce_fwd_pallas, _ce_fwd_scan, _on_tpu, rank_counts
 
     on_tpu = _on_tpu() if use_pallas is None else use_pallas
+    eps = float(label_smoothing)
+    smooth = eps > 0
+    V_total = vocab_size if vocab_size is not None else W.shape[0]
 
     def local(x_l, W_l, lbl_l, w_l):
         v0, vsz = _local_bounds(W_l, vocab_size, model_axis)
@@ -253,12 +278,13 @@ def sharded_ce_and_rank(
         # collide with a masked padding column and pick up its -1e30)
         lbl_loc = jnp.where((lbl_loc >= 0) & (lbl_loc < vsz), lbl_loc, -1)
         if on_tpu:
-            lse_l, ll_l, _ = _ce_fwd_pallas(
-                x_l, W_l, lbl_loc, block_n, block_v, vocab_size=vsz
+            lse_l, ll_l, zs_l = _ce_fwd_pallas(
+                x_l, W_l, lbl_loc, block_n, block_v, vocab_size=vsz,
+                smooth=smooth,
             )
         else:
-            lse_l, ll_l, _ = _ce_fwd_scan(
-                x_l, W_l, lbl_loc, block_v, vocab_size=vsz
+            lse_l, ll_l, zs_l = _ce_fwd_scan(
+                x_l, W_l, lbl_loc, block_v, vocab_size=vsz, smooth=smooth
             )
         lse_g, ll_g = _merge_lse(lse_l, ll_l, model_axis)
         cnt_l = rank_counts(
@@ -266,8 +292,12 @@ def sharded_ce_and_rank(
             use_pallas=use_pallas, vocab_size=vsz,
         )
         rank_g = jax.lax.psum(cnt_l, model_axis)
+        nll = lse_g - ll_g
+        if smooth:
+            zs_g = jax.lax.psum(zs_l, model_axis)
+            nll = lse_g - (1.0 - eps) * ll_g - (eps / V_total) * zs_g
         w = w_l.astype(jnp.float32)
-        num = jax.lax.psum(((lse_g - ll_g) * w).sum(), data_axis)
+        num = jax.lax.psum((nll * w).sum(), data_axis)
         den = jax.lax.psum(w.sum(), data_axis)
         return num / jnp.maximum(den, 1.0), rank_g
 
@@ -278,3 +308,46 @@ def sharded_ce_and_rank(
         out_specs=(P(), P(data_axis)),
         check_rep=False,
     )(x, W, labels, weights)
+
+
+def sharded_topk(
+    x: jnp.ndarray,
+    W: jnp.ndarray,
+    k: int,
+    mesh: Mesh,
+    model_axis: str = "model",
+    data_axis: str = "data",
+    vocab_size: Optional[int] = None,
+    chunk: int = 32768,
+) -> tuple:
+    """Vocab-parallel top-k of ``x @ W.T``: each shard streams a LOCAL top-k
+    over its own rows (``ops.vocab.fused_topk`` on the (V/s, E) shard), then
+    one all-gather of the k·shards candidate (score, id) pairs over
+    ``model_axis`` and a final ``lax.top_k`` merge. Communication is
+    O(N·k·shards) scalars — never the O(V·E) table gather that
+    ``fused_topk`` on a row-sharded table would trigger through XLA's
+    partitioner (the reference's full-vocab ``torch.topk``,
+    prediction_task.py:466-470, is single-device-only by construction).
+
+    Exact-equal to ``fused_topk`` on the gathered table: scores are bf16-GEMM
+    f32 accumulations either way, and the candidate union always contains the
+    true global top-k (each shard contributes its best k ≥ its share of the
+    global winners). Returns ``(scores, ids)`` of shape (N, k), sharded over
+    ``data_axis``."""
+    from ..ops.vocab import fused_topk
+
+    def local(x_l, W_l):
+        v0, vsz = _local_bounds(W_l, vocab_size, model_axis)
+        s, i = fused_topk(x_l, W_l, k, chunk=chunk, vocab_size=vsz)
+        i = i + v0  # local → global ids
+        s_all = jax.lax.all_gather(s, model_axis, axis=1, tiled=True)
+        i_all = jax.lax.all_gather(i, model_axis, axis=1, tiled=True)
+        s2, pos = jax.lax.top_k(s_all, k)
+        return s2, jnp.take_along_axis(i_all, pos, axis=1)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(data_axis, None), P(model_axis, None)),
+        out_specs=(P(data_axis, None), P(data_axis, None)),
+        check_rep=False,
+    )(x, W)

@@ -137,6 +137,14 @@ class T4RecTrainingArguments:
 
     # distribution
     mesh_model_axis: int = 1
+    # with mesh_model_axis>1 and a tied item table big enough to row-shard
+    # (parallel/mesh.py MIN_ROWS_TO_SHARD), automatically thread the mesh
+    # into NextItemPredictionTask.vocab_parallel_mesh so train CE / eval /
+    # predict top-k run the shard_map vocab-parallel ops instead of letting
+    # XLA all-gather the (V, E) table around the opaque Pallas CE call every
+    # step. Numerics match the replicated path (tests/test_parallel.py).
+    # False = keep whatever the model was built with.
+    auto_vocab_parallel: bool = True
 
     @property
     def train_batch_size(self) -> int:

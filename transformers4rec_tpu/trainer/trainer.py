@@ -119,6 +119,11 @@ class Trainer:
                 )
 
         self.mesh = mesh or make_mesh(model=args.mesh_model_axis)
+        from ..parallel.mesh import process_data_stripe
+
+        self._stripe = process_data_stripe(self.mesh)
+        if args.auto_vocab_parallel:
+            self._maybe_auto_vocab_parallel()
         self.state = TrainerState()
         self._train_state: Optional[TrainState] = None
         self._tx = None
@@ -132,6 +137,76 @@ class Trainer:
         # (loader_epoch, batches_in_epoch) staged by load() for the next
         # train() call to fast-forward the loader to; consumed once
         self._resume_position: Optional[tuple] = None
+
+    # --------------------------------------------------- vocab-parallel auto
+    def _tied_table_rows(self, head) -> Optional[int]:
+        """PADDED row count of the head's tied item table (rows are rounded
+        up to vocab_padding_multiple at creation — features/embedding.py), or
+        None when the head has no item-id embedding."""
+        im = getattr(head, "input_module", None)
+        cat = getattr(im, "categorical_module", None)
+        item_id = getattr(cat, "item_id", None)
+        if item_id is None:
+            return None
+        cfg = cat.feature_configs[item_id].table
+        m = max(int(getattr(cat, "vocab_padding_multiple", 1)), 1)
+        return ((cfg.vocabulary_size + m - 1) // m) * m
+
+    def _maybe_auto_vocab_parallel(self) -> None:
+        """Production vocab-parallel engagement: when the 'model' axis is >1
+        and the tied item table will row-shard (same threshold+divisibility
+        conditions as parallel/mesh.py param_shardings), rewrite each
+        full-softmax NextItemPredictionTask with ``vocab_parallel_mesh`` so
+        CE/eval/top-k run the shard_map ops of parallel/sharded_embedding.py.
+        Without this, the table sharding alone makes XLA ALL-GATHER the
+        (V, E) table around the opaque Pallas CE call every step — fine at
+        32k rows, catastrophic and silent at the 100M-row north star."""
+        from ..model.prediction_task import NextItemPredictionTask
+        from ..parallel.mesh import MIN_ROWS_TO_SHARD
+
+        model_size = self.mesh.shape.get("model", 1)
+        if model_size <= 1:
+            return
+        heads = list(getattr(self.model, "heads", ()) or ())
+        new_heads, changed = [], False
+        for head in heads:
+            rows = self._tied_table_rows(head)
+            shards = (
+                rows is not None
+                and rows >= MIN_ROWS_TO_SHARD
+                and rows % model_size == 0
+            )
+            new_tasks, head_changed = [], False
+            for t in head.tasks:
+                if not (isinstance(t, NextItemPredictionTask)
+                        and t.weight_tying and shards):
+                    new_tasks.append(t)
+                    continue
+                if t.vocab_parallel_mesh is not None or t.sampled_softmax:
+                    # manual mesh wins; sampled softmax only gathers O(N)
+                    # rows by id — no full-table gather to avoid
+                    new_tasks.append(t)
+                    continue
+                if not t.use_fused_ops:
+                    import warnings
+
+                    warnings.warn(
+                        "mesh_model_axis>1 row-shards the tied item table "
+                        f"({rows} rows) but use_fused_ops=False keeps the "
+                        "dense-logits CE path, which all-gathers the (V, E) "
+                        "table every step; set use_fused_ops=True to engage "
+                        "the vocab-parallel kernels"
+                    )
+                    new_tasks.append(t)
+                    continue
+                new_tasks.append(t.clone(vocab_parallel_mesh=self.mesh))
+                head_changed = True
+            if head_changed:
+                head = head.clone(tasks=tuple(new_tasks))
+                changed = True
+            new_heads.append(head)
+        if changed:
+            self.model = self.model.clone(heads=tuple(new_heads))
 
     # ------------------------------------------------------------ dataloaders
     def _make_loader(self, dataset, batch_size: int, shuffle: bool,
@@ -150,17 +225,23 @@ class Trainer:
         )
         if engine == "parquet_streaming" and self.args.shuffle_buffer_size > 0:
             kwargs.setdefault("buffer_rows", self.args.shuffle_buffer_size)
-        # batch_size is GLOBAL; each process loads its 1/process_count shard
-        # and shard_batch assembles the global array
-        # (jax.make_array_from_process_local_data — parallel/mesh.py)
+        # batch_size is GLOBAL; each process loads the stripe its devices
+        # need and shard_batch assembles the global array
+        # (jax.make_array_from_process_local_data — parallel/mesh.py). With
+        # the default pod layout that is 1/process_count; with the 'model'
+        # axis spanning processes (cross-host row-sharded tables) a
+        # process's devices cover several 'data' rows and the stripe widens
+        # (process_data_stripe) — processes sharing a stripe load identical
+        # rows, keeping the collective in lockstep.
+        rank, size = self._stripe
         return cls.from_schema(
             self.schema,
             dataset,
-            batch_size=batch_size // jax.process_count(),
+            batch_size=batch_size // size,
             max_sequence_length=self.args.max_sequence_length,
             shuffle=shuffle,
-            global_rank=jax.process_index(),
-            global_size=jax.process_count(),
+            global_rank=rank,
+            global_size=size,
             seed=self.args.seed,
             **kwargs,
         )
@@ -310,7 +391,8 @@ class Trainer:
             return
         tx = self.create_optimizer_and_scheduler(self._last_num_steps)
         self._train_state = self._train_state.replace(
-            opt_state=tx.init(self._train_state.params), step=jnp.zeros((), jnp.int32)
+            opt_state=jax.jit(tx.init)(self._train_state.params),
+            step=jnp.zeros((), jnp.int32),
         )
         self._jit_train_step = None  # opt_state structure may have changed
         self._jit_train_step_multi = None
@@ -335,9 +417,14 @@ class Trainer:
             self.create_optimizer_and_scheduler(num_training_steps)
         if self._train_state is None:
             params = self._init_params(example_batch)
+            # jitted init: sharding propagation row-shards the moments like
+            # their tables (pinned in tests), and eager elementwise ops are
+            # illegal on arrays that are not fully addressable per process —
+            # which 'model'-sharded tables are NOT once the model axis spans
+            # processes (cross-host row sharding)
             self._train_state = TrainState(
                 params=params,
-                opt_state=self._tx.init(params),
+                opt_state=jax.jit(self._tx.init)(params),
                 step=jnp.zeros((), jnp.int32),
                 rng=jax.random.PRNGKey(self.args.seed + 17),
             )
@@ -562,9 +649,9 @@ class Trainer:
                     step_in_run += 1
                     self.state.global_step = self.state.past_global_steps + step_in_run
                     self.state.batches_in_epoch += 1
-                    # batches are per-process shards; report GLOBAL examples
+                    # batches are per-process stripes; report GLOBAL examples
                     n_examples += (
-                        next(iter(b.values())).shape[0] * jax.process_count()
+                        next(iter(b.values())).shape[0] * self._stripe[1]
                     )
                     if (a.logging_steps
                             and step_in_run % a.logging_steps == 0) \
