@@ -106,9 +106,16 @@ def main():
             "dense": optax.adamw(6.7e-4),
             # T4R_BENCH_OPT_PALLAS=1: streamed two-pass pallas table update
             # (A/B knob; numerics pinned equal in test_fused_adafactor)
+            # T4R_BENCH_MOMENT_BF16=1: bf16-stored second moment (A/B knob
+            # for the HBM optimizer-traffic stream; compute stays f32)
             "table": fused_adafactor(
                 learning_rate=6.7e-4,
                 use_pallas=os.environ.get("T4R_BENCH_OPT_PALLAS") == "1",
+                moment_dtype=(
+                    jnp.bfloat16
+                    if os.environ.get("T4R_BENCH_MOMENT_BF16") == "1"
+                    else None
+                ),
             ),
         },
         label_embedding_params,

@@ -76,6 +76,22 @@ def main():
                     help="encoder dropout; the tuned REES46 XLNet-MLM config "
                          "trains with dropout 0.0 (fresh-data runs need no "
                          "regularization)")
+    ap.add_argument("--lr", type=float, default=6.7e-4,
+                    help="peak learning rate (post-LN archs are known to "
+                         "need lower LR / longer warmup)")
+    ap.add_argument("--warmup-frac", type=float, default=0.05,
+                    help="warmup fraction of --steps (scheduled arms only)")
+    ap.add_argument("--grad-clip", type=float, default=0.0,
+                    help="clip_by_global_norm threshold; 0 = no clipping")
+    ap.add_argument("--pre-ln", action="store_true",
+                    help="build the arch pre-LN (norm_first, no embedding "
+                         "LayerNorm) — the TPU-tuned escape from the "
+                         "HF-faithful post-LN BERT family (electra/RTD)")
+    ap.add_argument("--plm-probability", type=float, default=1 / 6,
+                    help="PLM: fraction of the sequence in the masked span "
+                         "(reference transf_exp_args.py plm_probability)")
+    ap.add_argument("--plm-span", type=int, default=5,
+                    help="PLM: max span length (reference max_span_length)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -105,6 +121,9 @@ def main():
     masking_kwargs = {}
     if args.masking in ("mlm", "rtd"):
         masking_kwargs["mlm_probability"] = 0.3
+    elif args.masking == "plm":
+        masking_kwargs["plm_probability"] = args.plm_probability
+        masking_kwargs["max_span_length"] = args.plm_span
     input_module = tr.TabularSequenceFeatures.from_schema(
         schema, d_output=D_MODEL, masking=args.masking, aggregation="concat",
         masking_kwargs=masking_kwargs,
@@ -112,10 +131,13 @@ def main():
     arch = {"clm": "gpt2", "mlm": "xlnet", "plm": "xlnet", "rtd": "electra"}[
         args.masking
     ]
-    cfg = tr.transformer_registry.parse(arch).build(
+    build_kwargs = dict(
         d_model=D_MODEL, n_head=N_HEAD, n_layer=N_LAYER, total_seq_length=SEQ,
         dropout=args.dropout,
     )
+    if args.pre_ln:
+        build_kwargs.update(norm_first=True, embed_layer_norm=False)
+    cfg = tr.transformer_registry.parse(arch).build(**build_kwargs)
     model = cfg.to_model(
         input_module,
         tr.NextItemPredictionTask(
@@ -153,13 +175,13 @@ def main():
     params = model.init(rngs, tiny, training=True)
     params = jax.device_put(params, param_shardings(params, mesh))
     if args.lr_schedule == "constant":
-        lr = 6.7e-4
+        lr = args.lr
     else:
         from transformers4rec_tpu.trainer.schedulers import get_scheduler
 
         lr = get_scheduler(
-            args.lr_schedule, 6.7e-4, num_training_steps=args.steps,
-            num_warmup_steps=args.steps // 20,
+            args.lr_schedule, args.lr, num_training_steps=args.steps,
+            num_warmup_steps=int(args.steps * args.warmup_frac),
         )
     if args.embedding_optimizer == "adamw":
         table_tx = optax.adamw(lr)
@@ -183,6 +205,8 @@ def main():
         {"dense": optax.adamw(lr), "table": table_tx},
         label_embedding_params,
     )
+    if args.grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(args.grad_clip), tx)
     opt_state = tx.init(params)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -240,7 +264,7 @@ def main():
     float(loss)
     dt = time.perf_counter() - t0
 
-    print(json.dumps({
+    rec = {
         "arm": args.arm,
         "packed": args.packed,
         "masking": args.masking,
@@ -248,10 +272,23 @@ def main():
         "steps": args.steps,
         "train_rows": args.train_rows,
         "popularity": args.popularity,
+        "lr": args.lr,
+        "lr_schedule": args.lr_schedule,
+        "seed": args.seed,
         "wall_s": round(dt, 1),
         "train_loss_trajectory": losses,
         **run_eval(params),
-    }))
+    }
+    if args.grad_clip:
+        rec["grad_clip"] = args.grad_clip
+    if args.pre_ln:
+        rec["pre_ln"] = True
+    if args.lr_schedule != "constant" and args.warmup_frac != 0.05:
+        rec["warmup_frac"] = args.warmup_frac
+    if args.masking == "plm":
+        rec["plm_probability"] = round(args.plm_probability, 4)
+        rec["plm_span"] = args.plm_span
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

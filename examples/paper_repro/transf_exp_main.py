@@ -96,6 +96,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--hidden_act", default="gelu")
     p.add_argument("--attn_type", default=None, choices=[None, "bi", "uni"],
                    help="override attention direction (bi/uni, XLNet arg)")
+    p.add_argument("--pre_ln", action="store_true",
+                   help="opt the BERT-family archs (bert/albert/electra/"
+                        "roberta) back into the TPU-tuned pre-LN variant "
+                        "(norm_first=True, no embedding LayerNorm). The "
+                        "HF-faithful post-LN default measures ~-36%% RTD "
+                        "recall@20 at the 2000-step check "
+                        "(docs/performance.md); use this for ELECTRA-RTD "
+                        "quality runs")
     p.add_argument("--item_id_embeddings_init_std", type=float, default=None)
     p.add_argument("--other_embeddings_init_std", type=float, default=None)
     p.add_argument("--numeric_features_project_to_embedding_dim", type=int, default=0)
@@ -278,6 +286,8 @@ def get_model(args, schema):
     )
     if args.attn_type is not None:
         build_kwargs["causal"] = args.attn_type == "uni"
+    if args.pre_ln:
+        build_kwargs.update(norm_first=True, embed_layer_norm=False)
     cfg = tr.transformer_registry.parse(args.model_type).build(**build_kwargs)
     task = tr.NextItemPredictionTask(
         weight_tying=args.mf_constrained_embeddings,

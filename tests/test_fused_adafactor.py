@@ -134,3 +134,37 @@ def test_pallas_table_update_matches_jnp():
     for i, (w, g_) in enumerate(zip(want, got)):
         np.testing.assert_allclose(np.asarray(g_), np.asarray(w),
                                    rtol=2e-6, atol=2e-7, err_msg=f"step {i}")
+
+
+def test_bf16_moment_storage():
+    """moment_dtype=bf16: the second-moment state is STORED bf16 (half the
+    optimizer HBM stream) while updates stay close to the f32-state
+    trajectory (compute is f32 either way)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from transformers4rec_tpu.ops.fused_adafactor import fused_adafactor
+
+    V, E = 512, 16
+    rng = np.random.default_rng(3)
+    p0 = jnp.asarray(rng.normal(size=(V, E)).astype(np.float32) * 0.05)
+
+    def run(mdt):
+        tx = fused_adafactor(1e-2, moment_dtype=mdt)
+        p, state = p0, tx.init(p0)
+        for i in range(4):
+            g = jnp.asarray(
+                np.random.default_rng(i).normal(size=(V, E)).astype(np.float32)
+            )
+            upd, state = jax.jit(tx.update)(g, state, p)
+            p = p + upd
+        return p, state
+
+    p32, _ = run(None)
+    pbf, state = run(jnp.bfloat16)
+    v = jax.tree.leaves(state.v)
+    assert any(x.dtype == jnp.bfloat16 for x in v if x.ndim == 2)
+    # bf16 second-moment rounding perturbs the rsqrt scale by ~2^-9 relative
+    np.testing.assert_allclose(np.asarray(pbf), np.asarray(p32),
+                               rtol=0, atol=5e-4)

@@ -220,6 +220,50 @@ def test_reference_tuned_command_runs(tmp_path, pick):
     assert any("recall" in k for k in results)
 
 
+def test_pre_ln_cli_escape(tmp_path):
+    """--pre_ln: the ELECTRA-RTD command reaches the TPU-tuned pre-LN
+    variant FROM THE CLI (the HF-faithful post-LN default measures ~-36%
+    RTD recall@20 — docs/performance.md documents the recommended
+    quality-first RTD command line)."""
+    cli = _load_cli()
+    argv = [
+        "--use_synthetic",
+        "--model_type", "electra",
+        "--rtd",
+        "--pre_ln",
+        "--d_model", "32", "--n_layer", "1", "--n_head", "2",
+        "--session_seq_length_max", "10",
+        "--per_device_train_batch_size", "8",
+        "--per_device_eval_batch_size", "8",
+        "--start_time_window_index", "1",
+        "--final_time_window_index", "2",
+        "--output_dir", str(tmp_path),
+    ]
+    # the built config must actually be pre-LN (not just accept the flag)
+    parser = cli.build_parser()
+    args = parser.parse_args(argv)
+    import transformers4rec_tpu as tr
+
+    from transformers4rec_tpu.data.synthetic import (
+        synthetic_ecommerce_data_schema,
+    )
+
+    post = tr.transformer_registry.parse("electra").build(
+        d_model=32, n_head=2, n_layer=1, total_seq_length=10
+    )
+    assert post.norm_first is False and post.embed_layer_norm is True
+    schema = synthetic_ecommerce_data_schema(
+        num_items=300, num_categories=20, max_session_length=10
+    )
+    model = cli.get_model(args, schema)
+    enc = [b for b in model.heads[0].body.blocks
+           if hasattr(b, "transformer")][0].transformer
+    assert enc.norm_first is True and enc.embed_layer_norm is False
+    # and the command runs end-to-end
+    results = cli.main(argv)
+    assert results and any("recall" in k for k in results)
+
+
 def test_paper_cli_padded_window_folders(tmp_path):
     """--time_window_folder_pad_digits 4: the CLI reads '0001'-style window
     folders — the layout real NVTabular preprocessing emits (reference CI

@@ -193,3 +193,25 @@ def test_runner_accepts_ragged_sessions(trained, tmp_path):
     s_rag, i_rag = runner.predict(ragged)
     np.testing.assert_array_equal(i_ref, i_rag)
     np.testing.assert_allclose(s_ref, s_rag, rtol=1e-6)
+
+
+def test_export_strips_vocab_parallel_mesh(trained, tmp_path):
+    """Exporting an auto-engaged (vocab_parallel_mesh) model must produce a
+    plain single-device artifact — the training mesh's shard_map must not be
+    baked into the StableHLO. Predictions equal the unsharded model's."""
+    from transformers4rec_tpu.parallel import make_mesh
+
+    schema, model, params, batch = trained
+    mesh = make_mesh(model=2)
+    task = model.heads[0].tasks[0].clone(vocab_parallel_mesh=mesh)
+    head = model.heads[0].clone(tasks=(task,))
+    vp_model = model.clone(heads=(head,))
+
+    path = export_model(vp_model, params, batch,
+                        str(tmp_path / "artifact_vp"), top_k=5)
+    runner = load_runner(path)
+    scores, ids = runner.predict({k: np.asarray(v) for k, v in batch.items()})
+    want_scores, want_ids = model.apply(params, batch, top_k=5)
+    np.testing.assert_allclose(np.asarray(want_scores), scores,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(want_ids), ids)

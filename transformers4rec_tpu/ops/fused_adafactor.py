@@ -212,11 +212,18 @@ def fused_adafactor(
     clipping_threshold: Optional[float] = 1.0,
     eps: float = 1e-30,
     use_pallas: bool = False,
+    moment_dtype: Optional[Any] = None,
 ) -> optax.GradientTransformation:
     """Drop-in replacement for ``optax.adafactor(learning_rate,
     multiply_by_parameter_scale=False)`` with ~40% less HBM traffic on large
     2-D params. Compose via ``optax.multi_transform`` for embedding tables
-    (see ``label_embedding_params``)."""
+    (see ``label_embedding_params``).
+
+    ``moment_dtype`` (e.g. ``jnp.bfloat16``) stores the second-moment state
+    in a narrower dtype — compute stays f32 (decay/rsqrt/clip upcast), only
+    the HBM-resident state narrows, halving the optimizer's read+write
+    stream on a (V, E) table. None = the param's dtype (exact optax parity,
+    the default)."""
 
     def init(params):
         def _dropped_axis_sharding(p, drop_axis):
@@ -233,20 +240,22 @@ def fused_adafactor(
             return NamedSharding(sh.mesh, PartitionSpec(*spec))
 
         def _init_leaf(p):
+            mdt = moment_dtype or p.dtype
             dims = _factored_dims(p.shape, min_dim_size_to_factor)
             if dims is not None:
                 d1, d0 = dims
-                vr = jnp.zeros(tuple(np.delete(p.shape, d0)), p.dtype)
-                vc = jnp.zeros(tuple(np.delete(p.shape, d1)), p.dtype)
+                vr = jnp.zeros(tuple(np.delete(p.shape, d0)), mdt)
+                vc = jnp.zeros(tuple(np.delete(p.shape, d1)), mdt)
                 vr_sh = _dropped_axis_sharding(p, d0)
                 vc_sh = _dropped_axis_sharding(p, d1)
                 if vr_sh is not None:
                     vr = jax.device_put(vr, vr_sh)
                 if vc_sh is not None:
                     vc = jax.device_put(vc, vc_sh)
-                return _LeafResult(None, vr, vc, jnp.zeros((1,), p.dtype))
-            return _LeafResult(None, jnp.zeros((1,), p.dtype),
-                               jnp.zeros((1,), p.dtype), jnp.zeros_like(p))
+                return _LeafResult(None, vr, vc, jnp.zeros((1,), mdt))
+            return _LeafResult(None, jnp.zeros((1,), mdt),
+                               jnp.zeros((1,), mdt),
+                               jnp.zeros(p.shape, mdt))
 
         leaves = jax.tree.map(_init_leaf, params)
         is_res = lambda t: isinstance(t, _LeafResult)  # noqa: E731
@@ -268,6 +277,7 @@ def fused_adafactor(
 
         def _update_leaf(g, v_row, v_col, v, p):
             dtype = p.dtype
+            sdtype = moment_dtype or p.dtype  # moment STORAGE dtype
             g = g.astype(jnp.float32)
             dims = _factored_dims(p.shape, min_dim_size_to_factor)
             if dims is not None:
@@ -280,13 +290,14 @@ def fused_adafactor(
                              + (1.0 - decay) * (jnp.mean(g2, axis=d0) + eps))
                 new_v_col = (decay * v_col
                              + (1.0 - decay) * (jnp.mean(g2, axis=d1) + eps))
-                new_v_row = new_v_row.astype(dtype)
-                new_v_col = new_v_col.astype(dtype)
+                new_v_row = new_v_row.astype(sdtype)
+                new_v_col = new_v_col.astype(sdtype)
                 reduced_d1 = d1 - 1 if d1 > d0 else d1
-                row_col_mean = jnp.mean(new_v_row, axis=reduced_d1,
-                                        keepdims=True)
-                rf = (new_v_row / row_col_mean) ** -0.5  # broadcast at d0
-                cf = new_v_col ** -0.5                    # broadcast at d1
+                vr32 = new_v_row.astype(jnp.float32)
+                vc32 = new_v_col.astype(jnp.float32)
+                row_col_mean = jnp.mean(vr32, axis=reduced_d1, keepdims=True)
+                rf = (vr32 / row_col_mean) ** -0.5  # broadcast at d0
+                cf = vc32 ** -0.5                    # broadcast at d1
                 rf_b = jnp.expand_dims(rf, axis=d0)
                 cf_b = jnp.expand_dims(cf, axis=d1)
                 if clipping_threshold is not None:
@@ -318,9 +329,10 @@ def fused_adafactor(
                     clipping_threshold, eps,
                 )
                 return _LeafResult(upd.astype(dtype), v_row, v_col,
-                                   new_v.astype(dtype))
+                                   new_v.astype(sdtype))
             g2 = g * g + eps
-            new_v = (decay * v + (1.0 - decay) * g2).astype(dtype)
+            new_v = (decay * v.astype(jnp.float32)
+                     + (1.0 - decay) * g2).astype(sdtype)
             inv = jax.lax.rsqrt(new_v.astype(jnp.float32))
             if clipping_threshold is not None:
                 rms = jnp.sqrt(jnp.mean((g * inv) ** 2))

@@ -37,6 +37,28 @@ from ..model.base import Model
 from ..schema import Schema
 
 
+def _strip_vocab_parallel(model: Model) -> Model:
+    """Clone ``model`` with every NextItemPredictionTask's
+    ``vocab_parallel_mesh`` cleared (no-op when none is set)."""
+    from ..model.prediction_task import NextItemPredictionTask
+
+    heads = list(getattr(model, "heads", ()) or ())
+    new_heads, changed = [], False
+    for head in heads:
+        tasks = list(head.tasks)
+        head_changed = False
+        for i, t in enumerate(tasks):
+            if (isinstance(t, NextItemPredictionTask)
+                    and t.vocab_parallel_mesh is not None):
+                tasks[i] = t.clone(vocab_parallel_mesh=None)
+                head_changed = True
+        if head_changed:
+            head = head.clone(tasks=tuple(tasks))
+            changed = True
+        new_heads.append(head)
+    return model.clone(heads=tuple(new_heads)) if changed else model
+
+
 def export_model(
     model: Model,
     params,
@@ -68,6 +90,13 @@ def export_model(
     from jax import export as jexport
 
     os.makedirs(path, exist_ok=True)
+    # serving artifacts are single-logical-device StableHLO programs: strip
+    # any training-time vocab_parallel_mesh (the Trainer auto-engages it for
+    # row-sharded tables) so the inference trace scores against the full
+    # table instead of baking a shard_map over the TRAINING mesh topology
+    # into the export. Sharded SERVING is the runner's concern, not the
+    # artifact's.
+    model = _strip_vocab_parallel(model)
     example = {k: jnp.asarray(v) for k, v in example_batch.items()}
 
     if weights_dtype is not None:

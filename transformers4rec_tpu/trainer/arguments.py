@@ -70,12 +70,16 @@ class T4RecTrainingArguments:
     per_device_train_batch_size: int = 64
     per_device_eval_batch_size: int = 32
     gradient_accumulation_steps: int = 1
-    # >1 = run K optimizer steps per device dispatch (lax.scan over K stacked
+    # run K optimizer steps per device dispatch (lax.scan over K stacked
     # batches). Amortizes per-dispatch overhead — measured 11.9 -> 9.3
-    # ms/step (+28% throughput) at K=8 on the REES46 bench config (TPU v5e).
-    # Identical numerics to K=1 (same per-step RNG chain); the loop falls
-    # back to single-step execution for the <K tail of an epoch.
-    steps_per_execution: int = 1
+    # ms/step (+28% throughput) at K=8 on the REES46 bench config (TPU v5e);
+    # Trainer.train() steady-state at K=8 = 13.3k ex/s/chip vs ~11k at K=1.
+    # DEFAULT 8 (round-4 decision): numerics are BIT-IDENTICAL to K=1 (same
+    # per-step RNG chain — pinned by test), groups never cross save/eval/
+    # profile boundaries, and the <K epoch tail runs single-step, so the only
+    # cost is a slightly longer first compile. Set 1 for minimal-latency
+    # interactive/debug runs.
+    steps_per_execution: int = 8
     # session packing (data/packing.py): the TRAIN loader packs multiple
     # short sessions per row with block-diagonal attention — per-row step
     # cost unchanged, ~1.7-1.8x sessions/row, measured +45% recall@20 at
