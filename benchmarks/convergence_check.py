@@ -92,6 +92,11 @@ def main():
                          "(reference transf_exp_args.py plm_probability)")
     ap.add_argument("--plm-span", type=int, default=5,
                     help="PLM: max span length (reference max_span_length)")
+    ap.add_argument("--moment-dtype", default=None, choices=[None, "bf16"],
+                    help="store the table optimizer's second moment bf16 "
+                         "(fused_adafactor moment_dtype — HBM probe); only "
+                         "meaningful with --embedding-optimizer "
+                         "fused_adafactor/adafactor")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -183,12 +188,13 @@ def main():
             args.lr_schedule, args.lr, num_training_steps=args.steps,
             num_warmup_steps=int(args.steps * args.warmup_frac),
         )
+    mdt = jnp.bfloat16 if args.moment_dtype == "bf16" else None
     if args.embedding_optimizer == "adamw":
         table_tx = optax.adamw(lr)
     elif args.embedding_optimizer == "fused_adafactor":
         from transformers4rec_tpu.ops.fused_adafactor import fused_adafactor
 
-        table_tx = fused_adafactor(lr)
+        table_tx = fused_adafactor(lr, moment_dtype=mdt)
     elif args.embedding_optimizer == "factored_adafactor":
         from transformers4rec_tpu.ops.fused_adafactor import fused_adafactor
 
@@ -281,6 +287,8 @@ def main():
     }
     if args.grad_clip:
         rec["grad_clip"] = args.grad_clip
+    if args.moment_dtype:
+        rec["moment_dtype"] = args.moment_dtype
     if args.pre_ln:
         rec["pre_ln"] = True
     if args.lr_schedule != "constant" and args.warmup_frac != 0.05:
