@@ -94,9 +94,8 @@ def main():
                     help="PLM: max span length (reference max_span_length)")
     ap.add_argument("--moment-dtype", default=None, choices=[None, "bf16"],
                     help="store the table optimizer's second moment bf16 "
-                         "(fused_adafactor moment_dtype — HBM probe); only "
-                         "meaningful with --embedding-optimizer "
-                         "fused_adafactor/adafactor")
+                         "(fused_adafactor moment_dtype — HBM probe); "
+                         "requires --embedding-optimizer fused_adafactor")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -189,6 +188,12 @@ def main():
             num_warmup_steps=int(args.steps * args.warmup_frac),
         )
     mdt = jnp.bfloat16 if args.moment_dtype == "bf16" else None
+    if mdt is not None and args.embedding_optimizer != "fused_adafactor":
+        # refuse rather than silently measure an f32-state arm labeled bf16
+        raise SystemExit(
+            "--moment-dtype requires --embedding-optimizer fused_adafactor "
+            f"(got {args.embedding_optimizer!r})"
+        )
     if args.embedding_optimizer == "adamw":
         table_tx = optax.adamw(lr)
     elif args.embedding_optimizer == "fused_adafactor":

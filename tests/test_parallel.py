@@ -599,12 +599,60 @@ class TestAutoVocabParallel:
         # identical seeded init params; scores differ only by bf16 GEMM
         # rounding (training scores the same table in bf16)
         np.testing.assert_allclose(s2, s1, atol=2e-2)
-        assert i2.shape == i1.shape and (i2 >= 0).all() and (i2 < 32768).all()
+        # cardinality = num_items + 1 (0 is padding): valid ids 0..32768
+        assert i2.shape == i1.shape and (i2 >= 0).all() and (i2 <= 32768).all()
         # near-ties may swap under rounding, but the sets must mostly agree
         overlap = np.mean([
             len(set(a) & set(b)) / len(a) for a, b in zip(i1, i2)
         ])
         assert overlap >= 0.8, f"top-k id overlap {overlap:.2f}"
+
+
+def test_optimizer_moments_sharded_at_init():
+    """The (V, E) optimizer moments must be row-sharded IMMEDIATELY at
+    _ensure_state — not only after the first compiled step's output
+    shardings fix them up. A bare jit(tx.init) (no out_shardings) lands the
+    full moment on ONE device: at the 100M-row north star that is an OOM
+    before the first step ever runs. Also pins the eager fused_adafactor
+    init inheriting the param's sharding (zeros_like, not zeros)."""
+    import jax
+    import transformers4rec_tpu as tr
+
+    schema, model = _vp_model_and_schema(num_items=32768)
+    args = tr.T4RecTrainingArguments(
+        output_dir="/tmp/t4r_moment_init",
+        data_loader_engine="synthetic",
+        max_sequence_length=10,
+        per_device_train_batch_size=4,
+        max_steps=2,
+        embedding_optimizer="adafactor",
+        mesh_model_axis=2,
+        seed=3,
+    )
+    trainer = tr.Trainer(model=model, args=args, schema=schema)
+    loader = trainer.get_train_dataloader()
+    trainer._ensure_state(next(iter(loader)), 2)  # NO train step
+    specs = {
+        jax.tree_util.keystr(p): leaf.sharding.spec
+        for p, leaf in jax.tree_util.tree_leaves_with_path(
+            trainer._train_state.opt_state
+        )
+        if "item_id_table" in jax.tree_util.keystr(p)
+        and getattr(leaf, "ndim", 0) >= 2
+    }
+    assert specs, "no table moments found"
+    for k, s in specs.items():
+        assert s and s[0] == "model", (k, s)
+
+    # eager fused_adafactor init on a sharded table inherits its sharding
+    from transformers4rec_tpu.ops.fused_adafactor import fused_adafactor
+    from transformers4rec_tpu.parallel.sharded_embedding import shard_table
+
+    mesh = make_mesh(model=2)
+    table = shard_table(jnp.zeros((32768, 16)), mesh)
+    state = fused_adafactor(1e-3).init(table)
+    v = [x for x in jax.tree_util.tree_leaves(state.v) if x.ndim == 2][0]
+    assert v.sharding.spec == P("model", None), v.sharding
 
 
 def test_vocab_parallel_composes_with_session_packing():

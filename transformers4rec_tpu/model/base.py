@@ -74,6 +74,30 @@ def combine_task_losses(model, task_means: Dict[str, float]) -> float:
     return float(total) / max(sum(hw), 1e-9)
 
 
+def map_next_item_tasks(model, fn):
+    """Clone ``model`` with ``fn(task, head)`` applied to every
+    ``NextItemPredictionTask`` (fn returns the task — the same object for a
+    no-op, or a ``.clone(...)``). Returns ``model`` untouched when nothing
+    changed. The single heads→tasks traversal shared by the Trainer's
+    vocab-parallel auto-engagement and the serving export's mesh strip."""
+    heads = list(getattr(model, "heads", ()) or ())
+    new_heads, changed = [], False
+    for head in heads:
+        tasks, head_changed = [], False
+        for t in head.tasks:
+            if isinstance(t, NextItemPredictionTask):
+                new_t = fn(t, head)
+                if new_t is not t:
+                    head_changed = True
+                t = new_t
+            tasks.append(t)
+        if head_changed:
+            head = head.clone(tasks=tuple(tasks))
+            changed = True
+        new_heads.append(head)
+    return model.clone(heads=tuple(new_heads)) if changed else model
+
+
 class Head(nn.Module):
     """One body + one or more prediction tasks (reference model/base.py:235-492)."""
 

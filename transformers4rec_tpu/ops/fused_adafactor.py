@@ -253,9 +253,13 @@ def fused_adafactor(
                 if vc_sh is not None:
                     vc = jax.device_put(vc, vc_sh)
                 return _LeafResult(None, vr, vc, jnp.zeros((1,), mdt))
+            # zeros_like (not zeros): the unfactored moment must inherit the
+            # param's NamedSharding — a (V, E) moment created unsharded lands
+            # on ONE device, which is exactly the failure the factored-path
+            # _dropped_axis_sharding fix prevents
             return _LeafResult(None, jnp.zeros((1,), mdt),
                                jnp.zeros((1,), mdt),
-                               jnp.zeros(p.shape, mdt))
+                               jnp.zeros_like(p, dtype=mdt))
 
         leaves = jax.tree.map(_init_leaf, params)
         is_res = lambda t: isinstance(t, _LeafResult)  # noqa: E731
@@ -322,7 +326,10 @@ def fused_adafactor(
             # optax's version keeps `power(v, -0.5)` — two transcendentals
             # per element over (V, E)), and the clip rms recomputes
             # g²·inv_v instead of materializing the update tensor.
-            if (use_pallas and p.ndim == 2
+            # (pallas is gated off under moment_dtype: pass B would read the
+            # UNROUNDED f32 new_v while the XLA path rsqrt's the stored
+            # narrow value — two different optimizers in an A/B harness)
+            if (use_pallas and moment_dtype is None and p.ndim == 2
                     and p.shape[0] >= 4 * _PALLAS_BLOCK_ROWS):
                 upd, new_v = _pallas_unfactored_update(
                     g, v.astype(jnp.float32), p, decay, lr,

@@ -68,8 +68,12 @@ def process_data_stripe(mesh: Mesh) -> Tuple[int, int]:
     if jax.process_count() <= 1:
         return 0, 1
     devs = np.asarray(mesh.devices)
-    if devs.ndim == 1:
-        devs = devs[:, None]
+    # resolve the 'data' axis BY NAME (a user-supplied mesh may order axes
+    # ('model', 'data')) and move it to the front; remaining axes flatten
+    names = list(mesh.axis_names)
+    if "data" in names:
+        devs = np.moveaxis(devs, names.index("data"), 0)
+    devs = devs.reshape(devs.shape[0], -1)
     pid = jax.process_index()
     rows = sorted({
         i for i in range(devs.shape[0])

@@ -40,23 +40,15 @@ from ..schema import Schema
 def _strip_vocab_parallel(model: Model) -> Model:
     """Clone ``model`` with every NextItemPredictionTask's
     ``vocab_parallel_mesh`` cleared (no-op when none is set)."""
-    from ..model.prediction_task import NextItemPredictionTask
+    from ..model.base import map_next_item_tasks
 
-    heads = list(getattr(model, "heads", ()) or ())
-    new_heads, changed = [], False
-    for head in heads:
-        tasks = list(head.tasks)
-        head_changed = False
-        for i, t in enumerate(tasks):
-            if (isinstance(t, NextItemPredictionTask)
-                    and t.vocab_parallel_mesh is not None):
-                tasks[i] = t.clone(vocab_parallel_mesh=None)
-                head_changed = True
-        if head_changed:
-            head = head.clone(tasks=tuple(tasks))
-            changed = True
-        new_heads.append(head)
-    return model.clone(heads=tuple(new_heads)) if changed else model
+    return map_next_item_tasks(
+        model,
+        lambda t, _head: (
+            t.clone(vocab_parallel_mesh=None)
+            if t.vocab_parallel_mesh is not None else t
+        ),
+    )
 
 
 def export_model(

@@ -161,52 +161,40 @@ class Trainer:
         Without this, the table sharding alone makes XLA ALL-GATHER the
         (V, E) table around the opaque Pallas CE call every step — fine at
         32k rows, catastrophic and silent at the 100M-row north star."""
-        from ..model.prediction_task import NextItemPredictionTask
+        from ..model.base import map_next_item_tasks
         from ..parallel.mesh import MIN_ROWS_TO_SHARD
 
         model_size = self.mesh.shape.get("model", 1)
         if model_size <= 1:
             return
-        heads = list(getattr(self.model, "heads", ()) or ())
-        new_heads, changed = [], False
-        for head in heads:
+
+        def engage(t, head):
             rows = self._tied_table_rows(head)
             shards = (
                 rows is not None
                 and rows >= MIN_ROWS_TO_SHARD
                 and rows % model_size == 0
             )
-            new_tasks, head_changed = [], False
-            for t in head.tasks:
-                if not (isinstance(t, NextItemPredictionTask)
-                        and t.weight_tying and shards):
-                    new_tasks.append(t)
-                    continue
-                if t.vocab_parallel_mesh is not None or t.sampled_softmax:
-                    # manual mesh wins; sampled softmax only gathers O(N)
-                    # rows by id — no full-table gather to avoid
-                    new_tasks.append(t)
-                    continue
-                if not t.use_fused_ops:
-                    import warnings
+            if not (t.weight_tying and shards):
+                return t
+            if t.vocab_parallel_mesh is not None or t.sampled_softmax:
+                # manual mesh wins; sampled softmax only gathers O(N)
+                # rows by id — no full-table gather to avoid
+                return t
+            if not t.use_fused_ops:
+                import warnings
 
-                    warnings.warn(
-                        "mesh_model_axis>1 row-shards the tied item table "
-                        f"({rows} rows) but use_fused_ops=False keeps the "
-                        "dense-logits CE path, which all-gathers the (V, E) "
-                        "table every step; set use_fused_ops=True to engage "
-                        "the vocab-parallel kernels"
-                    )
-                    new_tasks.append(t)
-                    continue
-                new_tasks.append(t.clone(vocab_parallel_mesh=self.mesh))
-                head_changed = True
-            if head_changed:
-                head = head.clone(tasks=tuple(new_tasks))
-                changed = True
-            new_heads.append(head)
-        if changed:
-            self.model = self.model.clone(heads=tuple(new_heads))
+                warnings.warn(
+                    "mesh_model_axis>1 row-shards the tied item table "
+                    f"({rows} rows) but use_fused_ops=False keeps the "
+                    "dense-logits CE path, which all-gathers the (V, E) "
+                    "table every step; set use_fused_ops=True to engage "
+                    "the vocab-parallel kernels"
+                )
+                return t
+            return t.clone(vocab_parallel_mesh=self.mesh)
+
+        self.model = map_next_item_tasks(self.model, engage)
 
     # ------------------------------------------------------------ dataloaders
     def _make_loader(self, dataset, batch_size: int, shuffle: bool,
@@ -389,9 +377,9 @@ class Trainer:
         (reference trainer.py:234-241): rebuild optimizer state, keep params."""
         if self._train_state is None:
             return
-        tx = self.create_optimizer_and_scheduler(self._last_num_steps)
+        self.create_optimizer_and_scheduler(self._last_num_steps)
         self._train_state = self._train_state.replace(
-            opt_state=jax.jit(tx.init)(self._train_state.params),
+            opt_state=self._init_opt_state(self._train_state.params),
             step=jnp.zeros((), jnp.int32),
         )
         self._jit_train_step = None  # opt_state structure may have changed
@@ -417,17 +405,28 @@ class Trainer:
             self.create_optimizer_and_scheduler(num_training_steps)
         if self._train_state is None:
             params = self._init_params(example_batch)
-            # jitted init: sharding propagation row-shards the moments like
-            # their tables (pinned in tests), and eager elementwise ops are
-            # illegal on arrays that are not fully addressable per process —
-            # which 'model'-sharded tables are NOT once the model axis spans
-            # processes (cross-host row sharding)
             self._train_state = TrainState(
                 params=params,
-                opt_state=jax.jit(self._tx.init)(params),
+                opt_state=self._init_opt_state(params),
                 step=jnp.zeros((), jnp.int32),
                 rng=jax.random.PRNGKey(self.args.seed + 17),
             )
+
+    def _init_opt_state(self, params):
+        """Optimizer init under jit with EXPLICIT output shardings.
+
+        jit (vs eager) because eager elementwise ops are illegal on arrays
+        that are not fully addressable per process — which 'model'-sharded
+        tables are NOT once the model axis spans processes. But a bare
+        jax.jit(tx.init) would land every (V, E) moment on ONE device
+        (sharding propagation does not flow params→zeros in init), an OOM at
+        the 100M-row north star — so the output shardings are derived by the
+        same path-regex rules as the params': optimizer-state leaf paths end
+        with the param name, so `.*_table$` moments row-shard exactly like
+        their tables (incl. factored (V,) row moments; scalars replicate)."""
+        shapes = jax.eval_shape(self._tx.init, params)
+        out_shardings = param_shardings(shapes, self.mesh)
+        return jax.jit(self._tx.init, out_shardings=out_shardings)(params)
 
     # ------------------------------------------------------------------ steps
     def _make_one_train_step(self):
