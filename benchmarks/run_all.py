@@ -9,7 +9,7 @@ benchmark (REES46 throughput); this harness covers the full matrix:
 2. YooChoose ecommerce          — GPT-2 CLM, tied embeddings
 3. REES46 paper config          — XLNet-MLM with side features (schema from
                                   the reference's rees46_schema.pbtxt)
-4. large-vocab stress           — 8M-row table + sampled softmax on-chip
+4. large-vocab stress           — 4M-row table + sampled softmax on-chip
                                   (sharded 100M-row correctness lives in
                                   tests/test_large_vocab_stress.py +
                                   examples/large_vocab_stress.py)
@@ -182,8 +182,9 @@ def config_multitask(quick: bool):
 
 def config_large_vocab(quick: bool):
     """BASELINE.md config 4 — large-vocab stress ON-CHIP: the biggest table
-    shape that comfortably fits one v5e chip's 16GB HBM (8M rows x E=64 =
-    2GB table + 2GB unfactored adafactor moment + 2GB grad) with sampled
+    shape that comfortably fits one v5e chip's 16GB HBM (4M rows x E=64 =
+    1GB each for table + unfactored adafactor moment + grad — 8M measured
+    OOM at 19.1G: XLA pads/fragments the (V, E) temps ~2x) with sampled
     softmax (the full 8M softmax is compute-feasible through the streamed
     kernels but not the production configuration at this vocab). The TRUE
     100M-row north star runs sharded across chips — CPU-mesh correctness in
@@ -192,7 +193,7 @@ def config_large_vocab(quick: bool):
     import transformers4rec_tpu as tr
     from transformers4rec_tpu.data.synthetic import synthetic_ecommerce_data_schema
 
-    num_items = 100_000 if quick else 8_000_000
+    num_items = 100_000 if quick else 4_000_000
     schema = synthetic_ecommerce_data_schema(
         num_items=num_items, num_categories=150)
     d = 64 if quick else 192
@@ -207,7 +208,7 @@ def config_large_vocab(quick: bool):
     trainer = _make_trainer(model, schema, 32 if quick else 128, 20,
                             embedding_optimizer="adafactor")
     tput = _throughput(trainer, 10 if quick else 30)
-    return {"config": "large-vocab-8M-sampled-softmax",
+    return {"config": "large-vocab-4M-sampled-softmax",
             "num_items": num_items,
             "examples_per_sec_per_chip": round(tput, 1)}
 
@@ -232,8 +233,13 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
     for key in args.configs.split(","):
-        result = CONFIGS[key.strip()](args.quick)
-        print(json.dumps(result))
+        # one config failing (e.g. an OOM at a probe size) must not abort
+        # the rest of the matrix
+        try:
+            result = CONFIGS[key.strip()](args.quick)
+        except Exception as e:  # noqa: BLE001
+            result = {"config": key.strip(), "error": str(e)[:300]}
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
