@@ -106,15 +106,19 @@ def main():
             "dense": optax.adamw(6.7e-4),
             # T4R_BENCH_OPT_PALLAS=1: streamed two-pass pallas table update
             # (A/B knob; numerics pinned equal in test_fused_adafactor)
-            # T4R_BENCH_MOMENT_BF16=1: bf16-stored second moment (A/B knob
-            # for the HBM optimizer-traffic stream; compute stays f32)
+            # bf16-stored second moment is the DEFAULT (r4): halves the
+            # optimizer's HBM-resident state stream — measured 8.99 → 8.32
+            # ms/step (+8.1%, 2 runs/arm) and quality-NEUTRAL at the
+            # 2000-step sessionized A/B (recall@20 0.0398 vs 0.0378,
+            # eval-loss 9.48 vs 9.55, paired seed; compute stays f32).
+            # T4R_BENCH_MOMENT_F32=1 restores the f32-state arm.
             "table": fused_adafactor(
                 learning_rate=6.7e-4,
                 use_pallas=os.environ.get("T4R_BENCH_OPT_PALLAS") == "1",
                 moment_dtype=(
-                    jnp.bfloat16
-                    if os.environ.get("T4R_BENCH_MOMENT_BF16") == "1"
-                    else None
+                    None
+                    if os.environ.get("T4R_BENCH_MOMENT_F32") == "1"
+                    else jnp.bfloat16
                 ),
             ),
         },

@@ -344,7 +344,13 @@ class Trainer:
                 # min_dim_size_to_factor to opt in for 100M-row tables.
                 from ..ops.fused_adafactor import fused_adafactor
 
-                table_tx = fused_adafactor(learning_rate=self._schedule)
+                table_tx = fused_adafactor(
+                    learning_rate=self._schedule,
+                    moment_dtype=(
+                        jnp.bfloat16
+                        if a.embedding_moment_dtype == "bf16" else None
+                    ),
+                )
             chain.append(
                 optax.multi_transform(
                     {"dense": dense_tx, "table": table_tx},
