@@ -1,0 +1,173 @@
+"""Sparse-embedding train step (embedding_optimizer="sparse_adam"):
+the O(N·E) gather/scatter path must be EXACTLY the dense path — same loss,
+and its row gradients scatter-add to the dense (V, E) table gradient."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import transformers4rec_tpu as tr
+from transformers4rec_tpu.data.synthetic import (
+    synthetic_data,
+    synthetic_ecommerce_data_schema,
+)
+
+
+def _build(masking, num_items=2000, sampled=True):
+    schema = synthetic_ecommerce_data_schema(
+        num_items=num_items, num_categories=20, max_session_length=10
+    )
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=32, masking=masking, aggregation="concat"
+    )
+    arch = "gpt2" if masking == "clm" else "xlnet"
+    cfg = tr.transformer_registry.parse(arch).build(
+        d_model=32, n_head=2, n_layer=1, total_seq_length=10
+    )
+    model = cfg.to_model(
+        im,
+        tr.NextItemPredictionTask(
+            weight_tying=True, sampled_softmax=sampled, max_n_samples=64
+        ),
+    )
+    return schema, model
+
+
+@pytest.mark.parametrize("masking", ["mlm", "clm"])
+def test_sparse_grads_match_dense(masking):
+    """Same injected negatives → the sparse step's loss equals the dense
+    path's EXACTLY, and scatter-add of its row grads equals the dense dW."""
+    import flax.linen as nn
+
+    from transformers4rec_tpu.trainer.sparse_embedding_step import (
+        _pos_map,
+        find_table_path,
+        make_interceptor,
+        tree_get,
+        tree_set,
+    )
+
+    schema, model = _build(masking)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_data(
+            schema, num_rows=8, max_session_length=10, seed=0
+        ).items()
+    }
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "masking": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+        "sampling": jax.random.PRNGKey(3),
+    }
+    apply_rngs = {k: v for k, v in rngs.items() if k != "params"}
+    params = model.init(rngs, batch, training=True)
+
+    path = find_table_path(params, "item_id")
+    table = tree_get(params, path)
+    task = model.heads[0].tasks[0]
+    neg = task.make_sampler(table.shape[0]).sample(jax.random.PRNGKey(9))
+    batch2 = {**batch, "__neg_ids__": neg}
+
+    # ---- dense reference: value_and_grad over the full params
+    def dense_loss(p):
+        loss, _ = model.apply(p, batch2, targets=batch2, training=True,
+                              compute_metrics=False, rngs=apply_rngs)
+        return loss
+
+    loss_d, grads_d = jax.value_and_grad(dense_loss)(params)
+    dW = tree_get(grads_d, path)
+
+    # ---- sparse: rows gathered outside autodiff, interceptor redirects
+    item_ids = batch["item_id"]
+    B, S = item_ids.shape
+    ids_in = item_ids.reshape(-1).astype(jnp.int32)
+    all_ids = jnp.concatenate([ids_in, neg.astype(jnp.int32)])
+    rows = jnp.take(table, all_ids, axis=0)
+    dense_tree = tree_set(params, path, None)
+    pmap = jnp.asarray(_pos_map(masking, B, S))
+
+    def sparse_loss(dense_tree, rows):
+        p_full = tree_set(dense_tree, path, jax.lax.stop_gradient(table))
+        with nn.intercept_methods(
+            make_interceptor(rows, "item_id", B * S, pmap, neg)
+        ):
+            loss, _ = model.apply(p_full, batch2, targets=batch2,
+                                  training=True, compute_metrics=False,
+                                  rngs=apply_rngs)
+        return loss
+
+    loss_s, (gd, g_rows) = jax.value_and_grad(sparse_loss, argnums=(0, 1))(
+        dense_tree, rows
+    )
+    np.testing.assert_allclose(float(loss_s), float(loss_d), rtol=1e-6)
+
+    scattered = jnp.zeros_like(dW).at[all_ids].add(g_rows)
+    np.testing.assert_allclose(np.asarray(scattered), np.asarray(dW),
+                               rtol=1e-5, atol=1e-7)
+    # dense-param grads match too (the interceptor changes nothing upstream)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        ),
+        gd, tree_set(grads_d, path, None),
+    )
+
+
+@pytest.mark.parametrize("masking", ["mlm", "clm"])
+def test_sparse_trainer_end_to_end(masking, tmp_path):
+    """Full Trainer with sparse_adam: trains (loss decreases), composes with
+    steps_per_execution packing, and checkpoints round-trip the
+    (dense, SparseRowsAdamState) optimizer state."""
+    schema, model = _build(masking)
+    args = tr.T4RecTrainingArguments(
+        output_dir=str(tmp_path),
+        data_loader_engine="synthetic",
+        max_sequence_length=10,
+        per_device_train_batch_size=8,
+        per_device_eval_batch_size=8,
+        max_steps=10,
+        steps_per_execution=2,
+        learning_rate=1e-2,
+        logging_steps=1,
+        embedding_optimizer="sparse_adam",
+        save_steps=10,
+        seed=5,
+    )
+    trainer = tr.Trainer(model=model, args=args, schema=schema)
+    trainer.train()
+    hist = [h["loss"] for h in trainer.state.log_history if "loss" in h]
+    assert np.isfinite(hist).all() and hist[-1] < hist[0], hist
+
+    # the sparse state must round-trip through the checkpoint machinery
+    ck = trainer._latest_checkpoint()
+    assert ck is not None
+    want = jax.device_get(trainer._train_state.opt_state[1].mu)
+    trainer.load(ck)
+    got = jax.device_get(trainer._train_state.opt_state[1].mu)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+    # eval/predict take the standard dense-forward paths unchanged
+    ev = trainer.evaluate()
+    assert np.isfinite(ev["eval_loss"])
+
+
+def test_sparse_validation_errors(tmp_path):
+    from transformers4rec_tpu.trainer.sparse_embedding_step import (
+        validate_sparse_config,
+    )
+
+    # full softmax → refuse (dense (V, E) gradient is unavoidable)
+    schema, model = _build("mlm", sampled=False)
+    args = tr.T4RecTrainingArguments(
+        output_dir=str(tmp_path), data_loader_engine="synthetic",
+        embedding_optimizer="sparse_adam",
+    )
+    with pytest.raises(NotImplementedError, match="sampled_softmax"):
+        validate_sparse_config(model, args)
+
+    # unsupported masking scheme → refuse
+    schema, model = _build("rtd")
+    with pytest.raises(NotImplementedError, match="mlm/clm"):
+        validate_sparse_config(model, args)

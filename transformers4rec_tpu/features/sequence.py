@@ -165,5 +165,10 @@ class TabularSequenceFeatures(TabularFeatures):
             table = None
             if self.item_id is not None:
                 table = self.item_embedding_table()
-            info = info.replace(item_ids=item_ids, item_table=table)
+            info = info.replace(
+                item_ids=item_ids, item_table=table,
+                # reserved key (never a schema feature): pre-drawn sampled-
+                # softmax negatives from the sparse-embedding train step
+                neg_ids=inputs.get("__neg_ids__"),
+            )
         return hidden, info

@@ -68,6 +68,12 @@ class MaskingInfo:
     # distance only, and learned-absolute positions restart per segment in
     # the encoder. No reference analog.
     segment_ids: Optional[jnp.ndarray] = None
+    # Optional pre-drawn sampled-softmax negative ids (n,) threaded from a
+    # reserved "__neg_ids__" batch key — the sparse-embedding train step
+    # (trainer/sparse_embedding_step.py) draws negatives OUTSIDE the model so
+    # the touched table rows are known before autodiff; the task uses these
+    # instead of drawing from its "sampling" rng when present.
+    neg_ids: Optional[jnp.ndarray] = None
     # static (non-pytree) declaration by the label generator that targets are
     # per-segment-last-item ONLY — at most one per segment, each segment with
     # >=2 items — so targets/row <= S//2. The prediction task's packed-eval

@@ -346,20 +346,19 @@ class NextItemPredictionTask(PredictionTask):
             x = nn.Dense(item_dim, name="tying_projection", use_bias=False)(x)
         return x
 
-    def _sampled_logits(self, rng, x2d, labels, weights_table):
-        """Sampled-softmax logits + zero labels (reference sampled() :673-696).
-        ``softmax_temperature`` is applied to the RAW scores here — dividing
-        the returned logits would scale the logQ correction by 1/temp and
-        bias the estimator toward popular items at any temp != 1."""
-        sampler = LogUniformSampler(
-            self.max_n_samples,
-            self.target_dim or weights_table.shape[0],
-            self.min_id,
+    def make_sampler(self, vocab_rows: int) -> LogUniformSampler:
+        """The task's negative sampler — exposed so the sparse-embedding
+        train step can draw the SAME distribution outside the model."""
+        return LogUniformSampler(
+            self.max_n_samples, self.target_dim or vocab_rows, self.min_id
         )
+
+    def _sampled_scores(self, x2d, labels, pos_w, neg_w, neg_ids, sampler):
+        """Score gathered positive/negative rows (reference sampled()
+        :673-696). ``softmax_temperature`` is applied to the RAW scores here
+        — dividing the returned logits would scale the logQ correction by
+        1/temp and bias the estimator toward popular items at any temp != 1."""
         temp = self.softmax_temperature or 1.0
-        neg_ids = sampler.sample(rng)  # (n,)
-        pos_w = weights_table[labels]  # (N, E)
-        neg_w = weights_table[neg_ids]  # (n, E)
         pos_scores = (x2d * pos_w).sum(-1, keepdims=True) / temp
         neg_scores = jnp.einsum("ne,se->ns", x2d, neg_w,
                                 preferred_element_type=jnp.float32) / temp
@@ -372,6 +371,17 @@ class NextItemPredictionTask(PredictionTask):
         neg_scores = jnp.where(hits, -1e4, neg_scores)
         logits = jnp.concatenate([pos_scores, neg_scores], axis=1)
         return logits, jnp.zeros(logits.shape[0], jnp.int32)
+
+    def _sampled_logits(self, rng, x2d, labels, weights_table, neg_ids=None):
+        """Sampled-softmax logits + zero labels. ``neg_ids`` overrides the
+        rng draw with pre-drawn negatives (MaskingInfo.neg_ids — the
+        sparse-embedding step must know the touched rows before autodiff)."""
+        sampler = self.make_sampler(weights_table.shape[0])
+        if neg_ids is None:
+            neg_ids = sampler.sample(rng)  # (n,)
+        pos_w = weights_table[labels]  # (N, E)
+        neg_w = weights_table[neg_ids]  # (n, E)
+        return self._sampled_scores(x2d, labels, pos_w, neg_w, neg_ids, sampler)
 
     @nn.compact
     def __call__(
@@ -410,7 +420,9 @@ class NextItemPredictionTask(PredictionTask):
                 labels = targets.reshape(N).astype(jnp.int32)
                 # temperature applied inside _sampled_logits (raw scores
                 # only — the logQ correction must not be tempered)
-                logits, zero_labels = self._sampled_logits(rng, x2d, labels, W)
+                logits, zero_labels = self._sampled_logits(
+                    rng, x2d, labels, W, neg_ids=info.neg_ids
+                )
                 loss = cross_entropy_with_logits(
                     logits, zero_labels, weights=mask.reshape(N),
                     label_smoothing=self.label_smoothing,

@@ -1,0 +1,241 @@
+"""O(N·E) sparse-embedding train step: no dense (V, E) table gradient, ever.
+
+``embedding_optimizer="sparse_adam"`` replaces the item table's dense
+grad→optimizer pipeline — which a 4M-row × E=64 probe measured at ~30 of 36
+ms/step (dense (V, E) grad materialization ~19 ms + optimizer state traffic
+~11 ms; `benchmarks/large_table_probe.py`) — with the gather/scatter update
+of ``ops/sparse_update.py``:
+
+1. The step knows every table row a sampled-softmax batch touches BEFORE
+   autodiff: the input ids (``batch[item_col]``) plus the sampled negatives
+   (drawn trainer-side and threaded to the task via the reserved
+   ``"__neg_ids__"`` batch key → ``MaskingInfo.neg_ids``). Labels are always
+   batch ids at known positions (MLM: same position; CLM: next position),
+   so positive rows need no extra gather.
+2. ``rows = table[all_ids]`` is gathered OUTSIDE ``value_and_grad``; the
+   loss closes over a ``stop_gradient`` table and a flax method interceptor
+   (``nn.intercept_methods``) redirects the model's only two table reads —
+   ``SequenceEmbeddingFeatures.lookup(item_col, ids)`` and
+   ``NextItemPredictionTask._sampled_logits`` — to slices of ``rows``. The
+   model code itself is untouched; loss and gradients are EXACTLY the dense
+   path's (pinned by tests/test_sparse_step.py: scatter(g_rows) == dense dW).
+3. ``sparse_rows_adam_update`` applies lazy-Adam to the touched rows only:
+   per-step table traffic is O(N·E) gathers/scatters instead of O(V·E).
+
+Scope (validated up front): exactly one ``NextItemPredictionTask`` with
+``sampled_softmax=True`` + ``weight_tying``, masking ∈ {mlm, clm} (packed or
+not — packed CLM labels stop at segment boundaries with zero weight, so the
+position map stays valid), single process. Other (small) feature tables keep
+the standard dense optimizer.
+
+The reference has no analog (torch dense Adam over every row each step —
+SURVEY.md §2.9); at the 100M-row north star a dense step is unusable, and
+this path is what makes single-chip/multi-chip training of huge-vocab
+sampled-softmax models feasible at speed.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..ops.sparse_update import dedupe_row_grads, sparse_rows_adam_update
+
+
+def find_table_path(params, item_col: str) -> Tuple:
+    """Key-path of the tied item table leaf (``{item_col}_table``)."""
+    needle = f"{item_col}_table"
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        if getattr(leaf, "ndim", 0) == 2 and jax.tree_util.keystr(path).endswith(
+            f"'{needle}']"
+        ):
+            return path
+    raise ValueError(f"no 2-D param leaf named {needle} found")
+
+
+def tree_set(tree, path, value):
+    """Return ``tree`` with the leaf at key-``path`` replaced by ``value``
+    (``None`` removes it from the pytree — an empty subtree)."""
+    if not path:
+        return value
+    key = path[0].key
+    rebuilt = {k: tree[k] for k in tree}
+    rebuilt[key] = tree_set(tree[key], path[1:], value)
+    if tree.__class__ is dict:
+        return rebuilt
+    return tree.__class__(rebuilt)  # FrozenDict and friends
+
+
+def tree_get(tree, path):
+    for p in path:
+        tree = tree[p.key]
+    return tree
+
+
+def validate_sparse_config(model, args) -> Tuple[Any, str, str]:
+    """Check the model shape ``sparse_adam`` supports; returns
+    (task, item_col, masking_name)."""
+    from ..masking import masking_registry
+    from ..model.prediction_task import NextItemPredictionTask
+
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "embedding_optimizer='sparse_adam' is single-process for now "
+            "(use 'adafactor'/'lazy_adam' on multi-host runs)"
+        )
+    heads = list(getattr(model, "heads", ()) or ())
+    tasks = [
+        t for h in heads for t in h.tasks
+        if isinstance(t, NextItemPredictionTask)
+    ]
+    if len(heads) != 1 or len(tasks) != 1:
+        raise NotImplementedError(
+            "sparse_adam requires exactly one head with one "
+            "NextItemPredictionTask"
+        )
+    task = tasks[0]
+    if not (task.sampled_softmax and task.weight_tying):
+        raise NotImplementedError(
+            "sparse_adam requires sampled_softmax=True and weight_tying=True "
+            "(a full-softmax loss touches every table row — use the fused/"
+            "vocab-parallel CE with 'adafactor' instead)"
+        )
+    im = heads[0].input_module
+    item_col = getattr(im, "item_id", None)
+    if item_col is None:
+        raise ValueError("sparse_adam: input module has no item_id column")
+    masking = getattr(im, "masking", None)
+    masking_name = None
+    for key in ("clm", "mlm", "plm", "rtd"):
+        if masking is not None and masking_registry.get(key) is type(masking):
+            masking_name = key
+            break
+    if masking_name not in ("mlm", "clm"):
+        raise NotImplementedError(
+            f"sparse_adam supports mlm/clm masking (got {masking_name!r}): "
+            "the positive-row position map must cover every label"
+        )
+    return task, item_col, masking_name
+
+
+def _pos_map(masking_name: str, B: int, S: int) -> np.ndarray:
+    """Flat row index (into the gathered input rows) of each label position.
+
+    MLM labels are the item id AT the position; CLM labels are the NEXT
+    position's id (the last column has no target — weight 0 — so its clipped
+    map entry is never read with nonzero weight)."""
+    if masking_name == "mlm":
+        return np.arange(B * S, dtype=np.int32)
+    cols = np.minimum(np.arange(S) + 1, S - 1)
+    return (np.arange(B)[:, None] * S + cols[None, :]).reshape(-1).astype(
+        np.int32
+    )
+
+
+def make_interceptor(rows: jnp.ndarray, item_col: str, n_in: int,
+                     pos_map: jnp.ndarray, neg_ids: jnp.ndarray):
+    """Flax method interceptor redirecting the two item-table reads to the
+    pre-gathered ``rows`` ((n_in + n_neg, E): input rows then negatives)."""
+
+    def interceptor(next_fun, args, kwargs, context):
+        name = context.method_name
+        if name == "lookup" and args and args[0] == item_col:
+            m = context.module
+            ids = args[1]
+            emb = rows[:n_in].reshape(*ids.shape, -1)
+            if m.mask_padding:
+                emb = emb * (ids != m.padding_idx)[..., None].astype(emb.dtype)
+            return emb
+        if name == "_sampled_logits":
+            m = context.module
+            rng, x2d, labels, W = args
+            del rng  # negatives are pre-drawn
+            pos_w = rows[pos_map]
+            neg_w = rows[n_in:]
+            sampler = m.make_sampler(W.shape[0])
+            return m._sampled_scores(x2d, labels, pos_w, neg_w,
+                                     kwargs.get("neg_ids", neg_ids), sampler)
+        return next_fun(*args, **kwargs)
+
+    return interceptor
+
+
+def make_sparse_one_step(model, args, table_path, item_col: str,
+                         masking_name: str, sampler, dense_tx,
+                         schedule):
+    """Build the sparse-embedding single train step — same contract as
+    Trainer._make_one_train_step's inner fn: ``(TrainState, batch) →
+    (TrainState, loss)`` (lax.scan-packable)."""
+    from .trainer import TrainState
+
+    clip = args.max_grad_norm if args.max_grad_norm and args.max_grad_norm > 0 \
+        else None
+
+    def one_step(state: TrainState, batch):
+        rng, new_rng = jax.random.split(state.rng)
+        r = {
+            "masking": jax.random.fold_in(rng, 0),
+            "dropout": jax.random.fold_in(rng, 1),
+            "sampling": jax.random.fold_in(rng, 2),
+            "augment": jax.random.fold_in(rng, 3),
+        }
+        neg = sampler.sample(jax.random.fold_in(rng, 4))
+
+        item_ids = batch[item_col]
+        B, S = item_ids.shape
+        ids_in = item_ids.reshape(-1).astype(jnp.int32)
+        all_ids = jnp.concatenate([ids_in, neg.astype(jnp.int32)])
+        n_in = B * S
+        pmap = jnp.asarray(_pos_map(masking_name, B, S))
+
+        table = tree_get(state.params, table_path)
+        rows = jnp.take(table, all_ids, axis=0)
+        dense_tree = tree_set(state.params, table_path, None)
+        batch2 = {**batch, "__neg_ids__": neg}
+
+        def loss_fn(dense_tree, rows):
+            params_full = tree_set(
+                dense_tree, table_path, jax.lax.stop_gradient(table)
+            )
+            with nn.intercept_methods(
+                make_interceptor(rows, item_col, n_in, pmap, neg)
+            ):
+                loss, _ = model.apply(
+                    params_full, batch2, targets=batch2, training=True,
+                    compute_metrics=False, rngs=r,
+                )
+            return loss
+
+        loss, (gd, g_rows) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            dense_tree, rows
+        )
+        # dedupe first: the clip global norm must match the dense path's,
+        # where duplicate rows' contributions are SUMMED in dW before the
+        # norm (||partials||² != ||sums||²)
+        uids, g_sum = dedupe_row_grads(all_ids, g_rows, table.shape[0])
+        if clip is not None:
+            gn = optax.global_norm((gd, g_sum))
+            scale = jnp.minimum(1.0, clip / jnp.maximum(gn, 1e-12))
+            gd = jax.tree_util.tree_map(lambda g: g * scale, gd)
+            g_sum = g_sum * scale
+        updates, dense_opt = dense_tx.update(gd, state.opt_state[0],
+                                             dense_tree)
+        new_dense = optax.apply_updates(dense_tree, updates)
+        new_table, sparse_state = sparse_rows_adam_update(
+            table, state.opt_state[1], uids, g_sum, schedule,
+            b1=args.adam_beta1, b2=args.adam_beta2, eps=args.adam_epsilon,
+            deduped=True,
+        )
+        params = tree_set(new_dense, table_path, new_table)
+        return (
+            TrainState(params=params, opt_state=(dense_opt, sparse_state),
+                       step=state.step + 1, rng=new_rng),
+            loss,
+        )
+
+    return one_step

@@ -315,7 +315,11 @@ class Trainer:
             num_cycles=num_cycles,
         )
         chain = []
-        if a.max_grad_norm and a.max_grad_norm > 0:
+        # sparse_adam: grad clipping happens INSIDE the custom step (the
+        # global norm must include the sparse row grads the optax chain
+        # never sees — trainer/sparse_embedding_step.py)
+        if a.max_grad_norm and a.max_grad_norm > 0 \
+                and a.embedding_optimizer != "sparse_adam":
             chain.append(optax.clip_by_global_norm(a.max_grad_norm))
         dense_tx = optax.adamw(
             self._schedule,
@@ -324,7 +328,7 @@ class Trainer:
             eps=a.adam_epsilon,
             weight_decay=a.weight_decay,
         )
-        if a.embedding_optimizer in ("lazy_adam", "adafactor"):
+        if a.embedding_optimizer in ("lazy_adam", "adafactor", "sparse_adam"):
             from ..ops.sparse_update import label_embedding_params, lazy_adam
 
             if a.embedding_optimizer == "lazy_adam":
@@ -361,6 +365,12 @@ class Trainer:
             chain.append(dense_tx)
         tx = optax.chain(*chain)
         if a.gradient_accumulation_steps > 1:
+            if a.embedding_optimizer == "sparse_adam":
+                raise NotImplementedError(
+                    "sparse_adam does not compose with "
+                    "gradient_accumulation_steps>1 (the row scatter-update "
+                    "applies per micro-batch, not per optimizer step)"
+                )
             tx = optax.MultiSteps(tx, a.gradient_accumulation_steps)
         self._tx = tx
         return tx
@@ -418,6 +428,25 @@ class Trainer:
                 rng=jax.random.PRNGKey(self.args.seed + 17),
             )
 
+    def _sparse_setup(self, params):
+        """Validate + resolve the sparse-embedding step's static pieces
+        (trainer/sparse_embedding_step.py); cached on first use."""
+        if getattr(self, "_sparse_cfg", None) is None:
+            from .sparse_embedding_step import (
+                find_table_path,
+                validate_sparse_config,
+            )
+
+            task, item_col, masking_name = validate_sparse_config(
+                self.model, self.args
+            )
+            path = find_table_path(params, item_col)
+            from .sparse_embedding_step import tree_get
+
+            sampler = task.make_sampler(tree_get(params, path).shape[0])
+            self._sparse_cfg = (path, item_col, masking_name, sampler)
+        return self._sparse_cfg
+
     def _init_opt_state(self, params):
         """Optimizer init under jit with EXPLICIT output shardings.
 
@@ -429,7 +458,25 @@ class Trainer:
         the 100M-row north star — so the output shardings are derived by the
         same path-regex rules as the params': optimizer-state leaf paths end
         with the param name, so `.*_table$` moments row-shard exactly like
-        their tables (incl. factored (V,) row moments; scalars replicate)."""
+        their tables (incl. factored (V,) row moments; scalars replicate).
+
+        sparse_adam: state is ``(dense_opt_state, SparseRowsAdamState)`` —
+        the item table rides the O(N·E) row update
+        (trainer/sparse_embedding_step.py); its mu/nu init eagerly via
+        zeros_like (inheriting the table's sharding; single-process only,
+        enforced by validate_sparse_config)."""
+        if self.args.embedding_optimizer == "sparse_adam":
+            from ..ops.sparse_update import sparse_rows_adam_init
+            from .sparse_embedding_step import tree_get, tree_set
+
+            path, *_ = self._sparse_setup(params)
+            dense_tree = tree_set(params, path, None)
+            shapes = jax.eval_shape(self._tx.init, dense_tree)
+            out_shardings = param_shardings(shapes, self.mesh)
+            dense_opt = jax.jit(self._tx.init, out_shardings=out_shardings)(
+                dense_tree
+            )
+            return (dense_opt, sparse_rows_adam_init(tree_get(params, path)))
         shapes = jax.eval_shape(self._tx.init, params)
         out_shardings = param_shardings(shapes, self.mesh)
         return jax.jit(self._tx.init, out_shardings=out_shardings)(params)
@@ -439,6 +486,16 @@ class Trainer:
         """The single optimizer step — shared by the K=1 jit and the
         lax.scan K-packing so the two stay bit-identical (the equivalence is
         pinned by test; a divergence here would silently break it)."""
+        if self.args.embedding_optimizer == "sparse_adam":
+            from .sparse_embedding_step import make_sparse_one_step
+
+            path, item_col, masking_name, sampler = self._sparse_setup(
+                self._train_state.params
+            )
+            return make_sparse_one_step(
+                self.model, self.args, path, item_col, masking_name, sampler,
+                self._tx, self._schedule,
+            )
         model, tx = self.model, self._tx
 
         def one_step(state: TrainState, batch):
