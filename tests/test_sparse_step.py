@@ -171,3 +171,26 @@ def test_sparse_validation_errors(tmp_path):
     schema, model = _build("rtd")
     with pytest.raises(NotImplementedError, match="mlm/clm"):
         validate_sparse_config(model, args)
+
+
+def test_sparse_composes_with_packing(tmp_path):
+    """sparse_adam x pack_sessions: packed CLM rows (segment-stopped labels
+    carry zero weight, so the position map stays valid) train end-to-end."""
+    schema, model = _build("clm")
+    args = tr.T4RecTrainingArguments(
+        output_dir=str(tmp_path),
+        data_loader_engine="synthetic",
+        max_sequence_length=10,
+        per_device_train_batch_size=8,
+        max_steps=8,
+        steps_per_execution=2,
+        pack_sessions=True,
+        learning_rate=1e-2,
+        logging_steps=1,
+        embedding_optimizer="sparse_adam",
+        seed=2,
+    )
+    trainer = tr.Trainer(model=model, args=args, schema=schema)
+    trainer.train()
+    hist = [h["loss"] for h in trainer.state.log_history if "loss" in h]
+    assert np.isfinite(hist).all() and hist[-1] < hist[0], hist
