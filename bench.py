@@ -111,13 +111,16 @@ def main():
             # ms/step (+8.1%, 2 runs/arm) and quality-NEUTRAL at the
             # 2000-step sessionized A/B (recall@20 0.0398 vs 0.0378,
             # eval-loss 9.48 vs 9.55, paired seed; compute stays f32).
-            # T4R_BENCH_MOMENT_F32=1 restores the f32-state arm.
+            # T4R_BENCH_MOMENT_F32=1 restores the f32-state arm; the pallas
+            # arm implies f32 moments (the two knobs are mutually exclusive
+            # in fused_adafactor — different update rules otherwise).
             "table": fused_adafactor(
                 learning_rate=6.7e-4,
                 use_pallas=os.environ.get("T4R_BENCH_OPT_PALLAS") == "1",
                 moment_dtype=(
                     None
                     if os.environ.get("T4R_BENCH_MOMENT_F32") == "1"
+                    or os.environ.get("T4R_BENCH_OPT_PALLAS") == "1"
                     else jnp.bfloat16
                 ),
             ),

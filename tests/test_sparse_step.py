@@ -194,3 +194,51 @@ def test_sparse_composes_with_packing(tmp_path):
     trainer.train()
     hist = [h["loss"] for h in trainer.state.log_history if "loss" in h]
     assert np.isfinite(hist).all() and hist[-1] < hist[0], hist
+
+
+def test_sparse_validation_rejects_ssn_and_frozen_table(tmp_path):
+    """Input pre/post transformations (id rewrites) and frozen pretrained
+    item tables must be refused — both would silently diverge from the
+    dense path."""
+    import numpy as _np
+
+    from transformers4rec_tpu.features.embedding import (
+        PretrainedEmbeddingsInitializer,
+    )
+    from transformers4rec_tpu.trainer.sparse_embedding_step import (
+        validate_sparse_config,
+    )
+
+    args = tr.T4RecTrainingArguments(
+        output_dir=str(tmp_path), data_loader_engine="synthetic",
+        embedding_optimizer="sparse_adam",
+    )
+
+    schema = synthetic_ecommerce_data_schema(
+        num_items=500, num_categories=10, max_session_length=10
+    )
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=32, masking="mlm", aggregation="concat",
+        pre="stochastic-swap-noise",
+    )
+    cfg = tr.transformer_registry.parse("xlnet").build(
+        d_model=32, n_head=2, n_layer=1, total_seq_length=10
+    )
+    model = cfg.to_model(im, tr.NextItemPredictionTask(
+        weight_tying=True, sampled_softmax=True, max_n_samples=16))
+    with pytest.raises(NotImplementedError, match="transformations"):
+        validate_sparse_config(model, args)
+
+    weights = _np.random.default_rng(0).normal(size=(501, 16)).astype("float32")
+    im2 = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=32, masking="mlm", aggregation="concat",
+        embeddings_initializers={
+            schema.item_id_column_name: PretrainedEmbeddingsInitializer(
+                weights, trainable=False
+            )
+        },
+    )
+    model2 = cfg.to_model(im2, tr.NextItemPredictionTask(
+        weight_tying=True, sampled_softmax=True, max_n_samples=16))
+    with pytest.raises(NotImplementedError, match="frozen"):
+        validate_sparse_config(model2, args)

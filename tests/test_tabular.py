@@ -108,3 +108,19 @@ def test_stochastic_swap_noise():
     # eval mode: identity
     out_eval = ssn.apply({}, x, training=False, pad_mask=mask)["f"]
     np.testing.assert_allclose(out_eval, x["f"])
+
+
+def test_stochastic_swap_noise_skips_reserved_keys():
+    """segment_ids (session-packing structure) and dunder side channels
+    (__neg_ids__) must pass through SSN untouched — swap-noising them would
+    corrupt block-diagonal attention / the sampled-softmax logQ pairing."""
+    ssn = StochasticSwapNoise(replacement_prob=1.0)
+    seg = jnp.tile(jnp.arange(1, 11)[None, :], (4, 1))
+    neg = jnp.arange(1, 65)
+    feat = jnp.tile(jnp.arange(1, 11)[None, :], (4, 1)).astype(jnp.float32)
+    x = {"f": feat, "segment_ids": seg, "__neg_ids__": neg}
+    out = ssn.apply({}, x, training=True,
+                    rngs={"augment": jax.random.PRNGKey(0)})
+    np.testing.assert_array_equal(out["segment_ids"], seg)
+    np.testing.assert_array_equal(out["__neg_ids__"], neg)
+    assert (out["f"] != feat).any()  # the real feature WAS noised

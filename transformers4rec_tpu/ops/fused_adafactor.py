@@ -223,7 +223,16 @@ def fused_adafactor(
     in a narrower dtype — compute stays f32 (decay/rsqrt/clip upcast), only
     the HBM-resident state narrows, halving the optimizer's read+write
     stream on a (V, E) table. None = the param's dtype (exact optax parity,
-    the default)."""
+    the default). Mutually exclusive with ``use_pallas`` (the pallas pass B
+    reads the unrounded f32 new_v — a different update rule than rsqrt of
+    the stored narrow value); the conflict raises rather than silently
+    picking one arm of an A/B."""
+    if use_pallas and moment_dtype is not None:
+        raise ValueError(
+            "fused_adafactor: use_pallas=True and moment_dtype are mutually "
+            "exclusive (pass moment_dtype=None for the pallas measurement "
+            "arm)"
+        )
 
     def init(params):
         def _dropped_axis_sharding(p, drop_axis):
@@ -326,10 +335,7 @@ def fused_adafactor(
             # optax's version keeps `power(v, -0.5)` — two transcendentals
             # per element over (V, E)), and the clip rms recomputes
             # g²·inv_v instead of materializing the update tensor.
-            # (pallas is gated off under moment_dtype: pass B would read the
-            # UNROUNDED f32 new_v while the XLA path rsqrt's the stored
-            # narrow value — two different optimizers in an A/B harness)
-            if (use_pallas and moment_dtype is None and p.ndim == 2
+            if (use_pallas and p.ndim == 2
                     and p.shape[0] >= 4 * _PALLAS_BLOCK_ROWS):
                 upd, new_v = _pallas_unfactored_update(
                     g, v.astype(jnp.float32), p, decay, lr,

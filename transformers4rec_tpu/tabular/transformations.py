@@ -38,6 +38,13 @@ class StochasticSwapNoise(TabularTransformation):
         rng = self.make_rng("augment")
         out: TabularData = {}
         for key, val in inputs.items():
+            # reserved NON-feature batch keys must pass through untouched:
+            # segment_ids is session-packing structure (swap-noising it
+            # would corrupt the block-diagonal attention), and dunder keys
+            # (__neg_ids__) are trainer-side side channels
+            if key == "segment_ids" or key.startswith("__"):
+                out[key] = val
+                continue
             rng, k1, k2, k3 = jax.random.split(rng, 4)
             # per-feature validity: the shared pad_mask when its shape
             # matches this feature's leading dims; otherwise derive from

@@ -25,8 +25,10 @@ of ``ops/sparse_update.py``:
 Scope (validated up front): exactly one ``NextItemPredictionTask`` with
 ``sampled_softmax=True`` + ``weight_tying``, masking ∈ {mlm, clm} (packed or
 not — packed CLM labels stop at segment boundaries with zero weight, so the
-position map stays valid), single process. Other (small) feature tables keep
-the standard dense optimizer.
+position map stays valid), no input pre/post transformations (id-rewriting
+augmentations would invalidate the pre-gathered rows), no frozen pretrained
+item table, single process. Other (small) ``*_table`` features keep the
+standard ``fused_adafactor`` routing; dense params ride adamw.
 
 The reference has no analog (torch dense Adam over every row each step —
 SURVEY.md §2.9); at the 100M-row north star a dense step is unusable, and
@@ -109,6 +111,26 @@ def validate_sparse_config(model, args) -> Tuple[Any, str, str]:
     item_col = getattr(im, "item_id", None)
     if item_col is None:
         raise ValueError("sparse_adam: input module has no item_id column")
+    if getattr(im, "pre", None) or getattr(im, "post", None):
+        # id-rewriting transformations (StochasticSwapNoise) change which
+        # rows a batch touches AFTER the step gathered them — the
+        # interceptor would silently score the un-augmented rows
+        raise NotImplementedError(
+            "sparse_adam does not compose with input pre/post "
+            "transformations (e.g. StochasticSwapNoise): the touched-row "
+            "set must be known before the model runs"
+        )
+    cat = getattr(im, "categorical_module", None)
+    fc = getattr(cat, "feature_configs", {}) or {}
+    init = getattr(getattr(fc.get(item_col), "table", None), "initializer",
+                   None)
+    if getattr(init, "trainable", True) is False:
+        # dense paths freeze the table via table_param's stop_gradient; the
+        # sparse scatter-update would silently thaw it
+        raise NotImplementedError(
+            "sparse_adam cannot update a frozen (trainable=False) "
+            "pretrained item table — use a dense embedding_optimizer"
+        )
     masking = getattr(im, "masking", None)
     masking_name = None
     for key in ("clm", "mlm", "plm", "rtd"):

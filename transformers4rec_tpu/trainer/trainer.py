@@ -302,6 +302,12 @@ class Trainer:
 
     def create_optimizer_and_scheduler(self, num_training_steps: int):
         a = self.args
+        if a.embedding_moment_dtype not in (None, "f32", "bf16"):
+            # a typo ('bfloat16') must not silently select the f32 arm
+            raise ValueError(
+                "embedding_moment_dtype must be None, 'f32', or 'bf16' "
+                f"(got {a.embedding_moment_dtype!r})"
+            )
         num_cycles = 0.5
         if a.lr_scheduler_type.startswith("cosine"):
             num_cycles = num_cosine_cycles(
