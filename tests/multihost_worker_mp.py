@@ -17,6 +17,10 @@ is DDP data parallelism — docs/source/multi_gpu_train.md:27-50; SURVEY.md
 §2.10 "row/column-sharded tables across hosts").
 
 Usage: multihost_worker_mp.py <process_id> <num_processes> <coordinator_port>
+       [axis_order]
+``axis_order="model_first"`` builds the mesh with axes ('model', 'data')
+instead — the Trainer stack resolves axes BY NAME (batch_sharding,
+process_data_stripe), so results must be identical.
 Prints: ``RESULT pid=.. loss=.. eval_loss=.. ndcg=.. local_rows=..
 shard_sum=.. restore=ok``
 """
@@ -31,6 +35,7 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 pid, n, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+axis_order = sys.argv[4] if len(sys.argv) > 4 else "data_first"
 jax.distributed.initialize(
     coordinator_address=f"localhost:{port}", num_processes=n, process_id=pid
 )
@@ -45,18 +50,29 @@ from transformers4rec_tpu.data.synthetic import (  # noqa: E402
 from transformers4rec_tpu.parallel import make_mesh  # noqa: E402
 from transformers4rec_tpu.parallel.mesh import process_data_stripe  # noqa: E402
 
-# interleave the global device list so the mesh COLUMNS (the 'model' axis)
-# span processes: [[p0d0, p1d0], [p0d1, p1d1]] — table shard 0 lands on
-# process 0's devices, shard 1 on process 1's
+# interleave the global device list so the mesh's 'model' axis spans
+# processes: table shard 0 lands on process 0's devices, shard 1 on
+# process 1's
 d = jax.devices()
 assert len(d) == 4, d
 order = [d[0], d[2], d[1], d[3]]
-mesh = make_mesh(data=2, model=2, devices=order)
-col_procs = [
-    {dev.process_index for dev in np.asarray(mesh.devices)[:, j]}
-    for j in range(2)
-]
-assert col_procs == [{0}, {1}], f"'model' axis does not span procs: {col_procs}"
+if axis_order == "model_first":
+    # same device placement, PERMUTED axis declaration ('model', 'data') —
+    # everything downstream must resolve axes by NAME, not position
+    from jax.sharding import Mesh
+
+    arr = np.asarray(order).reshape(2, 2)  # (data, model)
+    mesh = Mesh(arr.T, ("model", "data"))
+    model_groups = [set(dev.process_index for dev in row) for row in arr.T]
+else:
+    mesh = make_mesh(data=2, model=2, devices=order)
+    model_groups = [
+        {dev.process_index for dev in np.asarray(mesh.devices)[:, j]}
+        for j in range(2)
+    ]
+assert model_groups == [{0}, {1}], (
+    f"'model' axis does not span procs: {model_groups}"
+)
 # each process's devices cover BOTH data rows -> full-batch stripe
 assert process_data_stripe(mesh) == (0, 1)
 

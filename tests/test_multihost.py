@@ -119,11 +119,17 @@ def _single_process_mp_reference():
     )
 
 
-def test_two_process_model_parallel_table():
+import pytest
+
+
+@pytest.mark.parametrize("axis_order", ["data_first", "model_first"])
+def test_two_process_model_parallel_table(axis_order):
     """Item table row-sharded ACROSS processes: vocab-parallel CE psum over
     a cross-process 'model' axis, distributed optimizer moments, multi-host
     orbax save->load, and loss/metrics matching the single-process
-    4-device run (same mesh shape, same data)."""
+    4-device run (same mesh shape, same data). The model_first arm declares
+    the mesh axes ('model', 'data') — the stack must resolve axes by NAME
+    (process_data_stripe, batch/param shardings), not position."""
     shutil.rmtree("/tmp/t4r_mh_mp_shared", ignore_errors=True)
     port = _free_port()
     env = {
@@ -133,7 +139,7 @@ def test_two_process_model_parallel_table():
     }
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER_MP, str(pid), "2", str(port)],
+            [sys.executable, WORKER_MP, str(pid), "2", str(port), axis_order],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for pid in range(2)
