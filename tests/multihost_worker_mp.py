@@ -154,10 +154,46 @@ after_tables = _local_table_shards(trainer._train_state.params)
 after = np.asarray(after_tables[0].addressable_shards[0].data)
 np.testing.assert_allclose(after, before)
 
+# --- sparse-embedding arm: the table row-sharded ACROSS processes trained
+# with the O(N·E) sparse step (no dense (V, E) gradient anywhere) — the
+# 100M-row north-star training mode
+im_sp = tr.TabularSequenceFeatures.from_schema(
+    schema, d_output=32, masking="mlm", aggregation="concat",
+    embedding_dims={schema.item_id_column_name: 16},
+)
+model_sp = cfg.to_model(
+    im_sp, tr.NextItemPredictionTask(
+        weight_tying=True, sampled_softmax=True, max_n_samples=64
+    ),
+)
+args_sp = tr.T4RecTrainingArguments(
+    output_dir="/tmp/t4r_mh_mp_sparse",
+    data_loader_engine="synthetic",
+    max_sequence_length=10,
+    per_device_train_batch_size=4,
+    max_steps=4,
+    learning_rate=1e-2,
+    logging_steps=1,
+    steps_per_execution=2,
+    embedding_optimizer="sparse_adam",
+    mesh_model_axis=2,
+    seed=13,
+)
+t_sp = tr.Trainer(model=model_sp, args=args_sp, schema=schema, mesh=mesh)
+m_sp = t_sp.train()
+sp_loss = float(m_sp["train_loss"])
+assert np.isfinite(sp_loss), sp_loss
+mu = t_sp._train_state.opt_state[1].mu
+mu_starts = {s.index[0].start or 0 for s in mu.addressable_shards}
+assert mu_starts == {pid * (mu.shape[0] // 2)}, (pid, mu_starts)
+mu_rows = {s.data.shape[0] for s in mu.addressable_shards}
+assert mu_rows == {mu.shape[0] // 2}, mu_rows
+
 print(
     f"RESULT pid={pid} loss={metrics['train_loss']:.6f} "
     f"eval_loss={ev['eval_loss']:.6f} "
     f"ndcg={ev.get('eval_/next-item/ndcg_at_10', -1.0):.6f} "
-    f"local_rows={padded_rows // 2} shard_sum={shard_sum:.6f} restore=ok",
+    f"local_rows={padded_rows // 2} shard_sum={shard_sum:.6f} "
+    f"sparse_loss={sp_loss:.6f} restore=ok",
     flush=True,
 )

@@ -27,8 +27,12 @@ Scope (validated up front): exactly one ``NextItemPredictionTask`` with
 not — packed CLM labels stop at segment boundaries with zero weight, so the
 position map stays valid), no input pre/post transformations (id-rewriting
 augmentations would invalidate the pre-gathered rows), no frozen pretrained
-item table, single process. Other (small) ``*_table`` features keep the
-standard ``fused_adafactor`` routing; dense params ride adamw.
+item table. Other (small) ``*_table`` features keep the standard
+``fused_adafactor`` routing; dense params ride adamw. Works on sharded
+meshes AND across processes: the whole step runs under jit on global
+arrays, the row gather/scatter is partitioned by XLA against the
+row-sharded table, and mu/nu inherit the table's (cross-host) sharding
+(pinned by the multihost CI worker's sparse arm).
 
 The reference has no analog (torch dense Adam over every row each step —
 SURVEY.md §2.9); at the 100M-row north star a dense step is unusable, and
@@ -85,11 +89,6 @@ def validate_sparse_config(model, args) -> Tuple[Any, str, str]:
     from ..masking import masking_registry
     from ..model.prediction_task import NextItemPredictionTask
 
-    if jax.process_count() > 1:
-        raise NotImplementedError(
-            "embedding_optimizer='sparse_adam' is single-process for now "
-            "(use 'adafactor'/'lazy_adam' on multi-host runs)"
-        )
     heads = list(getattr(model, "heads", ()) or ())
     tasks = [
         t for h in heads for t in h.tasks

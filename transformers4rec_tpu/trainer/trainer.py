@@ -468,11 +468,12 @@ class Trainer:
 
         sparse_adam: state is ``(dense_opt_state, SparseRowsAdamState)`` —
         the item table rides the O(N·E) row update
-        (trainer/sparse_embedding_step.py); its mu/nu init eagerly via
-        zeros_like (inheriting the table's sharding; single-process only,
-        enforced by validate_sparse_config)."""
+        (trainer/sparse_embedding_step.py); mu/nu are jit-initialized with
+        the TABLE's sharding as explicit out_shardings (works for
+        cross-process row-sharded tables too)."""
         if self.args.embedding_optimizer == "sparse_adam":
-            from ..ops.sparse_update import sparse_rows_adam_init
+            from jax.sharding import NamedSharding, PartitionSpec
+            from ..ops.sparse_update import SparseRowsAdamState
             from .sparse_embedding_step import tree_get, tree_set
 
             path, *_ = self._sparse_setup(params)
@@ -482,7 +483,27 @@ class Trainer:
             dense_opt = jax.jit(self._tx.init, out_shardings=out_shardings)(
                 dense_tree
             )
-            return (dense_opt, sparse_rows_adam_init(tree_get(params, path)))
+            # mu/nu must inherit the TABLE's (possibly cross-process row)
+            # sharding; jit + explicit out_shardings because zeros_like
+            # under jit does not propagate from its input, and eager ops
+            # are illegal on non-fully-addressable tables
+            table = tree_get(params, path)
+            tsh = getattr(table, "sharding", None)
+            if not isinstance(tsh, NamedSharding):
+                tsh = NamedSharding(self.mesh, PartitionSpec())
+            sparse_sh = SparseRowsAdamState(
+                count=NamedSharding(self.mesh, PartitionSpec()),
+                mu=tsh, nu=tsh,
+            )
+            mk = jax.jit(
+                lambda t: SparseRowsAdamState(
+                    count=jnp.zeros((), jnp.int32),
+                    mu=jnp.zeros_like(t),
+                    nu=jnp.zeros_like(t),
+                ),
+                out_shardings=sparse_sh,
+            )
+            return (dense_opt, mk(table))
         shapes = jax.eval_shape(self._tx.init, params)
         out_shardings = param_shardings(shapes, self.mesh)
         return jax.jit(self._tx.init, out_shardings=out_shardings)(params)
