@@ -12,11 +12,14 @@ vocab-parallel shard_map CE, cross-process fused_adafactor moments, and
 multi-host orbax save/load — the SURVEY §2.10 north-star deployment.
 """
 
+import functools
 import os
 import shutil
 import socket
 import subprocess
 import sys
+
+import pytest
 
 
 WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
@@ -68,6 +71,7 @@ def test_two_process_data_parallel_trainer():
     assert float(results["0"]["ndcg"]) >= 0.0
 
 
+@functools.lru_cache(maxsize=1)
 def _single_process_mp_reference():
     """The model-parallel worker's run on ONE process (4 virtual devices,
     same 2x2 mesh, same data/seed): the cross-process run must reproduce its
@@ -119,9 +123,6 @@ def _single_process_mp_reference():
     )
 
 
-import pytest
-
-
 @pytest.mark.parametrize("axis_order", ["data_first", "model_first"])
 def test_two_process_model_parallel_table(axis_order):
     """Item table row-sharded ACROSS processes: vocab-parallel CE psum over
@@ -167,6 +168,10 @@ def test_two_process_model_parallel_table(axis_order):
     assert results["0"]["eval_loss"] == results["1"]["eval_loss"]
     assert results["0"]["ndcg"] == results["1"]["ndcg"]
     assert results["0"]["restore"] == results["1"]["restore"] == "ok"
+    # the cross-process sparse_adam arm must agree bit-for-bit across
+    # processes too (replicated rng -> same negatives; psum'd loss)
+    assert results["0"]["sparse_loss"] == results["1"]["sparse_loss"]
+    assert float(results["0"]["sparse_loss"]) > 0
     # ... but hold DIFFERENT table halves (truly distributed rows)
     assert results["0"]["shard_sum"] != results["1"]["shard_sum"]
     assert int(results["0"]["local_rows"]) * 2 >= 32768

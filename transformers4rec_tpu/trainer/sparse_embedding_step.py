@@ -25,9 +25,9 @@ of ``ops/sparse_update.py``:
 Scope (validated up front): exactly one ``NextItemPredictionTask`` with
 ``sampled_softmax=True`` + ``weight_tying``, masking ∈ {mlm, clm} (packed or
 not — packed CLM labels stop at segment boundaries with zero weight, so the
-position map stays valid), no input pre/post transformations (id-rewriting
-augmentations would invalidate the pre-gathered rows), no frozen pretrained
-item table. Other (small) ``*_table`` features keep the standard
+position map stays valid), no input PRE transformations (id-rewriting
+augmentations would invalidate the pre-gathered rows; POST transforms on
+the embedded floats compose fine), no frozen pretrained item table. Other (small) ``*_table`` features keep the standard
 ``fused_adafactor`` routing; dense params ride adamw. Works on sharded
 meshes AND across processes: the whole step runs under jit on global
 arrays, the row gather/scatter is partitioned by XLA against the
@@ -110,14 +110,16 @@ def validate_sparse_config(model, args) -> Tuple[Any, str, str]:
     item_col = getattr(im, "item_id", None)
     if item_col is None:
         raise ValueError("sparse_adam: input module has no item_id column")
-    if getattr(im, "pre", None) or getattr(im, "post", None):
-        # id-rewriting transformations (StochasticSwapNoise) change which
-        # rows a batch touches AFTER the step gathered them — the
-        # interceptor would silently score the un-augmented rows
+    if getattr(im, "pre", None):
+        # PRE transformations see raw ids (StochasticSwapNoise rewrites
+        # them) and so change which rows the batch touches AFTER the step
+        # gathered them — the interceptor would silently score the
+        # un-augmented rows. POST transforms run on embedded floats and
+        # compose fine (gradients flow through `rows` regardless).
         raise NotImplementedError(
-            "sparse_adam does not compose with input pre/post "
-            "transformations (e.g. StochasticSwapNoise): the touched-row "
-            "set must be known before the model runs"
+            "sparse_adam does not compose with input PRE transformations "
+            "(e.g. StochasticSwapNoise): the touched-row set must be known "
+            "before the model runs"
         )
     cat = getattr(im, "categorical_module", None)
     fc = getattr(cat, "feature_configs", {}) or {}

@@ -473,7 +473,10 @@ class Trainer:
         cross-process row-sharded tables too)."""
         if self.args.embedding_optimizer == "sparse_adam":
             from jax.sharding import NamedSharding, PartitionSpec
-            from ..ops.sparse_update import SparseRowsAdamState
+            from ..ops.sparse_update import (
+                SparseRowsAdamState,
+                sparse_rows_adam_init,
+            )
             from .sparse_embedding_step import tree_get, tree_set
 
             path, *_ = self._sparse_setup(params)
@@ -495,14 +498,7 @@ class Trainer:
                 count=NamedSharding(self.mesh, PartitionSpec()),
                 mu=tsh, nu=tsh,
             )
-            mk = jax.jit(
-                lambda t: SparseRowsAdamState(
-                    count=jnp.zeros((), jnp.int32),
-                    mu=jnp.zeros_like(t),
-                    nu=jnp.zeros_like(t),
-                ),
-                out_shardings=sparse_sh,
-            )
+            mk = jax.jit(sparse_rows_adam_init, out_shardings=sparse_sh)
             return (dense_opt, mk(table))
         shapes = jax.eval_shape(self._tx.init, params)
         out_shardings = param_shardings(shapes, self.mesh)
