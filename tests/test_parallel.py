@@ -558,21 +558,28 @@ class TestAutoVocabParallel:
         )
         assert self._task(t2).vocab_parallel_mesh is None
 
-    def test_no_engage_sampled_softmax(self):
+    def test_engages_sampled_softmax_for_eval(self):
+        """Sampled-softmax tasks engage TOO: their training branch ignores
+        the mesh (O(N) row gathers), but evaluate()/predict() are always
+        full-vocab and would all-gather the row-sharded table without it."""
         import transformers4rec_tpu as tr
 
         schema, model = _vp_model_and_schema(num_items=32768, sampled=True)
         trainer = tr.Trainer(
             model=model, args=self._args("t4r_avp_sampled"), schema=schema
         )
-        assert self._task(trainer).vocab_parallel_mesh is None
+        assert self._task(trainer).vocab_parallel_mesh is trainer.mesh
+        trainer.train()
+        ev = trainer.evaluate()
+        assert np.isfinite(ev["eval_loss"])
 
     def test_predict_topk_routes_sharded_and_matches_replicated(self, monkeypatch):
         """Trainer.predict() under the auto-engaged mesh must ROUTE through
-        sharded_topk (pinned via wrapper) and score within bf16 GEMM
-        tolerance of the replicated f32-einsum run. Exact id/score equality
-        of sharded_topk vs the bf16 fused_topk on the gathered table is
-        pinned separately (TestVocabParallelCE::test_sharded_topk_*)."""
+        sharded_topk (pinned via wrapper) and — below the streaming
+        threshold, where the sharded route computes f32 like the
+        data-parallel einsum — return the SAME ids and scores. Exact
+        bf16-route equality vs fused_topk is pinned separately
+        (TestVocabParallelCE::test_sharded_topk_*)."""
         import transformers4rec_tpu as tr
         from transformers4rec_tpu.parallel import sharded_embedding as se
 
@@ -596,16 +603,12 @@ class TestAutoVocabParallel:
         assert not calls, "data-parallel predict must not use sharded_topk"
         s2, i2 = run(2)
         assert calls, "model-parallel predict must route through sharded_topk"
-        # identical seeded init params; scores differ only by bf16 GEMM
-        # rounding (training scores the same table in bf16)
-        np.testing.assert_allclose(s2, s1, atol=2e-2)
+        # identical seeded init params + f32 sharded route at this size:
+        # ids and scores must match the data-parallel run exactly
+        np.testing.assert_allclose(s2, s1, rtol=1e-6, atol=1e-6)
+        np.testing.assert_array_equal(i2, i1)
         # cardinality = num_items + 1 (0 is padding): valid ids 0..32768
-        assert i2.shape == i1.shape and (i2 >= 0).all() and (i2 <= 32768).all()
-        # near-ties may swap under rounding, but the sets must mostly agree
-        overlap = np.mean([
-            len(set(a) & set(b)) / len(a) for a, b in zip(i1, i2)
-        ])
-        assert overlap >= 0.8, f"top-k id overlap {overlap:.2f}"
+        assert (i2 >= 0).all() and (i2 <= 32768).all()
 
 
 def test_optimizer_moments_sharded_at_init():

@@ -544,11 +544,18 @@ class NextItemPredictionTask(PredictionTask):
         xg = jnp.take_along_axis(x, last_idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
         if top_k is not None and self.vocab_parallel_mesh is not None:
             # row-sharded table: local per-shard top-k + O(N·k) candidate
-            # merge — fused_topk here would all-gather the (V, E) table
+            # merge — fused_topk here would all-gather the (V, E) table.
+            # Compute dtype mirrors the unsharded route's choice at the same
+            # size: f32 below the streaming threshold (exact match with the
+            # dense-einsum scoring the same model gives data-parallel), bf16
+            # above (the training numerics; halves the stream).
             from ..parallel.sharded_embedding import sharded_topk
 
+            small = (isinstance(xg.shape[0], int)
+                     and xg.shape[0] * W.shape[0] <= 1_000_000_000)
             return sharded_topk(
-                xg / temp, W, top_k, self.vocab_parallel_mesh, vocab_size=vsz
+                xg / temp, W, top_k, self.vocab_parallel_mesh, vocab_size=vsz,
+                compute_dtype=jnp.float32 if small else None,
             )
         # (isinstance check keeps shape-polymorphic serving export tractable —
         # symbolic batch dims can't be compared against the threshold)

@@ -21,7 +21,7 @@ numerics reference in tests). bf16 GEMM inputs, f32 accumulation throughout.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -934,15 +934,18 @@ def fused_topk(
     k: int,
     chunk: int = 32768,
     vocab_size: Optional[int] = None,
+    compute_dtype: Any = jnp.bfloat16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Top-k of ``x @ W.T`` via per-chunk top-k + running merge — peak memory
     O(N*chunk) instead of O(N*V). Pure-JAX (the per-chunk top_k is already a
-    fused XLA sort over VMEM-sized tiles)."""
+    fused XLA sort over VMEM-sized tiles). ``compute_dtype`` sets the GEMM
+    input precision (bf16 default — the training numerics; pass f32 to match
+    the small-N·V dense-einsum scoring path exactly)."""
     N, E = x.shape
     V = W.shape[0] if vocab_size is None else vocab_size
     Wp, Vp = _pad_rows(W, chunk)
-    xb = x.astype(jnp.bfloat16)
-    Wb = Wp.astype(jnp.bfloat16).reshape(Vp // chunk, chunk, E)
+    xb = x.astype(compute_dtype)
+    Wb = Wp.astype(compute_dtype).reshape(Vp // chunk, chunk, E)
 
     def body(carry, args):
         best_s, best_i = carry

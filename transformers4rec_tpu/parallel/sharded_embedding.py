@@ -124,6 +124,18 @@ def _merge_lse(lse_l, ll_l, model_axis):
     return lse_g, ll_g
 
 
+def _merged_nll(lse_l, ll_l, zs_l, eps, v_total, model_axis):
+    """Per-row smoothed NLL from per-shard accumulators: merge the online
+    logsumexp + label logit over 'model', psum the smoothing zsum, and apply
+    lse − (1−ε)·ll − (ε/V)·zsum. ONE definition shared by the train CE and
+    the eval CE+rank so the two can never drift."""
+    lse_g, ll_g = _merge_lse(lse_l, ll_l, model_axis)
+    if eps:
+        zs_g = jax.lax.psum(zs_l, model_axis)
+        return lse_g - (1.0 - eps) * ll_g - (eps / v_total) * zs_g, lse_g, ll_g
+    return lse_g - ll_g, lse_g, ll_g
+
+
 def sharded_softmax_ce(
     x: jnp.ndarray,
     W: jnp.ndarray,
@@ -173,11 +185,8 @@ def sharded_softmax_ce(
             lse_l, ll_l, zs_l = _ce_fwd_scan(
                 x_l, W_l, lbl_loc, block_v, vocab_size=vsz, smooth=smooth
             )
-        lse_g, ll_g = _merge_lse(lse_l, ll_l, model_axis)
-        nll = lse_g - ll_g
-        if smooth:
-            zs_g = jax.lax.psum(zs_l, model_axis)
-            nll = lse_g - (1.0 - eps) * ll_g - eps_over_v * zs_g
+        nll, lse_g, _ = _merged_nll(lse_l, ll_l, zs_l, eps, V_total,
+                                    model_axis)
         w = w_l.astype(jnp.float32)
         num = jax.lax.psum((nll * w).sum(), data_axis)
         den = jax.lax.psum(w.sum(), data_axis)
@@ -286,16 +295,13 @@ def sharded_ce_and_rank(
             lse_l, ll_l, zs_l = _ce_fwd_scan(
                 x_l, W_l, lbl_loc, block_v, vocab_size=vsz, smooth=smooth
             )
-        lse_g, ll_g = _merge_lse(lse_l, ll_l, model_axis)
+        nll, _, ll_g = _merged_nll(lse_l, ll_l, zs_l, eps, V_total,
+                                   model_axis)
         cnt_l = rank_counts(
             x_l, W_l, ll_g, lbl_loc, block_n, block_v,
             use_pallas=use_pallas, vocab_size=vsz,
         )
         rank_g = jax.lax.psum(cnt_l, model_axis)
-        nll = lse_g - ll_g
-        if smooth:
-            zs_g = jax.lax.psum(zs_l, model_axis)
-            nll = lse_g - (1.0 - eps) * ll_g - (eps / V_total) * zs_g
         w = w_l.astype(jnp.float32)
         num = jax.lax.psum((nll * w).sum(), data_axis)
         den = jax.lax.psum(w.sum(), data_axis)
@@ -319,6 +325,7 @@ def sharded_topk(
     data_axis: str = "data",
     vocab_size: Optional[int] = None,
     chunk: int = 32768,
+    compute_dtype=None,
 ) -> tuple:
     """Vocab-parallel top-k of ``x @ W.T``: each shard streams a LOCAL top-k
     over its own rows (``ops.vocab.fused_topk`` on the (V/s, E) shard), then
@@ -334,11 +341,16 @@ def sharded_topk(
     true global top-k (each shard contributes its best k ≥ its share of the
     global winners). Returns ``(scores, ids)`` of shape (N, k), sharded over
     ``data_axis``."""
+    import jax.numpy as _jnp
+
     from ..ops.vocab import fused_topk
+
+    dtype = _jnp.bfloat16 if compute_dtype is None else compute_dtype
 
     def local(x_l, W_l):
         v0, vsz = _local_bounds(W_l, vocab_size, model_axis)
-        s, i = fused_topk(x_l, W_l, k, chunk=chunk, vocab_size=vsz)
+        s, i = fused_topk(x_l, W_l, k, chunk=chunk, vocab_size=vsz,
+                          compute_dtype=dtype)
         i = i + v0  # local → global ids
         s_all = jax.lax.all_gather(s, model_axis, axis=1, tiled=True)
         i_all = jax.lax.all_gather(i, model_axis, axis=1, tiled=True)

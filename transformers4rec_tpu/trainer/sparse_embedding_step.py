@@ -181,8 +181,12 @@ def make_interceptor(rows: jnp.ndarray, item_col: str, n_in: int,
             pos_w = rows[pos_map]
             neg_w = rows[n_in:]
             sampler = m.make_sampler(W.shape[0])
+            # NB kwargs.get's default only covers a MISSING key — an
+            # explicit neg_ids=None must still fall back to the pre-drawn set
+            kw_neg = kwargs.get("neg_ids")
             return m._sampled_scores(x2d, labels, pos_w, neg_w,
-                                     kwargs.get("neg_ids", neg_ids), sampler)
+                                     neg_ids if kw_neg is None else kw_neg,
+                                     sampler)
         return next_fun(*args, **kwargs)
 
     return interceptor

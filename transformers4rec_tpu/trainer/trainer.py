@@ -177,10 +177,13 @@ class Trainer:
             )
             if not (t.weight_tying and shards):
                 return t
-            if t.vocab_parallel_mesh is not None or t.sampled_softmax:
-                # manual mesh wins; sampled softmax only gathers O(N)
-                # rows by id — no full-table gather to avoid
-                return t
+            if t.vocab_parallel_mesh is not None:
+                return t  # manual mesh wins
+            # NOTE sampled_softmax tasks engage too: their TRAINING branch
+            # never touches the mesh ops (O(N) row gathers only), but
+            # evaluate()/predict() are always full-vocab — without the mesh
+            # they would all-gather the row-sharded (V, E) table per eval
+            # step, the exact failure this mechanism exists to prevent
             if not t.use_fused_ops:
                 import warnings
 
@@ -307,6 +310,18 @@ class Trainer:
             raise ValueError(
                 "embedding_moment_dtype must be None, 'f32', or 'bf16' "
                 f"(got {a.embedding_moment_dtype!r})"
+            )
+        if (a.embedding_moment_dtype == "bf16"
+                and a.embedding_optimizer not in ("adafactor", "sparse_adam")):
+            # bf16 moment storage is wired into the fused_adafactor arm only
+            # (sparse_adam's small-table routing also uses it); an A/B that
+            # thinks it set bf16 on lazy_adam/dense must hear otherwise
+            import warnings
+
+            warnings.warn(
+                "embedding_moment_dtype='bf16' applies to the adafactor "
+                f"table arm only; embedding_optimizer="
+                f"{a.embedding_optimizer!r} keeps f32 moments"
             )
         num_cycles = 0.5
         if a.lr_scheduler_type.startswith("cosine"):
