@@ -242,3 +242,42 @@ def test_sparse_validation_rejects_ssn_and_frozen_table(tmp_path):
         weight_tying=True, sampled_softmax=True, max_n_samples=16))
     with pytest.raises(NotImplementedError, match="frozen"):
         validate_sparse_config(model2, args)
+
+
+def test_sparse_hint_on_large_dense_table(tmp_path, monkeypatch):
+    """A sparse_adam-ELIGIBLE model whose tied table crosses
+    SPARSE_HINT_MIN_ROWS warns once when trained with a dense embedding
+    optimizer — and stays silent for ineligible (full-softmax) models."""
+    import warnings as _warnings
+
+    from transformers4rec_tpu.trainer import trainer as trainer_mod
+
+    monkeypatch.setattr(trainer_mod, "SPARSE_HINT_MIN_ROWS", 1000)
+
+    def make_args(**kw):
+        return tr.T4RecTrainingArguments(
+            output_dir=str(tmp_path), data_loader_engine="synthetic",
+            max_sequence_length=10, per_device_train_batch_size=8,
+            max_steps=2, logging_steps=1, embedding_optimizer="adafactor",
+            seed=0, **kw,
+        )
+
+    schema, model = _build("mlm")  # 2000 rows > patched threshold, eligible
+    with pytest.warns(UserWarning, match="sparse_adam"):
+        tr.Trainer(model=model, args=make_args(), schema=schema).train()
+
+    # full softmax does not qualify -> no hint
+    schema, model = _build("mlm", sampled=False)
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        tr.Trainer(model=model, args=make_args(), schema=schema).train()
+
+    # grad accumulation: sparse_adam itself refuses it -> no hint
+    schema, model = _build("mlm")
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        tr.Trainer(
+            model=model,
+            args=make_args(gradient_accumulation_steps=2),
+            schema=schema,
+        ).train()
