@@ -47,12 +47,15 @@ def main():
                          "(only the marginal is learnable)")
     ap.add_argument("--embedding-optimizer", default="adafactor",
                     choices=["adafactor", "fused_adafactor",
-                             "factored_adafactor", "lazy_adam", "adamw"],
+                             "factored_adafactor", "lazy_adam", "adamw",
+                             "sparse_adam", "sparse_adafactor"],
                     help="table optimizer arm: optax.adafactor (unfactored "
                          "at E<128), fused_adafactor (ours, unfactored — the "
                          "bench default), factored_adafactor (rank-1 second "
                          "moment: measured -39%% recall@20 at 2000 steps), "
-                         "lazy_adam, or adamw")
+                         "lazy_adam, adamw, or the O(N·E) sparse-rows step "
+                         "(sparse_adam / sparse_adafactor — require "
+                         "--arm sampled; quality A/B for the fast path)")
     ap.add_argument("--masking", default="mlm",
                     choices=["clm", "mlm", "plm", "rtd"],
                     help="training scheme; the architecture follows the "
@@ -187,13 +190,18 @@ def main():
             args.lr_schedule, args.lr, num_training_steps=args.steps,
             num_warmup_steps=int(args.steps * args.warmup_frac),
         )
+    sparse = args.embedding_optimizer in ("sparse_adam", "sparse_adafactor")
     mdt = jnp.bfloat16 if args.moment_dtype == "bf16" else None
-    if mdt is not None and args.embedding_optimizer != "fused_adafactor":
+    if mdt is not None and args.embedding_optimizer != "fused_adafactor" \
+            and not sparse:
         # refuse rather than silently measure an f32-state arm labeled bf16
         raise SystemExit(
             "--moment-dtype requires --embedding-optimizer fused_adafactor "
-            f"(got {args.embedding_optimizer!r})"
+            f"or a sparse arm (got {args.embedding_optimizer!r})"
         )
+    if sparse and args.arm != "sampled":
+        raise SystemExit("sparse optimizer arms require --arm sampled "
+                         "(a full-softmax loss touches every table row)")
     if args.embedding_optimizer == "adamw":
         table_tx = optax.adamw(lr)
     elif args.embedding_optimizer == "fused_adafactor":
@@ -208,6 +216,12 @@ def main():
         from transformers4rec_tpu.ops.sparse_update import lazy_adam
 
         table_tx = lazy_adam(lr)
+    elif sparse:
+        # OTHER (small) *_table features keep the quality-default routing;
+        # the item table rides the O(N·E) sparse step below
+        from transformers4rec_tpu.ops.fused_adafactor import fused_adafactor
+
+        table_tx = fused_adafactor(lr)
     else:
         table_tx = optax.adafactor(
             learning_rate=lr, multiply_by_parameter_scale=False
@@ -216,9 +230,48 @@ def main():
         {"dense": optax.adamw(lr), "table": table_tx},
         label_embedding_params,
     )
-    if args.grad_clip > 0:
+    if args.grad_clip > 0 and not sparse:
         tx = optax.chain(optax.clip_by_global_norm(args.grad_clip), tx)
-    opt_state = tx.init(params)
+
+    if sparse:
+        # the trainer's sparse-embedding step, driven by this script's loop:
+        # rows gathered outside autodiff, O(N·E) scatter update, clip (if
+        # any) applied INSIDE the step over (dense grads, row grads)
+        from types import SimpleNamespace
+
+        from transformers4rec_tpu.ops.sparse_update import (
+            sparse_rows_adafactor_init,
+            sparse_rows_adam_init,
+        )
+        from transformers4rec_tpu.trainer.sparse_embedding_step import (
+            find_table_path,
+            make_sparse_one_step,
+            tree_get,
+            tree_set,
+        )
+        from transformers4rec_tpu.trainer.trainer import TrainState
+
+        path = find_table_path(params, "item_id")
+        table = tree_get(params, path)
+        task = model.heads[0].tasks[0]
+        sampler = task.make_sampler(table.shape[0])
+        sargs = SimpleNamespace(
+            max_grad_norm=args.grad_clip, gradient_accumulation_steps=1,
+            adam_beta1=0.9, adam_beta2=0.999, adam_epsilon=1e-8,
+        )
+        rule = ("adafactor" if args.embedding_optimizer == "sparse_adafactor"
+                else "adam")
+        init_fn = (sparse_rows_adafactor_init if rule == "adafactor"
+                   else sparse_rows_adam_init)
+        dense_tree = tree_set(params, path, None)
+        opt_state = (tx.init(dense_tree), init_fn(table, moment_dtype=mdt))
+        one_step = jax.jit(
+            make_sparse_one_step(model, sargs, path, "item_id", args.masking,
+                                 sampler, tx, lr, rule=rule),
+            donate_argnums=0,
+        )
+    else:
+        opt_state = tx.init(params)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, rng):
@@ -263,15 +316,23 @@ def main():
     rng = jax.random.PRNGKey(7 + args.seed * 977)
     t0 = time.perf_counter()
     losses = []
+    if sparse:
+        state = TrainState(params=params, opt_state=opt_state,
+                           step=jnp.zeros((), jnp.int32), rng=rng)
     for i in range(args.steps):
         b = {k: jnp.asarray(v[(i % n_train_batches) * BATCH:
                               (i % n_train_batches + 1) * BATCH])
              for k, v in train_np.items()}
-        rng, sub = jax.random.split(rng)
-        params, opt_state, loss = train_step(params, opt_state,
-                                             shard_batch(b, mesh), sub)
+        if sparse:
+            state, loss = one_step(state, shard_batch(b, mesh))
+        else:
+            rng, sub = jax.random.split(rng)
+            params, opt_state, loss = train_step(params, opt_state,
+                                                 shard_batch(b, mesh), sub)
         if i % max(args.steps // 10, 1) == 0:
             losses.append(round(float(loss), 3))
+    if sparse:
+        params = state.params
     float(loss)
     dt = time.perf_counter() - t0
 

@@ -153,6 +153,195 @@ def test_sparse_trainer_end_to_end(masking, tmp_path):
     assert np.isfinite(ev["eval_loss"])
 
 
+def test_sparse_accumulation_matches_mean_clip_single_update(tmp_path):
+    """K=2 gradient accumulation through the sparse step == mean of the two
+    micro-batches' grads → ONE joint clip → ONE dense+sparse update (i.e.
+    ``optax.MultiSteps(chain(clip, tx))`` semantics; scatter(row grads) ==
+    dense dW is already pinned by test_sparse_grads_match_dense, so the
+    row-buffer mean/clip here is the dense MultiSteps run expressed in
+    O(N·E))."""
+    import optax
+    from types import SimpleNamespace
+
+    import flax.linen as nn
+
+    from transformers4rec_tpu.ops.sparse_update import (
+        dedupe_row_grads,
+        sparse_rows_adam_init,
+        sparse_rows_adam_update,
+    )
+    from transformers4rec_tpu.trainer.sparse_embedding_step import (
+        _pos_map,
+        find_table_path,
+        make_interceptor,
+        make_sparse_one_step,
+        sparse_accum_init,
+        tree_get,
+        tree_set,
+    )
+    from transformers4rec_tpu.trainer.trainer import TrainState
+
+    LR, CLIP, K = 1e-2, 0.05, 2
+    schema, model = _build("mlm")
+    data = synthetic_data(schema, num_rows=16, max_session_length=10, seed=3)
+    b1 = {k: jnp.asarray(v[:8]) for k, v in data.items()}
+    b2 = {k: jnp.asarray(v[8:]) for k, v in data.items()}
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "masking": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+        "sampling": jax.random.PRNGKey(3),
+    }
+    params = model.init(rngs, b1, training=True)
+    path = find_table_path(params, "item_id")
+    table = tree_get(params, path)
+    V, E = table.shape
+    task = model.heads[0].tasks[0]
+    sampler = task.make_sampler(V)
+    n_neg = sampler.sample(jax.random.PRNGKey(0)).shape[0]
+    dense_tree = tree_set(params, path, None)
+    dense_tx = optax.adamw(LR)
+    args = SimpleNamespace(max_grad_norm=CLIP, gradient_accumulation_steps=K,
+                           adam_beta1=0.9, adam_beta2=0.999,
+                           adam_epsilon=1e-8)
+
+    one_step = make_sparse_one_step(model, args, path, "item_id", "mlm",
+                                    sampler, dense_tx, LR, rule="adam")
+    B, S = b1["item_id"].shape
+    state = TrainState(
+        params=params,
+        opt_state=(dense_tx.init(dense_tree), sparse_rows_adam_init(table),
+                   sparse_accum_init(dense_tree, B * S + n_neg, E, K)),
+        step=jnp.zeros((), jnp.int32),
+        rng=jax.random.PRNGKey(42),
+    )
+    state1, _ = one_step(state, b1)
+    # micro-step 1: no parameter moved, mini_step advanced
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        state.params, state1.params,
+    )
+    assert int(state1.opt_state[2].mini_step) == 1
+    state2, _ = one_step(state1, b2)
+    assert int(state2.opt_state[2].mini_step) == 0
+    assert int(state2.opt_state[1].count) == 1
+
+    # ---- manual reference: same rng derivation as the step
+    rng_a, rng_next = jax.random.split(jax.random.PRNGKey(42))
+    rng_b, _ = jax.random.split(rng_next)
+    pmap = jnp.asarray(_pos_map("mlm", B, S))
+
+    def micro_grads(batch, rng):
+        r = {
+            "masking": jax.random.fold_in(rng, 0),
+            "dropout": jax.random.fold_in(rng, 1),
+            "sampling": jax.random.fold_in(rng, 2),
+            "augment": jax.random.fold_in(rng, 3),
+        }
+        neg = sampler.sample(jax.random.fold_in(rng, 4))
+        ids_in = batch["item_id"].reshape(-1).astype(jnp.int32)
+        all_ids = jnp.concatenate([ids_in, neg.astype(jnp.int32)])
+        rows = jnp.take(table, all_ids, axis=0)
+        batch2 = {**batch, "__neg_ids__": neg}
+
+        def loss_fn(dtree, rows):
+            p_full = tree_set(dtree, path, jax.lax.stop_gradient(table))
+            with nn.intercept_methods(
+                make_interceptor(rows, "item_id", B * S, pmap, neg)
+            ):
+                loss, _ = model.apply(p_full, batch2, targets=batch2,
+                                      training=True, compute_metrics=False,
+                                      rngs=r)
+            return loss
+
+        _, (gd, g_rows) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            dense_tree, rows)
+        return gd, all_ids, g_rows
+
+    gd1, ids1, gr1 = micro_grads(b1, rng_a)
+    gd2, ids2, gr2 = micro_grads(b2, rng_b)
+    mean_gd = jax.tree_util.tree_map(lambda a, b: (a + b) / K, gd1, gd2)
+    uids, g_sum = dedupe_row_grads(
+        jnp.concatenate([ids1, ids2]),
+        jnp.concatenate([gr1, gr2]) / K, V)
+    gn = optax.global_norm((mean_gd, g_sum))
+    scale = jnp.minimum(1.0, CLIP / jnp.maximum(gn, 1e-12))
+    mean_gd = jax.tree_util.tree_map(lambda g: g * scale, mean_gd)
+    g_sum = g_sum * scale
+    updates, _ = dense_tx.update(mean_gd, dense_tx.init(dense_tree),
+                                 dense_tree)
+    ref_dense = optax.apply_updates(dense_tree, updates)
+    ref_table, _ = sparse_rows_adam_update(
+        table, sparse_rows_adam_init(table), uids, g_sum, LR, deduped=True)
+    ref_params = tree_set(ref_dense, path, ref_table)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7),
+        state2.params, ref_params,
+    )
+
+
+@pytest.mark.parametrize("opt", ["sparse_adafactor", "sparse_adam"])
+def test_sparse_trainer_accumulation_e2e(opt, tmp_path):
+    """Trainer e2e: sparse optimizers × gradient_accumulation_steps × K-pack
+    scan — trains, and the (dense, sparse, accum) state checkpoints."""
+    schema, model = _build("mlm")
+    args = tr.T4RecTrainingArguments(
+        output_dir=str(tmp_path),
+        data_loader_engine="synthetic",
+        max_sequence_length=10,
+        per_device_train_batch_size=8,
+        max_steps=12,
+        steps_per_execution=3,
+        gradient_accumulation_steps=2,
+        learning_rate=1e-2,
+        logging_steps=1,
+        embedding_optimizer=opt,
+        save_steps=12,
+        seed=11,
+    )
+    trainer = tr.Trainer(model=model, args=args, schema=schema)
+    trainer.train()
+    hist = [h["loss"] for h in trainer.state.log_history if "loss" in h]
+    assert np.isfinite(hist).all() and hist[-1] < hist[0], hist
+    # 12 micro-steps / K=2 -> 6 optimizer steps on the sparse state
+    assert int(trainer._train_state.opt_state[1].count) == 6
+
+    ck = trainer._latest_checkpoint()
+    assert ck is not None
+    sp = trainer._train_state.opt_state[1]
+    want = jax.device_get(sp.mu if hasattr(sp, "mu") else sp.v)
+    trainer.load(ck)
+    sp2 = trainer._train_state.opt_state[1]
+    got = jax.device_get(sp2.mu if hasattr(sp2, "mu") else sp2.v)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_sparse_adafactor_trainer_end_to_end(tmp_path):
+    """sparse_adafactor (the quality-default table rule in O(N·E)) trains
+    through the full Trainer with K-packing."""
+    schema, model = _build("clm")
+    args = tr.T4RecTrainingArguments(
+        output_dir=str(tmp_path),
+        data_loader_engine="synthetic",
+        max_sequence_length=10,
+        per_device_train_batch_size=8,
+        max_steps=10,
+        steps_per_execution=2,
+        learning_rate=1e-2,
+        logging_steps=1,
+        embedding_optimizer="sparse_adafactor",
+        seed=5,
+    )
+    trainer = tr.Trainer(model=model, args=args, schema=schema)
+    trainer.train()
+    hist = [h["loss"] for h in trainer.state.log_history if "loss" in h]
+    assert np.isfinite(hist).all() and hist[-1] < hist[0], hist
+    ev = trainer.evaluate()
+    assert np.isfinite(ev["eval_loss"])
+
+
 def test_sparse_validation_errors(tmp_path):
     from transformers4rec_tpu.trainer.sparse_embedding_step import (
         validate_sparse_config,
@@ -266,16 +455,17 @@ def test_sparse_hint_on_large_dense_table(tmp_path, monkeypatch):
     with pytest.warns(UserWarning, match="sparse_adam"):
         tr.Trainer(model=model, args=make_args(), schema=schema).train()
 
-    # full softmax does not qualify -> no hint
+    # full softmax does not qualify -> no hint (record instead of erroring:
+    # an unrelated dependency deprecation must not fail this arm)
     schema, model = _build("mlm", sampled=False)
-    with _warnings.catch_warnings():
-        _warnings.simplefilter("error")
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
         tr.Trainer(model=model, args=make_args(), schema=schema).train()
+    assert not [w for w in caught if "sparse_adam" in str(w.message)]
 
-    # grad accumulation: sparse_adam itself refuses it -> no hint
+    # grad accumulation composes with the sparse step now -> still hints
     schema, model = _build("mlm")
-    with _warnings.catch_warnings():
-        _warnings.simplefilter("error")
+    with pytest.warns(UserWarning, match="sparse"):
         tr.Trainer(
             model=model,
             args=make_args(gradient_accumulation_steps=2),

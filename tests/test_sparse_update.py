@@ -17,6 +17,8 @@ from transformers4rec_tpu.ops.sparse_update import (
     label_embedding_params,
     lazy_adam,
     sharded_rows_adam_update,
+    sparse_rows_adafactor_init,
+    sparse_rows_adafactor_update,
     sparse_rows_adam_init,
     sparse_rows_adam_update,
 )
@@ -119,6 +121,90 @@ def test_sharded_rows_matches_unsharded(table):
     np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_un), atol=1e-6)
     np.testing.assert_allclose(np.asarray(sh_state.nu), np.asarray(un_state.nu),
                                atol=1e-6)
+
+
+def test_sparse_rows_adafactor_matches_dense_when_all_touched(table):
+    """With every row touched each step, the O(N·E) adafactor rows update ==
+    dense fused_adafactor (unfactored) — same decay schedule, eps placement,
+    rsqrt, and update-RMS clip."""
+    from transformers4rec_tpu.ops.fused_adafactor import fused_adafactor
+
+    tx = fused_adafactor(LR)
+    dstate = tx.init({"t": table})
+    sstate = sparse_rows_adafactor_init(table)
+    pd = {"t": table}
+    ps = table
+    rng = jax.random.PRNGKey(5)
+    for _ in range(3):
+        rng, k = jax.random.split(rng)
+        ids = jnp.arange(V)
+        rg = jax.random.normal(k, (V, E)) * 3.0  # big enough to engage clip
+        upd, dstate = tx.update({"t": rg}, dstate, pd)
+        pd = optax.apply_updates(pd, upd)
+        ps, sstate = sparse_rows_adafactor_update(ps, sstate, ids, rg, LR)
+    np.testing.assert_allclose(np.asarray(ps), np.asarray(pd["t"]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sstate.v), np.asarray(dstate.v["t"]),
+                               rtol=1e-5)
+
+
+def test_sparse_rows_adafactor_partial_touch(table):
+    """Partial touch: touched rows match the dense op's first step EXACTLY
+    (the clip RMS divides by the full V·E on both sides); untouched rows and
+    their moments stay frozen (lazy semantics)."""
+    from transformers4rec_tpu.ops.fused_adafactor import fused_adafactor
+
+    ids = jnp.asarray([2, 9, 9, 41])
+    rg = jax.random.normal(jax.random.PRNGKey(6), (4, E)) * 5.0
+    g_dense = _dense_grad_from_rows(ids, rg)
+
+    tx = fused_adafactor(LR)
+    dstate = tx.init({"t": table})
+    upd, _ = tx.update({"t": g_dense}, dstate, {"t": table})
+    pd = optax.apply_updates({"t": table}, upd)["t"]
+
+    sstate = sparse_rows_adafactor_init(table)
+    ps, sstate = sparse_rows_adafactor_update(table, sstate, ids, rg, LR)
+
+    touched = np.asarray([2, 9, 41])
+    untouched = np.setdiff1d(np.arange(V), touched)
+    np.testing.assert_allclose(np.asarray(ps)[touched],
+                               np.asarray(pd)[touched], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ps)[untouched],
+                                  np.asarray(table)[untouched])
+    np.testing.assert_array_equal(np.asarray(sstate.v)[untouched], 0.0)
+
+    # second step touching OTHER rows must not decay the first rows' v
+    v_before = np.asarray(sstate.v)[touched]
+    _, sstate = sparse_rows_adafactor_update(
+        ps, sstate, jnp.asarray([1]), rg[:1], LR)
+    np.testing.assert_array_equal(np.asarray(sstate.v)[touched], v_before)
+
+
+@pytest.mark.parametrize("rule", ["adam", "adafactor"])
+def test_sparse_moment_dtype_bf16(table, rule):
+    """bf16-STORED moments (f32 compute): state dtype narrows, the table
+    stays f32, and a few steps track the f32-state arm closely."""
+    ids = jnp.asarray([0, 5, 5, 17, 33])
+    rngk = jax.random.PRNGKey(7)
+    if rule == "adam":
+        init, upd_fn = sparse_rows_adam_init, sparse_rows_adam_update
+    else:
+        init, upd_fn = (sparse_rows_adafactor_init,
+                        sparse_rows_adafactor_update)
+    s16 = init(table, moment_dtype=jnp.bfloat16)
+    s32 = init(table)
+    for leaf in jax.tree_util.tree_leaves(s16):
+        assert leaf.dtype in (jnp.bfloat16, jnp.int32)
+    p16 = p32 = table
+    for i in range(3):
+        rngk, k = jax.random.split(rngk)
+        rg = jax.random.normal(k, (5, E))
+        p16, s16 = upd_fn(p16, s16, ids, rg, LR)
+        p32, s32 = upd_fn(p32, s32, ids, rg, LR)
+    assert p16.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(p16), np.asarray(p32),
+                               atol=5e-3)
 
 
 def test_label_embedding_params():

@@ -127,11 +127,19 @@ class SparseRowsAdamState(NamedTuple):
     nu: jnp.ndarray
 
 
-def sparse_rows_adam_init(table: jnp.ndarray) -> SparseRowsAdamState:
+def sparse_rows_adam_init(
+    table: jnp.ndarray, moment_dtype=None
+) -> SparseRowsAdamState:
+    """``moment_dtype`` (e.g. ``jnp.bfloat16``) stores mu/nu in a narrower
+    dtype — compute stays f32 (rows upcast at gather, round at scatter).
+    Halves the HBM-resident state of a huge table: the sparse step's per-step
+    traffic is O(N·E) either way, but the 2×(V, E) f32 moments were the
+    RESIDENCY ceiling (VERDICT r4: 8M rows OOMed v5e with f32 state)."""
+    dt = moment_dtype or jnp.float32
     return SparseRowsAdamState(
         count=jnp.zeros((), jnp.int32),
-        mu=jnp.zeros_like(table),
-        nu=jnp.zeros_like(table),
+        mu=jnp.zeros_like(table, dtype=dt),
+        nu=jnp.zeros_like(table, dtype=dt),
     )
 
 
@@ -182,15 +190,93 @@ def sparse_rows_adam_update(
         ids, row_grads = dedupe_row_grads(ids.reshape(-1),
                                           row_grads.reshape(-1, row_grads.shape[-1]),
                                           V)
-    g = row_grads.astype(state.mu.dtype)
-    mu_rows = b1 * state.mu.at[ids].get(mode="fill", fill_value=0.0) + (1 - b1) * g
-    nu_rows = b2 * state.nu.at[ids].get(mode="fill", fill_value=0.0) + (1 - b2) * g * g
+    # compute in f32 regardless of the moments' STORAGE dtype (bf16 moments
+    # upcast at gather, round once at scatter — the fused_adafactor pattern)
+    g = row_grads.astype(jnp.float32)
+    mu_prev = state.mu.at[ids].get(mode="fill", fill_value=0.0).astype(
+        jnp.float32)
+    nu_prev = state.nu.at[ids].get(mode="fill", fill_value=0.0).astype(
+        jnp.float32)
+    mu_rows = b1 * mu_prev + (1 - b1) * g
+    nu_rows = b2 * nu_prev + (1 - b2) * g * g
     step = lr * (mu_rows / bc1) / (jnp.sqrt(nu_rows / bc2) + eps)
 
     table = table.at[ids].add(-step.astype(table.dtype), mode="drop")
-    mu = state.mu.at[ids].set(mu_rows, mode="drop")
-    nu = state.nu.at[ids].set(nu_rows, mode="drop")
+    mu = state.mu.at[ids].set(mu_rows.astype(state.mu.dtype), mode="drop")
+    nu = state.nu.at[ids].set(nu_rows.astype(state.nu.dtype), mode="drop")
     return table, SparseRowsAdamState(count=count, mu=mu, nu=nu)
+
+
+# ------------------------------------------- sparse unfactored adafactor rows
+class SparseRowsAdafactorState(NamedTuple):
+    count: jnp.ndarray
+    v: jnp.ndarray  # (V, E) unfactored second moment (moment_dtype storage)
+
+
+def sparse_rows_adafactor_init(
+    table: jnp.ndarray, moment_dtype=None
+) -> SparseRowsAdafactorState:
+    return SparseRowsAdafactorState(
+        count=jnp.zeros((), jnp.int32),
+        v=jnp.zeros_like(table, dtype=moment_dtype or jnp.float32),
+    )
+
+
+def sparse_rows_adafactor_update(
+    table: jnp.ndarray,
+    state: SparseRowsAdafactorState,
+    ids: jnp.ndarray,
+    row_grads: jnp.ndarray,
+    learning_rate: ScalarOrSchedule,
+    decay_rate: float = 0.8,
+    decay_offset: int = 0,
+    clipping_threshold: float = 1.0,
+    eps: float = 1e-30,
+    deduped: bool = False,
+):
+    """UNfactored-adafactor update on the touched rows only — the repo's
+    quality-default table rule (``fused_adafactor``: +28% recall@20 over
+    adam-family at the 390k config, docs/performance.md) in O(N·E).
+
+    Per-touch math is EXACTLY ``fused_adafactor``'s unfactored branch (same
+    decay schedule ``1 − (t+1)^−0.8`` at the global count, eps placement,
+    rsqrt, sign), and the update-RMS clip divides by the FULL ``V·E`` — in
+    the dense op untouched rows contribute 0 to the RMS numerator (g = 0),
+    so the clip scale matches the dense one given equal moments. The one
+    semantic difference is **lazy** second moments: untouched rows keep v
+    instead of decaying toward eps between touches (the lazy_adam argument —
+    rare items keep their scale; a dense decay pass would be O(V·E)/step,
+    exactly the traffic this path exists to avoid).
+    """
+    count = state.count
+    V = table.shape[0]
+    E = table.shape[1]
+    if not deduped:
+        ids, row_grads = dedupe_row_grads(
+            ids.reshape(-1), row_grads.reshape(-1, row_grads.shape[-1]), V
+        )
+    decay = 1.0 - (count - decay_offset + 1).astype(jnp.float32) ** (
+        -decay_rate
+    )
+    lr = _lr_at(learning_rate, count)
+    g = row_grads.astype(jnp.float32)
+    v_prev = state.v.at[ids].get(mode="fill", fill_value=0.0).astype(
+        jnp.float32)
+    new_v = decay * v_prev + (1.0 - decay) * (g * g + eps)
+    inv = jax.lax.rsqrt(new_v)
+    if clipping_threshold is not None:
+        # dedupe padding slots carry g == 0 (segment_sum of an empty
+        # segment), so they add 0 to the numerator — no masking needed
+        rms = jnp.sqrt(jnp.sum((g * inv) ** 2) / (V * E))
+        scale = 1.0 / jnp.maximum(1.0, rms / clipping_threshold)
+    else:
+        scale = 1.0
+    upd = g * ((-lr * scale) * inv)
+    table = table.at[ids].add(upd.astype(table.dtype), mode="drop")
+    v = state.v.at[ids].set(new_v.astype(state.v.dtype), mode="drop")
+    return table, SparseRowsAdafactorState(
+        count=optax.safe_increment(count), v=v
+    )
 
 
 def sharded_rows_adam_update(

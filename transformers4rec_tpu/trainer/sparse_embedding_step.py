@@ -42,7 +42,7 @@ sampled-softmax models feasible at speed.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, NamedTuple, Tuple
 
 import flax.linen as nn
 import jax
@@ -50,7 +50,41 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..ops.sparse_update import dedupe_row_grads, sparse_rows_adam_update
+from ..ops.sparse_update import (
+    dedupe_row_grads,
+    sparse_rows_adafactor_update,
+    sparse_rows_adam_update,
+)
+
+# embedding_optimizer values that route the item table through this step
+SPARSE_OPTIMIZERS = ("sparse_adam", "sparse_adafactor")
+
+
+class SparseAccumState(NamedTuple):
+    """Gradient-accumulation carry for the sparse step (K micro-steps per
+    optimizer step). The table side accumulates (ids, row-grads) — NOT a
+    dense (V, E) buffer, which would reintroduce exactly the O(V·E) traffic
+    and residency this path removes. At the boundary the K buffered
+    micro-batches concat → ONE dedupe → one joint clip → one scatter, with
+    the dense side's mean-grad update applied in the same branch — i.e.
+    ``optax.MultiSteps(chain(clip, tx))`` semantics (mean over K, clip the
+    mean, single inner update), pinned vs a manual reference in
+    tests/test_sparse_step.py."""
+
+    mini_step: jnp.ndarray  # int32 in [0, K)
+    dense_acc: Any          # pytree like the dense grads — SUM over micro-steps
+    ids_buf: jnp.ndarray    # (K, N) int32 — per-micro-step touched ids
+    g_buf: jnp.ndarray      # (K, N, E) f32 — per-micro-step row grads
+
+
+def sparse_accum_init(dense_tree, n_ids: int, emb_dim: int,
+                      k: int) -> SparseAccumState:
+    return SparseAccumState(
+        mini_step=jnp.zeros((), jnp.int32),
+        dense_acc=jax.tree_util.tree_map(jnp.zeros_like, dense_tree),
+        ids_buf=jnp.zeros((k, n_ids), jnp.int32),
+        g_buf=jnp.zeros((k, n_ids, emb_dim), jnp.float32),
+    )
 
 
 def find_table_path(params, item_col: str) -> Tuple:
@@ -194,14 +228,44 @@ def make_interceptor(rows: jnp.ndarray, item_col: str, n_in: int,
 
 def make_sparse_one_step(model, args, table_path, item_col: str,
                          masking_name: str, sampler, dense_tx,
-                         schedule):
+                         schedule, rule: str = "adam"):
     """Build the sparse-embedding single train step — same contract as
     Trainer._make_one_train_step's inner fn: ``(TrainState, batch) →
-    (TrainState, loss)`` (lax.scan-packable)."""
+    (TrainState, loss)`` (lax.scan-packable).
+
+    ``rule`` selects the touched-rows update: ``"adam"`` (lazy Adam —
+    ``embedding_optimizer="sparse_adam"``) or ``"adafactor"`` (lazy
+    UNfactored adafactor, the repo's quality-default table rule —
+    ``"sparse_adafactor"``)."""
     from .trainer import TrainState
 
     clip = args.max_grad_norm if args.max_grad_norm and args.max_grad_norm > 0 \
         else None
+    K = int(getattr(args, "gradient_accumulation_steps", 1) or 1)
+
+    def _apply(dense_tree, table, dense_opt, sparse_st, gd, uids, g_sum):
+        """Joint clip + dense update + sparse scatter (one optimizer step).
+        ``uids``/``g_sum`` must already be deduped — the clip global norm
+        must match the dense path's, where duplicate rows' contributions are
+        SUMMED in dW before the norm (||partials||² != ||sums||²)."""
+        if clip is not None:
+            gn = optax.global_norm((gd, g_sum))
+            scale = jnp.minimum(1.0, clip / jnp.maximum(gn, 1e-12))
+            gd = jax.tree_util.tree_map(lambda g: g * scale, gd)
+            g_sum = g_sum * scale
+        updates, dense_opt = dense_tx.update(gd, dense_opt, dense_tree)
+        new_dense = optax.apply_updates(dense_tree, updates)
+        if rule == "adafactor":
+            new_table, sparse_st = sparse_rows_adafactor_update(
+                table, sparse_st, uids, g_sum, schedule, deduped=True,
+            )
+        else:
+            new_table, sparse_st = sparse_rows_adam_update(
+                table, sparse_st, uids, g_sum, schedule,
+                b1=args.adam_beta1, b2=args.adam_beta2,
+                eps=args.adam_epsilon, deduped=True,
+            )
+        return new_dense, new_table, dense_opt, sparse_st
 
     def one_step(state: TrainState, batch):
         rng, new_rng = jax.random.split(state.rng)
@@ -241,26 +305,64 @@ def make_sparse_one_step(model, args, table_path, item_col: str,
         loss, (gd, g_rows) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
             dense_tree, rows
         )
-        # dedupe first: the clip global norm must match the dense path's,
-        # where duplicate rows' contributions are SUMMED in dW before the
-        # norm (||partials||² != ||sums||²)
-        uids, g_sum = dedupe_row_grads(all_ids, g_rows, table.shape[0])
-        if clip is not None:
-            gn = optax.global_norm((gd, g_sum))
-            scale = jnp.minimum(1.0, clip / jnp.maximum(gn, 1e-12))
-            gd = jax.tree_util.tree_map(lambda g: g * scale, gd)
-            g_sum = g_sum * scale
-        updates, dense_opt = dense_tx.update(gd, state.opt_state[0],
-                                             dense_tree)
-        new_dense = optax.apply_updates(dense_tree, updates)
-        new_table, sparse_state = sparse_rows_adam_update(
-            table, state.opt_state[1], uids, g_sum, schedule,
-            b1=args.adam_beta1, b2=args.adam_beta2, eps=args.adam_epsilon,
-            deduped=True,
+        V = table.shape[0]
+        if K == 1:
+            uids, g_sum = dedupe_row_grads(all_ids, g_rows, V)
+            new_dense, new_table, dense_opt, sparse_state = _apply(
+                dense_tree, table, state.opt_state[0], state.opt_state[1],
+                gd, uids, g_sum,
+            )
+            params = tree_set(new_dense, table_path, new_table)
+            return (
+                TrainState(params=params,
+                           opt_state=(dense_opt, sparse_state),
+                           step=state.step + 1, rng=new_rng),
+                loss,
+            )
+
+        # ---- gradient accumulation (K micro-steps per optimizer step):
+        # buffer this micro-step's (ids, row grads), sum the dense grads;
+        # at the boundary: concat → one dedupe → one joint clip → one
+        # scatter + dense mean-grad update (optax.MultiSteps semantics)
+        acc: SparseAccumState = state.opt_state[2]
+        i = acc.mini_step
+        ids_buf = jax.lax.dynamic_update_index_in_dim(
+            acc.ids_buf, all_ids, i, 0)
+        g_buf = jax.lax.dynamic_update_index_in_dim(
+            acc.g_buf, g_rows.astype(acc.g_buf.dtype), i, 0)
+        dense_acc = jax.tree_util.tree_map(
+            lambda a, g: a + g.astype(a.dtype), acc.dense_acc, gd)
+        boundary = (i + 1) >= K
+
+        def at_boundary(op):
+            dense_tree, table, dense_opt, sparse_st, dense_acc, ids_b, g_b = op
+            mean_gd = jax.tree_util.tree_map(lambda a: a / K, dense_acc)
+            uids, g_sum = dedupe_row_grads(
+                ids_b.reshape(-1), g_b.reshape(-1, g_b.shape[-1]) / K, V)
+            new_dense, new_table, dense_opt, sparse_st = _apply(
+                dense_tree, table, dense_opt, sparse_st, mean_gd, uids, g_sum,
+            )
+            zero_acc = jax.tree_util.tree_map(jnp.zeros_like, dense_acc)
+            return (new_dense, new_table, dense_opt, sparse_st, zero_acc,
+                    jnp.zeros((), jnp.int32))
+
+        def mid_accum(op):
+            dense_tree, table, dense_opt, sparse_st, dense_acc, ids_b, g_b = op
+            return (dense_tree, table, dense_opt, sparse_st, dense_acc, i + 1)
+
+        new_dense, new_table, dense_opt, sparse_state, dense_acc, mini = (
+            jax.lax.cond(
+                boundary, at_boundary, mid_accum,
+                (dense_tree, table, state.opt_state[0], state.opt_state[1],
+                 dense_acc, ids_buf, g_buf),
+            )
         )
         params = tree_set(new_dense, table_path, new_table)
+        new_acc = SparseAccumState(mini_step=mini, dense_acc=dense_acc,
+                                   ids_buf=ids_buf, g_buf=g_buf)
         return (
-            TrainState(params=params, opt_state=(dense_opt, sparse_state),
+            TrainState(params=params,
+                       opt_state=(dense_opt, sparse_state, new_acc),
                        step=state.step + 1, rng=new_rng),
             loss,
         )

@@ -50,6 +50,7 @@ from ..schema import Schema
 from .arguments import T4RecTrainingArguments
 from .checkpoint import register_pending
 from .schedulers import get_scheduler, num_cosine_cycles
+from .sparse_embedding_step import SPARSE_OPTIMIZERS
 
 # Table size above which a dense embedding optimizer on a sparse_adam-
 # eligible model triggers a one-time hint (the measured 3.6x crossover sits
@@ -317,10 +318,12 @@ class Trainer:
                 f"(got {a.embedding_moment_dtype!r})"
             )
         if (a.embedding_moment_dtype == "bf16"
-                and a.embedding_optimizer not in ("adafactor", "sparse_adam")):
-            # bf16 moment storage is wired into the fused_adafactor arm only
-            # (sparse_adam's small-table routing also uses it); an A/B that
-            # thinks it set bf16 on lazy_adam/dense must hear otherwise
+                and a.embedding_optimizer not in (
+                    "adafactor", "sparse_adam", "sparse_adafactor")):
+            # bf16 moment storage is wired into the fused_adafactor arm and
+            # the sparse-rows states (mu/nu/v + the sparse small-table
+            # routing); an A/B that thinks it set bf16 on lazy_adam/dense
+            # must hear otherwise
             import warnings
 
             warnings.warn(
@@ -341,11 +344,11 @@ class Trainer:
             num_cycles=num_cycles,
         )
         chain = []
-        # sparse_adam: grad clipping happens INSIDE the custom step (the
-        # global norm must include the sparse row grads the optax chain
-        # never sees — trainer/sparse_embedding_step.py)
+        # sparse_adam/sparse_adafactor: grad clipping happens INSIDE the
+        # custom step (the global norm must include the sparse row grads the
+        # optax chain never sees — trainer/sparse_embedding_step.py)
         if a.max_grad_norm and a.max_grad_norm > 0 \
-                and a.embedding_optimizer != "sparse_adam":
+                and a.embedding_optimizer not in SPARSE_OPTIMIZERS:
             chain.append(optax.clip_by_global_norm(a.max_grad_norm))
         dense_tx = optax.adamw(
             self._schedule,
@@ -354,7 +357,8 @@ class Trainer:
             eps=a.adam_epsilon,
             weight_decay=a.weight_decay,
         )
-        if a.embedding_optimizer in ("lazy_adam", "adafactor", "sparse_adam"):
+        if a.embedding_optimizer in (
+                ("lazy_adam", "adafactor") + SPARSE_OPTIMIZERS):
             from ..ops.sparse_update import label_embedding_params, lazy_adam
 
             if a.embedding_optimizer == "lazy_adam":
@@ -390,13 +394,12 @@ class Trainer:
         else:
             chain.append(dense_tx)
         tx = optax.chain(*chain)
-        if a.gradient_accumulation_steps > 1:
-            if a.embedding_optimizer == "sparse_adam":
-                raise NotImplementedError(
-                    "sparse_adam does not compose with "
-                    "gradient_accumulation_steps>1 (the row scatter-update "
-                    "applies per micro-batch, not per optimizer step)"
-                )
+        if a.gradient_accumulation_steps > 1 \
+                and a.embedding_optimizer not in SPARSE_OPTIMIZERS:
+            # sparse optimizers accumulate inside the custom step instead
+            # (ids + row grads buffered per micro-step, one dedupe/clip/
+            # scatter at the boundary — SparseAccumState); wrapping their
+            # dense_tx in MultiSteps here would double-accumulate
             tx = optax.MultiSteps(tx, a.gradient_accumulation_steps)
         self._tx = tx
         return tx
@@ -443,6 +446,12 @@ class Trainer:
 
     def _ensure_state(self, example_batch, num_training_steps: int):
         self._last_num_steps = num_training_steps
+        # the sparse step's accumulation buffers are (K, B·S+n_neg)-shaped —
+        # stash the batch shapes so _init_opt_state (and a later
+        # reset_lr_scheduler) can rebuild the opt-state structure
+        self._example_shapes = {
+            k: tuple(v.shape) for k, v in example_batch.items()
+        }
         if self._tx is None:
             self.create_optimizer_and_scheduler(num_training_steps)
         if self._train_state is None:
@@ -478,10 +487,15 @@ class Trainer:
         dense (V, E) gradient + optimizer-state walk dominates the step —
         ``sparse_adam`` measured 3.6x the dense-update arm at 4M rows × E=64
         (docs/performance.md). If this model QUALIFIES for the sparse step
-        but a dense embedding optimizer is configured, say so once."""
+        but a dense embedding optimizer is configured, say so once.
+
+        One-time is tracked with an explicit instance flag (not Python's
+        per-location warning registry, which the user's ``-W always``/
+        ``error`` filters bypass — and the message interpolates the row
+        count, so the registry key changes per model anyway)."""
         a = self.args
-        if a.gradient_accumulation_steps > 1:
-            return  # sparse_adam itself refuses accumulation
+        if getattr(self, "_sparse_hint_emitted", False):
+            return
         heads = list(getattr(self.model, "heads", ()) or ())
         if len(heads) != 1:
             return
@@ -496,12 +510,14 @@ class Trainer:
             return
         import warnings
 
+        self._sparse_hint_emitted = True
         warnings.warn(
             f"the tied item table has {rows:,} rows and this model "
-            "qualifies for embedding_optimizer='sparse_adam' (O(N·E) row "
-            "updates — no dense (V, E) gradient or full optimizer-state "
-            "walk; 3.6x the dense-update step measured at 4M rows): "
-            f"consider it over {a.embedding_optimizer!r} at this scale"
+            "qualifies for a sparse embedding optimizer "
+            "('sparse_adafactor'/'sparse_adam': O(N·E) row updates — no "
+            "dense (V, E) gradient or full optimizer-state walk; 3.6x the "
+            "dense-update step measured at 4M rows): consider one over "
+            f"{a.embedding_optimizer!r} at this scale"
         )
 
     def _init_opt_state(self, params):
@@ -517,27 +533,33 @@ class Trainer:
         with the param name, so `.*_table$` moments row-shard exactly like
         their tables (incl. factored (V,) row moments; scalars replicate).
 
-        sparse_adam: state is ``(dense_opt_state, SparseRowsAdamState)`` —
-        the item table rides the O(N·E) row update
-        (trainer/sparse_embedding_step.py); mu/nu are jit-initialized with
-        the TABLE's sharding as explicit out_shardings (works for
-        cross-process row-sharded tables too)."""
-        if self.args.embedding_optimizer == "sparse_adam":
+        sparse_adam/sparse_adafactor: state is ``(dense_opt_state,
+        sparse_rows_state[, SparseAccumState])`` — the item table rides the
+        O(N·E) row update (trainer/sparse_embedding_step.py); moments are
+        jit-initialized with the TABLE's sharding as explicit out_shardings
+        (works for cross-process row-sharded tables too). Moment STORAGE
+        follows ``embedding_moment_dtype`` (bf16 default — halves the
+        sparse state's HBM residency; compute stays f32)."""
+        if self.args.embedding_optimizer in SPARSE_OPTIMIZERS:
+            import functools
+
             from jax.sharding import NamedSharding, PartitionSpec
             from ..ops.sparse_update import (
+                SparseRowsAdafactorState,
                 SparseRowsAdamState,
+                sparse_rows_adafactor_init,
                 sparse_rows_adam_init,
             )
             from .sparse_embedding_step import tree_get, tree_set
 
-            path, *_ = self._sparse_setup(params)
+            path, item_col, _, sampler = self._sparse_setup(params)
             dense_tree = tree_set(params, path, None)
             shapes = jax.eval_shape(self._tx.init, dense_tree)
             out_shardings = param_shardings(shapes, self.mesh)
             dense_opt = jax.jit(self._tx.init, out_shardings=out_shardings)(
                 dense_tree
             )
-            # mu/nu must inherit the TABLE's (possibly cross-process row)
+            # moments must inherit the TABLE's (possibly cross-process row)
             # sharding; jit + explicit out_shardings because zeros_like
             # under jit does not propagate from its input, and eager ops
             # are illegal on non-fully-addressable tables
@@ -545,12 +567,42 @@ class Trainer:
             tsh = getattr(table, "sharding", None)
             if not isinstance(tsh, NamedSharding):
                 tsh = NamedSharding(self.mesh, PartitionSpec())
-            sparse_sh = SparseRowsAdamState(
-                count=NamedSharding(self.mesh, PartitionSpec()),
-                mu=tsh, nu=tsh,
-            )
-            mk = jax.jit(sparse_rows_adam_init, out_shardings=sparse_sh)
-            return (dense_opt, mk(table))
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            mdt = (jnp.bfloat16
+                   if self.args.embedding_moment_dtype == "bf16" else None)
+            if self.args.embedding_optimizer == "sparse_adafactor":
+                sparse_sh = SparseRowsAdafactorState(count=rep, v=tsh)
+                init_fn = functools.partial(
+                    sparse_rows_adafactor_init, moment_dtype=mdt)
+            else:
+                sparse_sh = SparseRowsAdamState(count=rep, mu=tsh, nu=tsh)
+                init_fn = functools.partial(
+                    sparse_rows_adam_init, moment_dtype=mdt)
+            sparse_state = jax.jit(init_fn, out_shardings=sparse_sh)(table)
+            k = self.args.gradient_accumulation_steps
+            if k and k > 1:
+                from .sparse_embedding_step import sparse_accum_init
+
+                b, s = self._example_shapes[item_col]
+                n_neg = jax.eval_shape(
+                    sampler.sample, jax.random.PRNGKey(0)).shape[0]
+                emb_dim = table.shape[1]
+                acc = jax.jit(
+                    functools.partial(sparse_accum_init,
+                                      n_ids=b * s + n_neg,
+                                      emb_dim=emb_dim, k=k),
+                    out_shardings=param_shardings(
+                        jax.eval_shape(
+                            functools.partial(sparse_accum_init,
+                                              n_ids=b * s + n_neg,
+                                              emb_dim=emb_dim, k=k),
+                            dense_tree,
+                        ),
+                        self.mesh,
+                    ),
+                )(dense_tree)
+                return (dense_opt, sparse_state, acc)
+            return (dense_opt, sparse_state)
         shapes = jax.eval_shape(self._tx.init, params)
         out_shardings = param_shardings(shapes, self.mesh)
         return jax.jit(self._tx.init, out_shardings=out_shardings)(params)
@@ -560,7 +612,7 @@ class Trainer:
         """The single optimizer step — shared by the K=1 jit and the
         lax.scan K-packing so the two stay bit-identical (the equivalence is
         pinned by test; a divergence here would silently break it)."""
-        if self.args.embedding_optimizer == "sparse_adam":
+        if self.args.embedding_optimizer in SPARSE_OPTIMIZERS:
             from .sparse_embedding_step import make_sparse_one_step
 
             path, item_col, masking_name, sampler = self._sparse_setup(
@@ -569,6 +621,9 @@ class Trainer:
             return make_sparse_one_step(
                 self.model, self.args, path, item_col, masking_name, sampler,
                 self._tx, self._schedule,
+                rule=("adafactor"
+                      if self.args.embedding_optimizer == "sparse_adafactor"
+                      else "adam"),
             )
         self._maybe_hint_sparse_adam()
         model, tx = self.model, self._tx
