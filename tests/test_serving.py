@@ -195,6 +195,89 @@ def test_runner_accepts_ragged_sessions(trained, tmp_path):
     np.testing.assert_allclose(s_ref, s_rag, rtol=1e-6)
 
 
+def test_sharded_serving_matches_single_device(tmp_path):
+    """Model-parallel serving (serving/sharded.py): an artifact exported with
+    bundle_params=True loads onto a local ('model',) mesh — item table
+    row-sharded, top-k via sharded_topk — and reproduces the single-device
+    artifact's predictions at model_axis=2. Also drives the daemon with the
+    sharded runner (the --model-builder CLI path)."""
+    import json as _json
+    import urllib.request
+
+    import jax
+
+    from transformers4rec_tpu.data.synthetic import (
+        synthetic_data,
+        synthetic_ecommerce_data_schema,
+    )
+    from transformers4rec_tpu.serving import ServingServer, ShardedInferenceRunner
+
+    # vocab above MIN_ROWS_TO_SHARD (16384) so the table actually shards
+    schema = synthetic_ecommerce_data_schema(
+        num_items=20000, num_categories=30, max_session_length=10
+    )
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_data(
+            schema, num_rows=8, max_session_length=10, seed=0
+        ).items()
+    }
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=32, masking="mlm", aggregation="concat"
+    )
+    cfg = tr.XLNetConfig.build(d_model=32, n_head=2, n_layer=1,
+                               total_seq_length=10)
+    model = cfg.to_model(im, tr.NextItemPredictionTask(weight_tying=True))
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "masking": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+        "sampling": jax.random.PRNGKey(3),
+    }
+    params = model.init(rngs, batch, training=True)
+
+    path = export_model(model, params, batch, str(tmp_path / "sharded_art"),
+                        top_k=5, bundle_params=True)
+    np_batch = {k: np.asarray(v) for k, v in batch.items()}
+    ref_scores, ref_ids = load_runner(path).predict(np_batch)
+
+    sharded = ShardedInferenceRunner(path, model, model_axis=2)
+    # the table must actually be row-sharded and the mesh threaded in
+    table = [leaf for leaf in jax.tree_util.tree_leaves(sharded.params)
+             if getattr(leaf, "ndim", 0) == 2
+             and leaf.shape[0] >= 16384]
+    assert table and any(s is not None for s in table[0].sharding.spec)
+    assert sharded.model.heads[0].tasks[0].vocab_parallel_mesh is not None
+
+    got_scores, got_ids = sharded.predict(np_batch)
+    np.testing.assert_array_equal(ref_ids, got_ids)
+    np.testing.assert_allclose(ref_scores, got_scores, rtol=1e-5, atol=1e-5)
+
+    # refuse artifacts without bundled params (clear error, not a crash)
+    plain = export_model(model, params, batch, str(tmp_path / "plain_art"),
+                         top_k=5)
+    with pytest.raises(ValueError, match="bundle_params"):
+        ShardedInferenceRunner(plain, model, model_axis=2)
+
+    # daemon over the sharded runner
+    server = ServingServer(path, port=0, max_batch_size=8,
+                           runner=sharded).start()
+    try:
+        base = f"http://{server.host}:{server.port}"
+        inputs = {k: v[:2].tolist() for k, v in np_batch.items()}
+        req = urllib.request.Request(
+            f"{base}/v2/predict",
+            data=_json.dumps({"inputs": inputs}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            out = _json.loads(r.read())
+        np.testing.assert_array_equal(np.asarray(out["item_ids"]),
+                                      ref_ids[:2])
+    finally:
+        server.stop()
+
+
 def test_export_strips_vocab_parallel_mesh(trained, tmp_path):
     """Exporting an auto-engaged (vocab_parallel_mesh) model must produce a
     plain single-device artifact — the training mesh's shard_map must not be

@@ -60,6 +60,7 @@ def export_model(
     batch_polymorphic: bool = True,
     weights_dtype: Optional[str] = None,
     categories=None,
+    bundle_params: bool = False,
 ) -> str:
     """Trace + AOT-serialize the inference path and write the artifact dir.
 
@@ -78,6 +79,14 @@ def export_model(
     one). The runner/server then accept RAW categorical values and decode
     predicted top-k indices back to raw item ids — the reference ensemble's
     TransformWorkflow stage (notebook 03:656-680), embedded in the artifact.
+
+    ``bundle_params`` additionally writes ``params.msgpack`` (post
+    ``weights_dtype`` cast) so the artifact can ALSO be served model-parallel:
+    ``ShardedInferenceRunner`` (serving/sharded.py) loads these params onto a
+    local ('model',) mesh with the item table row-sharded — the 100M-row
+    serving path, where a single-device StableHLO program cannot hold the
+    table. The StableHLO artifact is still written and stays authoritative
+    for single-device serving.
     """
     from jax import export as jexport
 
@@ -120,6 +129,11 @@ def export_model(
         f.write(model.input_schema.to_json())
     with open(os.path.join(path, "output_schema.json"), "w") as f:
         f.write(model.clone(top_k=top_k or model.top_k).output_schema.to_json())
+    if bundle_params:
+        from flax import serialization
+
+        with open(os.path.join(path, "params.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(jax.device_get(params)))
     category_cols = []
     if categories is not None:
         from ..utils.data_utils import load_categories, save_categories
@@ -137,6 +151,7 @@ def export_model(
                 "batch_polymorphic": batch_polymorphic,
                 "weights_dtype": weights_dtype,
                 "example_batch_size": int(next(iter(example.values())).shape[0]),
+                "bundled_params": bundle_params,
                 "categories": category_cols,
                 "item_id_column": model.input_schema.item_id_column_name
                 if category_cols else None,
@@ -154,6 +169,11 @@ class InferenceRunner:
 
         with open(os.path.join(path, "model.stablehlo"), "rb") as f:
             self._exported = jexport.deserialize(f.read())
+        self._load_artifact_meta(path)
+
+    def _load_artifact_meta(self, path: str) -> None:
+        """Schemas, metadata, and Categorify mappings — shared by the AOT
+        (StableHLO) runner and the model-parallel ShardedInferenceRunner."""
         with open(os.path.join(path, "metadata.json")) as f:
             self.metadata = json.load(f)
         self.input_schema = Schema.from_json(os.path.join(path, "input_schema.json"))
@@ -169,6 +189,10 @@ class InferenceRunner:
             self._codes = {
                 k: build_category_codes(v) for k, v in self.categories.items()
             }
+
+    def _call(self, arrs):
+        """Run the underlying program (subclasses override)."""
+        return self._exported.call(arrs)
 
     def predict(
         self,
@@ -192,7 +216,7 @@ class InferenceRunner:
             for k, v in batch.items()
             if k in feats
         }
-        out = self._exported.call(arrs)
+        out = self._call(arrs)
         if isinstance(out, (tuple, list)) and len(out) == 2:
             scores, ids = out
             ids = np.asarray(ids)

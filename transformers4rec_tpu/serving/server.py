@@ -169,8 +169,14 @@ class ServingServer:
         port: int = 8000,
         max_batch_size: int = 64,
         max_delay_ms: float = 5.0,
+        runner: Optional[InferenceRunner] = None,
     ):
-        self.runner = InferenceRunner(artifact_path)
+        """``runner`` overrides the default AOT InferenceRunner — pass a
+        ``ShardedInferenceRunner`` (serving/sharded.py) to serve the artifact
+        model-parallel over a local mesh (the ``--model-builder`` +
+        ``--model-axis`` CLI path)."""
+        self.runner = runner if runner is not None \
+            else InferenceRunner(artifact_path)
         if not self.runner.metadata.get("batch_polymorphic", True):
             max_batch_size = min(
                 max_batch_size,
@@ -278,14 +284,42 @@ def main(argv=None):
         help="force the CPU backend (the TPU plugin ignores JAX_PLATFORMS; "
         "artifacts are platform-specific)",
     )
+    ap.add_argument(
+        "--model-builder", default=None, metavar="MODULE:FUNC",
+        help="serve MODEL-PARALLEL: an importable zero-arg callable returning "
+        "the Model the artifact was exported from (the Triton-PyTorch-backend "
+        "contract — model code ships alongside weights). Requires an artifact "
+        "exported with bundle_params=True; params load onto a local "
+        "('data', 'model') mesh with the item table row-sharded and top-k "
+        "runs sharded_topk (serving/sharded.py)",
+    )
+    ap.add_argument(
+        "--model-axis", type=int, default=None,
+        help="mesh 'model' axis size for --model-builder "
+        "(default: all local devices)",
+    )
     args = ap.parse_args(argv)
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    runner = None
+    if args.model_builder:
+        import importlib
+
+        from .sharded import ShardedInferenceRunner
+
+        mod_name, _, fn_name = args.model_builder.partition(":")
+        if not fn_name:
+            ap.error("--model-builder must be MODULE:FUNC")
+        builder = getattr(importlib.import_module(mod_name), fn_name)
+        runner = ShardedInferenceRunner(
+            args.artifact, builder(), model_axis=args.model_axis
+        )
     server = ServingServer(
         args.artifact, host=args.host, port=args.port,
         max_batch_size=args.max_batch_size, max_delay_ms=args.max_delay_ms,
+        runner=runner,
     )
     print(f"serving {args.artifact} on {server.host}:{server.port} "
           f"(max_batch={args.max_batch_size}, delay={args.max_delay_ms}ms)")
