@@ -194,6 +194,12 @@ def config_large_vocab(quick: bool):
     from transformers4rec_tpu.data.synthetic import synthetic_ecommerce_data_schema
 
     num_items = 100_000 if quick else 4_000_000
+    # ceiling probes (docs/performance.md HBM-ceiling rows): override the row
+    # count and optionally skip the dense arm — at ≥8M rows the dense (V, E)
+    # grad + optimizer state OOM v5e, while the sparse step (no dense grad,
+    # bf16 moments = 512B/row) keeps climbing
+    num_items = int(os.environ.get("T4R_LARGE_VOCAB_ROWS", num_items))
+    sparse_only = os.environ.get("T4R_LARGE_VOCAB_SPARSE_ONLY") == "1"
     schema = synthetic_ecommerce_data_schema(
         num_items=num_items, num_categories=150)
     d = 64 if quick else 192
@@ -213,11 +219,13 @@ def config_large_vocab(quick: bool):
     # two arms: the dense adafactor update (reads+writes the full (V, E)
     # state every step) vs the O(N·E) sparse row update
     # (trainer/sparse_embedding_step.py — the 100M-row-viable mode)
-    return {"config": "large-vocab-4M-sampled-softmax",
-            "num_items": num_items,
-            "examples_per_sec_per_chip": round(arm("adafactor"), 1),
-            "examples_per_sec_per_chip_sparse_adam": round(
-                arm("sparse_adam"), 1)}
+    out = {"config": "large-vocab-4M-sampled-softmax",
+           "num_items": num_items}
+    if not sparse_only:
+        out["examples_per_sec_per_chip"] = round(arm("adafactor"), 1)
+    out["examples_per_sec_per_chip_sparse_adam"] = round(
+        arm("sparse_adam"), 1)
+    return out
 
 
 CONFIGS = {

@@ -36,7 +36,8 @@ import jax
 import jax.numpy as jnp
 
 
-def build_step(arm: str, n_head: int = 16, n_layer: int = 3):
+def build_step(arm: str, n_head: int = 16, n_layer: int = 3,
+               k_pack: int = 1, moment_bf16: bool = False):
     import optax
 
     import transformers4rec_tpu as tr
@@ -101,13 +102,17 @@ def build_step(arm: str, n_head: int = 16, n_layer: int = 3):
             label_embedding_params,
         )
     elif (arm in ("fused_af", "fused_af_factored", "packed_sessions")
-          or arm.startswith("packed")):
+          or arm.startswith("packed") or moment_bf16):
         # fused_af = the bench default (unfactored, quality-pinned);
         # fused_af_factored = rank-1 moments (perf reference only — measured
-        # quality loss at 2000 steps, see ops/fused_adafactor.py)
+        # quality loss at 2000 steps, see ops/fused_adafactor.py);
+        # moment_bf16 (the '+bf16m' modifier) = bf16-STORED second moment,
+        # the r4 bench/trainer default
         from transformers4rec_tpu.ops.fused_adafactor import fused_adafactor
 
         kw = {"min_dim_size_to_factor": 64} if arm == "fused_af_factored" else {}
+        if moment_bf16:
+            kw["moment_dtype"] = jnp.bfloat16
         tx = optax.multi_transform(
             {
                 "dense": optax.adamw(6.7e-4),
@@ -150,9 +155,11 @@ def build_step(arm: str, n_head: int = 16, n_layer: int = 3):
         return one_step(params, opt_state, batch, rng)
 
     if arm.startswith("packed") and arm.removeprefix("packed").isdigit():
+        k_pack = int(arm.removeprefix("packed"))
+    if k_pack > 1:
         # K steps per dispatch via lax.scan — amortizes the ~0.8ms dispatch
         # floor; reports per-inner-step time
-        K = int(arm.removeprefix("packed"))
+        K = k_pack
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def train_step(params, opt_state, batch, rng):  # noqa: F811
@@ -173,15 +180,38 @@ def build_step(arm: str, n_head: int = 16, n_layer: int = 3):
 def run_arm(arm: str, steps: int = 30, warmup: int = 3, reps: int = 2):
     # heads<N> arms probe head-dim MXU padding (d_head = 192/n_head; tiles
     # pad to 128 lanes, so dh=12 runs the attention GEMMs at ~10% MXU util)
+    #
+    # Arms compose with '+'-separated modifiers so the decomposition can run
+    # at the CURRENT bench operating point (K-packing + bf16 moments):
+    #   packed<K>  — lax.scan K steps per dispatch
+    #   bf16m      — bf16-stored adafactor second moment (r4 default)
+    #   no_ce / table_sgd / all_sgd — the ablation itself
+    # e.g. "no_ce+packed32+bf16m" = current bench step minus the CE kernels.
     n_head = 16
     n_layer = 3
     label = arm
-    if arm.startswith("heads"):
-        n_head = int(arm.removeprefix("heads"))
-        arm = "fused_af"
-    if arm.startswith("layers"):
-        n_layer = int(arm.removeprefix("layers"))
-        arm = "fused_af"
+    k_pack = 1
+    moment_bf16 = False
+    parts = arm.split("+")
+    arm = "fused_af" if len(parts) > 1 else parts[0]
+    for p in parts:
+        if p.startswith("packed") and p.removeprefix("packed").isdigit():
+            k_pack = int(p.removeprefix("packed"))
+        elif p == "bf16m":
+            moment_bf16 = True
+        elif p.startswith("heads"):
+            n_head = int(p.removeprefix("heads"))
+        elif p.startswith("layers"):
+            n_layer = int(p.removeprefix("layers"))
+        elif len(parts) > 1:
+            arm = p  # the base ablation (no_ce / table_sgd / all_sgd / ...)
+    if len(parts) == 1:
+        if arm.startswith("heads"):
+            n_head = int(arm.removeprefix("heads"))
+            arm = "fused_af"
+        if arm.startswith("layers"):
+            n_layer = int(arm.removeprefix("layers"))
+            arm = "fused_af"
     if arm == "no_ce":
         import transformers4rec_tpu.ops.vocab as vocab
 
@@ -194,7 +224,9 @@ def run_arm(arm: str, steps: int = 30, warmup: int = 3, reps: int = 2):
 
         vocab.fused_softmax_ce = surrogate
     try:
-        step, params, opt_state, batch = build_step(arm, n_head=n_head, n_layer=n_layer)
+        step, params, opt_state, batch = build_step(
+            arm, n_head=n_head, n_layer=n_layer, k_pack=k_pack,
+            moment_bf16=moment_bf16)
         k = getattr(step, "_packed", 1)
         rng = jax.random.PRNGKey(7)
         times = []

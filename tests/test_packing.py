@@ -224,6 +224,124 @@ def test_packed_mlm_trains():
     assert jnp.isfinite(loss)
 
 
+def test_packed_plm_trains_and_isolates_segments():
+    """PLM × packing (round-5): spans sampled per segment, per-segment
+    ≥1-masked/≥1-unmasked guarantees, and cross-segment isolation — in eval
+    mode a segment's per-position logits must be bit-identical when the
+    OTHER segment's items change (same pad structure → same masking draw)."""
+    from transformers4rec_tpu.masking import PermutationLanguageModeling
+
+    schema = _schema(num_items=300)
+    B, S = 8, SEQ
+    rng = np.random.RandomState(7)
+    # two segments per row: lengths 6 and 6 (both ≥2)
+    seg = np.zeros((B, S), np.int32)
+    seg[:, :6] = 1
+    seg[:, 6:12] = 2
+    ids = rng.randint(1, 300, (B, S)).astype(np.int64)
+
+    plm = PermutationLanguageModeling(hidden_size=16, plm_probability=0.5,
+                                      max_span_length=3)
+    sids = jnp.asarray(seg)
+    non_pad = jnp.asarray(ids != 0)
+    for trial in range(6):
+        info = plm.compute_masked_targets(
+            jax.random.PRNGKey(trial), jnp.asarray(ids), training=True,
+            segment_ids=sids,
+        )
+        m = np.asarray(info.mask)
+        # masked subset of non-pad; ≥1 masked AND ≥1 unmasked per segment
+        assert (m <= np.asarray(non_pad)).all()
+        for s in (1, 2):
+            in_seg = seg == s
+            per_row_masked = (m & in_seg).sum(axis=1)
+            per_row_len = in_seg.sum(axis=1)
+            assert (per_row_masked >= 1).all(), trial
+            assert (per_row_masked < per_row_len).all(), trial
+        # span clipping only ever REMOVES masked positions vs the unclipped
+        # draw (same rng, no segments, before min-masking)
+        r_span, _, _ = jax.random.split(jax.random.PRNGKey(trial), 3)
+        m_clip = np.asarray(plm._sample_spans(r_span, non_pad, segment_ids=sids))
+        m_free = np.asarray(plm._sample_spans(r_span, non_pad))
+        assert (m_clip <= m_free).all()
+
+    # cross-segment isolation (eval mode, deterministic labels): per-position
+    # logits at segment-1 target rows are unchanged when segment 2's items
+    # are replaced
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=32, masking="plm", aggregation="concat"
+    )
+    cfg = tr.transformer_registry.parse("xlnet").build(
+        d_model=32, n_head=2, n_layer=2, total_seq_length=S, dropout=0.0,
+    )
+    # use_fused_ops=False: the einsum eval branch RETURNS per-position
+    # logits (the fused streamed branch never materializes them)
+    model = cfg.to_model(im, tr.NextItemPredictionTask(
+        weight_tying=True, use_fused_ops=False))
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "masking": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+        "sampling": jax.random.PRNGKey(3),
+    }
+    base = {
+        "item_id": jnp.asarray(ids), "category": jnp.asarray(ids % 10 + 1),
+        "price": jnp.asarray(rng.rand(B, S).astype(np.float32)),
+        "segment_ids": sids,
+    }
+    base = {k: v for k, v in base.items()
+            if k in ("item_id", "segment_ids") or k in
+            {c for c in schema.column_names}}
+    params = model.init(rngs, base, training=True)
+
+    ids2 = ids.copy()
+    ids2[:, 6:12] = rng.randint(1, 300, (B, 6))  # rewrite segment 2 only
+    other = dict(base, item_id=jnp.asarray(ids2))
+
+    _, o1 = model.apply(params, base, targets=base, testing=True,
+                        compute_metrics=False)
+    _, o2 = model.apply(params, other, targets=other, testing=True,
+                        compute_metrics=False)
+    p1 = np.asarray(o1["next-item"].predictions).reshape(B, S, -1)
+    p2 = np.asarray(o2["next-item"].predictions).reshape(B, S, -1)
+    t1 = np.asarray(o1["next-item"].weights).reshape(B, S) > 0
+    # target rows of segment 1 (positions 0..5): logits bit-identical
+    seg1_targets = t1 & (seg == 1)
+    assert seg1_targets.any()
+    np.testing.assert_array_equal(p1[seg1_targets], p2[seg1_targets])
+
+
+def test_packed_plm_trainer_end_to_end(tmp_path):
+    """PLM trains on packed rows through the Trainer (pack_sessions=True)."""
+    schema = _schema(num_items=300)
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=32, masking="plm", aggregation="concat",
+        masking_kwargs={"plm_probability": 0.5, "max_span_length": 3},
+    )
+    model = tr.XLNetConfig.build(32, 2, 1, SEQ).to_model(
+        im, tr.NextItemPredictionTask(weight_tying=True)
+    )
+    args = tr.T4RecTrainingArguments(
+        output_dir=str(tmp_path / "plmpack"),
+        data_loader_engine="synthetic",
+        max_sequence_length=SEQ,
+        per_device_train_batch_size=16,
+        max_steps=16,
+        learning_rate=5e-3,
+        logging_steps=4,
+        pack_sessions=True,
+        pack_eval_sessions=True,
+    )
+    trainer = tr.Trainer(model=model, args=args, schema=schema)
+    first = next(iter(trainer.get_train_dataloader()))
+    assert int(np.asarray(first["segment_ids"]).max()) > 1
+    trainer.train()
+    hist = [h["loss"] for h in trainer.state.log_history if "loss" in h]
+    assert np.isfinite(hist).all() and hist[-1] < hist[0], hist
+    ev = trainer.evaluate()
+    assert np.isfinite(ev["eval_loss"])
+
+
 def test_packed_inference_raises():
     """Inference (serving) stays unpacked: per-session top-k and the MLM
     [MASK] extension are one-session-per-row gathers."""
@@ -239,7 +357,9 @@ def test_packed_inference_raises():
         im.init_with_output(rngs, b)  # inference mode (not training/testing)
 
 
-@pytest.mark.parametrize("masking,arch", [("clm", "transfoxl"), ("mlm", "xlnet")])
+@pytest.mark.parametrize("masking,arch",
+                         [("clm", "transfoxl"), ("mlm", "xlnet"),
+                          ("plm", "xlnet")])
 def test_packed_eval_matches_unpacked(masking, arch):
     """Packed evaluation (per-segment last-item targets) must produce the
     SAME loss and metric sums as evaluating the same sessions unpacked —

@@ -385,10 +385,11 @@ def test_sparse_composes_with_packing(tmp_path):
     assert np.isfinite(hist).all() and hist[-1] < hist[0], hist
 
 
-def test_sparse_validation_rejects_ssn_and_frozen_table(tmp_path):
-    """Input pre/post transformations (id rewrites) and frozen pretrained
-    item tables must be refused — both would silently diverge from the
-    dense path."""
+def test_sparse_validation_rejects_non_ssn_pre_and_frozen_table(tmp_path):
+    """Non-SSN input PRE transformations (param-bearing / float-space) and
+    frozen pretrained item tables must be refused — both would silently
+    diverge from the dense path. SSN itself now COMPOSES (trainer-side
+    application; test_sparse_ssn_grads_match_dense)."""
     import numpy as _np
 
     from transformers4rec_tpu.features.embedding import (
@@ -408,15 +409,24 @@ def test_sparse_validation_rejects_ssn_and_frozen_table(tmp_path):
     )
     im = tr.TabularSequenceFeatures.from_schema(
         schema, d_output=32, masking="mlm", aggregation="concat",
-        pre="stochastic-swap-noise",
+        pre="layer-norm",
     )
     cfg = tr.transformer_registry.parse("xlnet").build(
         d_model=32, n_head=2, n_layer=1, total_seq_length=10
     )
     model = cfg.to_model(im, tr.NextItemPredictionTask(
         weight_tying=True, sampled_softmax=True, max_n_samples=16))
-    with pytest.raises(NotImplementedError, match="transformations"):
+    with pytest.raises(NotImplementedError, match="StochasticSwapNoise"):
         validate_sparse_config(model, args)
+
+    # SSN as PRE validates cleanly now
+    im_ok = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=32, masking="mlm", aggregation="concat",
+        pre="stochastic-swap-noise",
+    )
+    model_ok = cfg.to_model(im_ok, tr.NextItemPredictionTask(
+        weight_tying=True, sampled_softmax=True, max_n_samples=16))
+    validate_sparse_config(model_ok, args)
 
     weights = _np.random.default_rng(0).normal(size=(501, 16)).astype("float32")
     im2 = tr.TabularSequenceFeatures.from_schema(
@@ -431,6 +441,150 @@ def test_sparse_validation_rejects_ssn_and_frozen_table(tmp_path):
         weight_tying=True, sampled_softmax=True, max_n_samples=16))
     with pytest.raises(NotImplementedError, match="frozen"):
         validate_sparse_config(model2, args)
+
+
+@pytest.mark.parametrize("masking", ["mlm", "clm"])
+def test_sparse_ssn_grads_match_dense(masking):
+    """StochasticSwapNoise composes with the sparse step: with the SAME
+    trainer-computed augmentation injected into both paths, the sparse loss
+    equals the dense path's exactly and scatter-add of its row grads (over
+    the [augmented lookup | original label | negative] row layout) equals
+    the dense dW."""
+    import flax.linen as nn
+
+    from transformers4rec_tpu.tabular.base import parse_transformation
+    from transformers4rec_tpu.trainer.sparse_embedding_step import (
+        _pos_map,
+        find_table_path,
+        make_interceptor,
+        tree_get,
+        tree_set,
+    )
+
+    schema = synthetic_ecommerce_data_schema(
+        num_items=2000, num_categories=20, max_session_length=10
+    )
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=32, masking=masking, aggregation="concat",
+        pre="stochastic-swap-noise",
+    )
+    arch = "gpt2" if masking == "clm" else "xlnet"
+    cfg = tr.transformer_registry.parse(arch).build(
+        d_model=32, n_head=2, n_layer=1, total_seq_length=10
+    )
+    model = cfg.to_model(im, tr.NextItemPredictionTask(
+        weight_tying=True, sampled_softmax=True, max_n_samples=64))
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_data(
+            schema, num_rows=8, max_session_length=10, seed=0
+        ).items()
+    }
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "masking": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+        "sampling": jax.random.PRNGKey(3),
+        "augment": jax.random.PRNGKey(4),
+    }
+    apply_rngs = {k: v for k, v in rngs.items() if k != "params"}
+    params = model.init(rngs, batch, training=True)
+
+    path = find_table_path(params, "item_id")
+    table = tree_get(params, path)
+    task = model.heads[0].tasks[0]
+    neg = task.make_sampler(table.shape[0]).sample(jax.random.PRNGKey(9))
+    batch2 = {**batch, "__neg_ids__": neg}
+
+    # trainer-side augmentation (the step's own draw)
+    pre_tf = parse_transformation(im.pre)
+    item_ids = batch["item_id"]
+    aug = pre_tf.apply(
+        {}, batch, training=True, pad_mask=(item_ids != 0),
+        rngs={"augment": jax.random.PRNGKey(77)},
+    )
+    assert int((aug["item_id"] != item_ids).sum()) > 0, "SSN swapped nothing"
+
+    def ssn_only(next_fun, args, kwargs, context):
+        if (context.method_name == "__call__"
+                and type(context.module).__name__ == "StochasticSwapNoise"
+                and args and isinstance(args[0], dict)
+                and "item_id" in args[0]
+                and jnp.issubdtype(args[0]["item_id"].dtype, jnp.integer)):
+            return {k: aug.get(k, v) for k, v in args[0].items()}
+        return next_fun(*args, **kwargs)
+
+    # ---- dense reference: full params, same injected augmentation
+    def dense_loss(p):
+        with nn.intercept_methods(ssn_only):
+            loss, _ = model.apply(p, batch2, targets=batch2, training=True,
+                                  compute_metrics=False, rngs=apply_rngs)
+        return loss
+
+    loss_d, grads_d = jax.value_and_grad(dense_loss)(params)
+    dW = tree_get(grads_d, path)
+
+    # ---- sparse: [aug lookup rows | original label rows | negatives]
+    B, S = item_ids.shape
+    n_in = B * S
+    ids_in = item_ids.reshape(-1).astype(jnp.int32)
+    aug_ids = aug["item_id"].reshape(-1).astype(jnp.int32)
+    all_ids = jnp.concatenate([aug_ids, ids_in, neg.astype(jnp.int32)])
+    rows = jnp.take(table, all_ids, axis=0)
+    dense_tree = tree_set(params, path, None)
+    pmap = jnp.asarray(_pos_map(masking, B, S)) + n_in
+
+    def sparse_loss(dense_tree, rows):
+        p_full = tree_set(dense_tree, path, jax.lax.stop_gradient(table))
+        with nn.intercept_methods(
+            make_interceptor(rows, "item_id", n_in, pmap, neg,
+                             neg_base=2 * n_in, aug_inputs=aug)
+        ):
+            loss, _ = model.apply(p_full, batch2, targets=batch2,
+                                  training=True, compute_metrics=False,
+                                  rngs=apply_rngs)
+        return loss
+
+    loss_s, (gd, g_rows) = jax.value_and_grad(sparse_loss, argnums=(0, 1))(
+        dense_tree, rows
+    )
+    np.testing.assert_allclose(float(loss_s), float(loss_d), rtol=1e-6)
+    scattered = jnp.zeros_like(dW).at[all_ids].add(g_rows)
+    np.testing.assert_allclose(np.asarray(scattered), np.asarray(dW),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_sparse_trainer_with_ssn_end_to_end(tmp_path):
+    """Tuned-config-style run (ssn>0 + sampled softmax) through the sparse
+    step: trains end-to-end with K-packing."""
+    schema = synthetic_ecommerce_data_schema(
+        num_items=2000, num_categories=20, max_session_length=10
+    )
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=32, masking="mlm", aggregation="concat",
+        pre="stochastic-swap-noise",
+    )
+    cfg = tr.transformer_registry.parse("xlnet").build(
+        d_model=32, n_head=2, n_layer=1, total_seq_length=10
+    )
+    model = cfg.to_model(im, tr.NextItemPredictionTask(
+        weight_tying=True, sampled_softmax=True, max_n_samples=64))
+    args = tr.T4RecTrainingArguments(
+        output_dir=str(tmp_path),
+        data_loader_engine="synthetic",
+        max_sequence_length=10,
+        per_device_train_batch_size=8,
+        max_steps=10,
+        steps_per_execution=2,
+        learning_rate=1e-2,
+        logging_steps=1,
+        embedding_optimizer="sparse_adam",
+        seed=3,
+    )
+    trainer = tr.Trainer(model=model, args=args, schema=schema)
+    trainer.train()
+    hist = [h["loss"] for h in trainer.state.log_history if "loss" in h]
+    assert np.isfinite(hist).all() and hist[-1] < hist[0], hist
 
 
 def test_sparse_hint_on_large_dense_table(tmp_path, monkeypatch):

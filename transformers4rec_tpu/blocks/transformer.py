@@ -412,6 +412,7 @@ class TransformerEncoder(nn.Module):
             )
 
         hidden = inputs_embeds.astype(self.dtype)
+        abs_pos_term = None  # learned-absolute position term (query stream reuses it)
         if self.pos_encoding == "learned_absolute":
             pos_table = self.param(
                 "position_embedding", nn.initializers.normal(0.02),
@@ -429,9 +430,10 @@ class TransformerEncoder(nn.Module):
                 seg_start = jax.lax.associative_scan(
                     jnp.maximum, jnp.where(is_start, pos, 0), axis=1
                 )
-                hidden = hidden + pos_table[pos - seg_start].astype(self.dtype)
+                abs_pos_term = pos_table[pos - seg_start].astype(self.dtype)
             else:
-                hidden = hidden + pos_table[:S][None].astype(self.dtype)
+                abs_pos_term = pos_table[:S][None].astype(self.dtype)
+            hidden = hidden + abs_pos_term
 
         rel_bias = None
         if self.pos_encoding == "relative_bias":
@@ -472,8 +474,10 @@ class TransformerEncoder(nn.Module):
             query_hidden = jnp.broadcast_to(
                 g0.astype(self.dtype), (B, S, self.d_model)
             )
-            if self.pos_encoding == "learned_absolute":
-                query_hidden = query_hidden + pos_table[:S][None].astype(self.dtype)
+            if abs_pos_term is not None:
+                # same (per-segment-restarted, when packed) positions as the
+                # content stream
+                query_hidden = query_hidden + abs_pos_term
             query_bias = make_attention_bias(
                 pad_mask, S, causal=self.causal, perm_mask=perm_mask,
                 local_window=self.local_window, query_stream=True,

@@ -13,9 +13,10 @@ Training packs via ``pack_sessions=True``; evaluation packs via the separate
 sums match unpacked eval EXACTLY, tests/test_packing.py). Serving/predict
 always run unpacked. Exact for EVERY architecture family: relative-position
 biases are offset-invariant, and learned-absolute positions restart per
-segment (blocks/transformer.py per-segment position restart). PLM rejects
-segments. No reference analog — the reference pads every session to a full
-row (torch/utils/padding.py).
+segment (blocks/transformer.py per-segment position restart). PLM packs too:
+spans are sampled per segment and the factorization-order perm_mask rides
+the same block-diagonal bias merge (masking.py). No reference analog — the
+reference pads every session to a full row (torch/utils/padding.py).
 
 Host-side numpy, first-fit-decreasing.
 """

@@ -402,9 +402,16 @@ class PermutationLanguageModeling(MaskSequence):
     max_span_length: int = 5
     permute_all: bool = False
 
-    def _sample_spans(self, rng, non_pad):
+    def _sample_spans(self, rng, non_pad, segment_ids=None):
         """Vectorized analog of the reference's per-row span ``while`` loop
-        (:599-627): fixed-trip scan over span segments."""
+        (:599-627): fixed-trip scan over span segments.
+
+        ``segment_ids`` (session packing): each sampled span is CLIPPED at
+        the boundary of the packed session its start position lands in, so
+        no span ever covers items of two different sessions — the per-session
+        semantics of the reference's span walk, applied to every packed
+        segment (the walk itself runs over the packed row, so the masked
+        fraction stays ~plm_probability globally)."""
         B, S = non_pad.shape
         max_len = non_pad.sum(axis=1)  # (B,)
         min_context = max(int(1 / self.plm_probability), 1)
@@ -419,6 +426,11 @@ class PermutationLanguageModeling(MaskSequence):
             start = cur_len + start_off
             pos = jnp.arange(S)[None, :]
             in_span = (pos >= start[:, None]) & (pos < (start + span)[:, None])
+            if segment_ids is not None:
+                seg_at_start = jnp.take_along_axis(
+                    segment_ids, jnp.clip(start, 0, S - 1)[:, None], axis=1
+                )
+                in_span = in_span & (segment_ids == seg_at_start)
             valid = (start < max_len)[:, None] & (cur_len < max_len)[:, None]
             mask = mask | (in_span & valid)
             return (cur_len + context, mask), None
@@ -431,12 +443,15 @@ class PermutationLanguageModeling(MaskSequence):
 
     def compute_masked_targets(self, rng, item_ids, training=False, testing=False,
                                segment_ids=None) -> MaskingInfo:
-        if segment_ids is not None:
-            raise NotImplementedError(
-                "session packing (segment_ids) is not supported for PLM — the "
-                "factorization-order perm_mask and the segment restriction "
-                "would need a combined two-stream treatment"
-            )
+        # Session packing composes with PLM: spans are sampled per packed
+        # SEGMENT (clipped at session boundaries — _sample_spans), the
+        # ≥1-masked/≥1-unmasked guarantee applies per segment, and the
+        # factorization-order perm_mask needs no segment awareness of its own
+        # — the encoder merges the block-diagonal segment restriction into
+        # the attention bias (blocks/transformer.py:400-412), so only
+        # WITHIN-segment perm_index comparisons ever matter, and a global
+        # random permutation restricted to a segment is a uniform random
+        # factorization order for that segment.
         non_pad = item_ids != self.padding_idx
         B, S = item_ids.shape
         if training:
@@ -444,11 +459,21 @@ class PermutationLanguageModeling(MaskSequence):
             if self.permute_all:
                 mask_labels = non_pad
             else:
-                mask_labels = self._sample_spans(r_span, non_pad)
-            labels = jnp.where(mask_labels, item_ids, jnp.full_like(item_ids, self.padding_idx))
-            labels, mask_labels = _ensure_min_masking(
-                r_min, labels, mask_labels, item_ids, non_pad, self.padding_idx
-            )
+                mask_labels = self._sample_spans(r_span, non_pad,
+                                                 segment_ids=segment_ids)
+            if segment_ids is not None:
+                mask_labels = _ensure_min_masking_segments(
+                    r_min, mask_labels, non_pad, segment_ids
+                )
+                labels = jnp.where(mask_labels, item_ids,
+                                   jnp.full_like(item_ids, self.padding_idx))
+            else:
+                labels = jnp.where(mask_labels, item_ids,
+                                   jnp.full_like(item_ids, self.padding_idx))
+                labels, mask_labels = _ensure_min_masking(
+                    r_min, labels, mask_labels, item_ids, non_pad,
+                    self.padding_idx
+                )
             # random factorization order: argsort of uniforms = random permutation
             perm_index = jnp.argsort(jax.random.uniform(r_perm, (B, S)), axis=-1)
             # non-masked positions get index -1: visible to all, see no masked ones
@@ -462,6 +487,32 @@ class PermutationLanguageModeling(MaskSequence):
                                pad_mask=non_pad)
         # eval / inference
         causal = jnp.triu(jnp.ones((S, S), jnp.float32), k=1)[None]
+        if segment_ids is not None and self.eval_on_last_item_seq_only:
+            # per-SEGMENT last-item targets (packed eval): label each
+            # segment's final valid position with ≥1 in-segment predecessor
+            # (mirrors the MLM packed-eval bound — targets/row ≤ S//2), and
+            # hide every target position from all queries (the reference's
+            # hide-last rule :684-704, per segment; cross-segment attention
+            # is blocked by the encoder's segment merge)
+            same_next = jnp.concatenate(
+                [segment_ids[:, 1:] == segment_ids[:, :-1],
+                 jnp.zeros((B, 1), bool)], axis=1,
+            )
+            next_valid = jnp.concatenate(
+                [non_pad[:, 1:], jnp.zeros((B, 1), bool)], axis=1,
+            )
+            same_prev = jnp.concatenate(
+                [jnp.zeros((B, 1), bool),
+                 segment_ids[:, 1:] == segment_ids[:, :-1]], axis=1,
+            )
+            mask = non_pad & ~(next_valid & same_next) & same_prev
+            labels = jnp.where(mask, item_ids,
+                               jnp.full_like(item_ids, self.padding_idx))
+            perm_mask = jnp.clip(causal + mask[:, None, :].astype(jnp.float32),
+                                 0, 1)
+            return MaskingInfo(targets=labels, mask=mask, input_schema=mask,
+                               perm_mask=perm_mask, pad_mask=non_pad,
+                               targets_per_segment_bounded=True)
         if self.eval_on_last_item_seq_only:
             labels, mask = _label_at_last(item_ids, non_pad, self.padding_idx)
             # nobody sees the last non-padded position (reference :684-704)
@@ -469,6 +520,15 @@ class PermutationLanguageModeling(MaskSequence):
             perm_mask = jnp.clip(causal + hide_last, 0, 1)
         else:
             labels, mask = _predict_all(item_ids, self.padding_idx)
+            if segment_ids is not None:
+                # no shift-label across packed-session boundaries
+                same_next = jnp.concatenate(
+                    [segment_ids[:, 1:] == segment_ids[:, :-1],
+                     jnp.zeros((B, 1), bool)], axis=1,
+                )
+                mask = mask & same_next
+                labels = jnp.where(mask, labels,
+                                   jnp.full_like(labels, self.padding_idx))
             perm_mask = jnp.broadcast_to(causal, (B, S, S))
         return MaskingInfo(targets=labels, mask=mask, input_schema=mask,
                            perm_mask=perm_mask, pad_mask=non_pad)

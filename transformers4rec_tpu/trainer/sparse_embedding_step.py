@@ -144,17 +144,23 @@ def validate_sparse_config(model, args) -> Tuple[Any, str, str]:
     item_col = getattr(im, "item_id", None)
     if item_col is None:
         raise ValueError("sparse_adam: input module has no item_id column")
-    if getattr(im, "pre", None):
-        # PRE transformations see raw ids (StochasticSwapNoise rewrites
-        # them) and so change which rows the batch touches AFTER the step
-        # gathered them — the interceptor would silently score the
-        # un-augmented rows. POST transforms run on embedded floats and
-        # compose fine (gradients flow through `rows` regardless).
-        raise NotImplementedError(
-            "sparse_adam does not compose with input PRE transformations "
-            "(e.g. StochasticSwapNoise): the touched-row set must be known "
-            "before the model runs"
-        )
+    if getattr(im, "pre", None) is not None:
+        # id-rewriting PRE transformations change which rows a batch touches.
+        # StochasticSwapNoise (the one the reference's tuned configs use)
+        # composes: the step applies it TRAINER-SIDE before the row gather
+        # (it owns the augment rng) and intercepts the model's internal
+        # application so the augmentation runs exactly once. Anything else
+        # (param-bearing or float-space transforms as PRE) is refused.
+        from ..tabular.base import parse_transformation
+        from ..tabular.transformations import StochasticSwapNoise
+
+        if not isinstance(parse_transformation(im.pre), StochasticSwapNoise):
+            raise NotImplementedError(
+                "sparse embedding optimizers compose with "
+                "StochasticSwapNoise as the only input PRE transformation "
+                f"(got {im.pre!r}): the touched-row set must be derivable "
+                "trainer-side before the model runs"
+            )
     cat = getattr(im, "categorical_module", None)
     fc = getattr(cat, "feature_configs", {}) or {}
     init = getattr(getattr(fc.get(item_col), "table", None), "initializer",
@@ -195,12 +201,34 @@ def _pos_map(masking_name: str, B: int, S: int) -> np.ndarray:
 
 
 def make_interceptor(rows: jnp.ndarray, item_col: str, n_in: int,
-                     pos_map: jnp.ndarray, neg_ids: jnp.ndarray):
+                     pos_map: jnp.ndarray, neg_ids: jnp.ndarray,
+                     neg_base: int = None, aug_inputs=None):
     """Flax method interceptor redirecting the two item-table reads to the
-    pre-gathered ``rows`` ((n_in + n_neg, E): input rows then negatives)."""
+    pre-gathered ``rows``.
+
+    Row layout: ``[lookup rows (n_in) | label rows (only when the lookup ids
+    differ from the label ids, i.e. under SSN) | negatives]``. ``pos_map``
+    must already be offset into the label region; ``neg_base`` is where the
+    negatives start (default ``n_in`` — the no-augmentation layout).
+
+    ``aug_inputs`` (a TabularData dict) additionally intercepts the input
+    module's StochasticSwapNoise PRE transform and substitutes this
+    TRAINER-computed augmentation — the step draws the swap noise itself so
+    the touched-row set (the augmented ids) is known before the model runs;
+    the model's internal draw is suppressed, so the augmentation happens
+    exactly once. Only the PRE application is matched (inputs still carry
+    INT ids there; a post-embedding SSN sees floats and passes through)."""
+    if neg_base is None:
+        neg_base = n_in
 
     def interceptor(next_fun, args, kwargs, context):
         name = context.method_name
+        if (aug_inputs is not None and name == "__call__"
+                and type(context.module).__name__ == "StochasticSwapNoise"
+                and args and isinstance(args[0], dict)
+                and item_col in args[0]
+                and jnp.issubdtype(args[0][item_col].dtype, jnp.integer)):
+            return {k: aug_inputs.get(k, v) for k, v in args[0].items()}
         if name == "lookup" and args and args[0] == item_col:
             m = context.module
             ids = args[1]
@@ -213,7 +241,7 @@ def make_interceptor(rows: jnp.ndarray, item_col: str, n_in: int,
             rng, x2d, labels, W = args
             del rng  # negatives are pre-drawn
             pos_w = rows[pos_map]
-            neg_w = rows[n_in:]
+            neg_w = rows[neg_base:]
             sampler = m.make_sampler(W.shape[0])
             # NB kwargs.get's default only covers a MISSING key — an
             # explicit neg_ids=None must still fall back to the pre-drawn set
@@ -242,6 +270,13 @@ def make_sparse_one_step(model, args, table_path, item_col: str,
     clip = args.max_grad_norm if args.max_grad_norm and args.max_grad_norm > 0 \
         else None
     K = int(getattr(args, "gradient_accumulation_steps", 1) or 1)
+    im = model.heads[0].input_module
+    pre_tf = None
+    if getattr(im, "pre", None) is not None:
+        from ..tabular.base import parse_transformation
+
+        pre_tf = parse_transformation(im.pre)  # SSN (validated)
+    pad_idx = getattr(im, "padding_idx", 0)
 
     def _apply(dense_tree, table, dense_opt, sparse_st, gd, uids, g_sum):
         """Joint clip + dense update + sparse scatter (one optimizer step).
@@ -280,9 +315,26 @@ def make_sparse_one_step(model, args, table_path, item_col: str,
         item_ids = batch[item_col]
         B, S = item_ids.shape
         ids_in = item_ids.reshape(-1).astype(jnp.int32)
-        all_ids = jnp.concatenate([ids_in, neg.astype(jnp.int32)])
         n_in = B * S
         pmap = jnp.asarray(_pos_map(masking_name, B, S))
+        aug = None
+        if pre_tf is not None:
+            # trainer-side StochasticSwapNoise: the lookup reads AUGMENTED
+            # ids while labels stay the ORIGINAL ids (the input module
+            # captures item_ids BEFORE its pre transform — features/
+            # sequence.py), so the gather carries both row sets
+            aug = pre_tf.apply(
+                {}, batch, training=True, pad_mask=(item_ids != pad_idx),
+                rngs={"augment": r["augment"]},
+            )
+            aug_ids = aug[item_col].reshape(-1).astype(jnp.int32)
+            all_ids = jnp.concatenate([aug_ids, ids_in,
+                                       neg.astype(jnp.int32)])
+            pmap = pmap + n_in  # labels live in the second region
+            neg_base = 2 * n_in
+        else:
+            all_ids = jnp.concatenate([ids_in, neg.astype(jnp.int32)])
+            neg_base = n_in
 
         table = tree_get(state.params, table_path)
         rows = jnp.take(table, all_ids, axis=0)
@@ -294,7 +346,8 @@ def make_sparse_one_step(model, args, table_path, item_col: str,
                 dense_tree, table_path, jax.lax.stop_gradient(table)
             )
             with nn.intercept_methods(
-                make_interceptor(rows, item_col, n_in, pmap, neg)
+                make_interceptor(rows, item_col, n_in, pmap, neg,
+                                 neg_base=neg_base, aug_inputs=aug)
             ):
                 loss, _ = model.apply(
                     params_full, batch2, targets=batch2, training=True,

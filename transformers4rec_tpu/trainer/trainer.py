@@ -586,15 +586,20 @@ class Trainer:
                 b, s = self._example_shapes[item_col]
                 n_neg = jax.eval_shape(
                     sampler.sample, jax.random.PRNGKey(0)).shape[0]
+                # SSN doubles the input-row region (augmented lookup rows +
+                # original label rows — sparse_embedding_step layout)
+                im = self.model.heads[0].input_module
+                n_in = b * s * (2 if getattr(im, "pre", None) is not None
+                                else 1)
                 emb_dim = table.shape[1]
                 acc = jax.jit(
                     functools.partial(sparse_accum_init,
-                                      n_ids=b * s + n_neg,
+                                      n_ids=n_in + n_neg,
                                       emb_dim=emb_dim, k=k),
                     out_shardings=param_shardings(
                         jax.eval_shape(
                             functools.partial(sparse_accum_init,
-                                              n_ids=b * s + n_neg,
+                                              n_ids=n_in + n_neg,
                                               emb_dim=emb_dim, k=k),
                             dense_tree,
                         ),
