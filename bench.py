@@ -92,6 +92,20 @@ def main():
     # forward is a separate (expensive) tunnel compile
     tiny = {k: v[:8] for k, v in batch_host.items()}
     params = model.init(rngs, tiny, training=True)
+    if os.environ.get("T4R_BENCH_TABLE_BF16") == "1":
+        # A/B knob (VERDICT r4 #5): store the (V, E) item table bf16 — every
+        # table READ (lookup gather, CE fwd W-stream, CE bwd W re-read)
+        # halves; dot accumulation stays f32 (preferred_element_type in the
+        # kernels), but dW and the applied update land in bf16, so this is a
+        # PERF probe — a quality A/B gates any default change.
+        import jax.tree_util as jtu
+
+        params = jtu.tree_map_with_path(
+            lambda p, leaf: leaf.astype(jnp.bfloat16)
+            if jtu.keystr(p).endswith("_table']") and leaf.ndim == 2
+            else leaf,
+            params,
+        )
     params = jax.device_put(params, param_shardings(params, mesh))
     # adamw on dense params, adafactor semantics on embedding tables.
     # fused_adafactor = exact optax.adafactor math (unfactored second
