@@ -42,6 +42,11 @@ def main():
                     help="parallel HTTP clients (http mode)")
     ap.add_argument("--max-delay-ms", type=float, default=2.0,
                     help="dynamic-batcher window (http mode)")
+    ap.add_argument("--sharded", type=int, default=0, metavar="MODEL_AXIS",
+                    help="measure the MODEL-PARALLEL runner instead "
+                         "(ShardedInferenceRunner over a local ('model',) "
+                         "mesh, top-k via sharded_topk). On one chip this "
+                         "measures the jit-serving path vs the AOT artifact")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -81,12 +86,14 @@ def main():
     art_dir = (
         f"/tmp/t4r_latency_artifact_{args.weights_dtype or 'float32'}"
         f"_v{args.vocab}_d{args.d_model}_k{args.top_k}"
+        f"{'_bp' if args.sharded else ''}"
     )
     if os.environ.get("T4R_REUSE_ARTIFACT") == "1" and os.path.isdir(art_dir):
         path = art_dir
     else:
         path = export_model(model, params, example, art_dir,
-                            top_k=args.top_k, weights_dtype=args.weights_dtype)
+                            top_k=args.top_k, weights_dtype=args.weights_dtype,
+                            bundle_params=bool(args.sharded))
 
     def report(tag, bs, lat_ms, qps):
         lat = np.asarray(lat_ms)
@@ -148,7 +155,14 @@ def main():
             server.stop()
         return
 
-    runner = load_runner(path)
+    if args.sharded:
+        from transformers4rec_tpu.serving import ShardedInferenceRunner
+
+        runner = ShardedInferenceRunner(path, model, model_axis=args.sharded)
+        tag = f"serving_latency_sharded{args.sharded}"
+    else:
+        runner = load_runner(path)
+        tag = "serving_latency"
     for bs in (int(b) for b in args.batch_sizes.split(",")):
         req = synthetic_data(schema, num_rows=bs, max_session_length=20, seed=bs)
         runner.predict(req)  # compile
@@ -158,7 +172,7 @@ def main():
             scores, ids = runner.predict(req)
             _ = ids[0][0]  # force host materialization
             lat.append((time.perf_counter() - t0) * 1000)
-        report("serving_latency", bs, lat, bs * 1000.0 / float(np.mean(lat)))
+        report(tag, bs, lat, bs * 1000.0 / float(np.mean(lat)))
 
 
 if __name__ == "__main__":

@@ -513,11 +513,11 @@ class Trainer:
         self._sparse_hint_emitted = True
         warnings.warn(
             f"the tied item table has {rows:,} rows and this model "
-            "qualifies for a sparse embedding optimizer "
-            "('sparse_adafactor'/'sparse_adam': O(N·E) row updates — no "
-            "dense (V, E) gradient or full optimizer-state walk; 3.6x the "
-            "dense-update step measured at 4M rows): consider one over "
-            f"{a.embedding_optimizer!r} at this scale"
+            "qualifies for embedding_optimizer='sparse_adam' (O(N·E) row "
+            "updates — no dense (V, E) gradient or full optimizer-state "
+            "walk; 3.6x the dense-update step at 4M rows, quality-pinned "
+            "vs dense adafactor in a 2-seed A/B — docs/performance.md): "
+            f"consider it over {a.embedding_optimizer!r} at this scale"
         )
 
     def _init_opt_state(self, params):
