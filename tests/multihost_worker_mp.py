@@ -176,6 +176,10 @@ args_sp = tr.T4RecTrainingArguments(
     logging_steps=1,
     steps_per_execution=2,
     embedding_optimizer="sparse_adam",
+    # r5: accumulation through the sparse step must run cross-process too
+    # (ids/row-grad buffers in the sharded opt state; boundary dedupe+scatter
+    # against the table whose rows live half per process)
+    gradient_accumulation_steps=2,
     mesh_model_axis=2,
     seed=13,
 )

@@ -34,7 +34,7 @@ def _build(masking, num_items=2000, sampled=True):
     return schema, model
 
 
-@pytest.mark.parametrize("masking", ["mlm", "clm"])
+@pytest.mark.parametrize("masking", ["mlm", "clm", "plm"])
 def test_sparse_grads_match_dense(masking):
     """Same injected negatives → the sparse step's loss equals the dense
     path's EXACTLY, and scatter-add of its row grads equals the dense dW."""
@@ -115,7 +115,7 @@ def test_sparse_grads_match_dense(masking):
     )
 
 
-@pytest.mark.parametrize("masking", ["mlm", "clm"])
+@pytest.mark.parametrize("masking", ["mlm", "clm", "plm"])
 def test_sparse_trainer_end_to_end(masking, tmp_path):
     """Full Trainer with sparse_adam: trains (loss decreases), composes with
     steps_per_execution packing, and checkpoints round-trip the

@@ -23,11 +23,15 @@ of ``ops/sparse_update.py``:
    per-step table traffic is O(N·E) gathers/scatters instead of O(V·E).
 
 Scope (validated up front): exactly one ``NextItemPredictionTask`` with
-``sampled_softmax=True`` + ``weight_tying``, masking ∈ {mlm, clm} (packed or
-not — packed CLM labels stop at segment boundaries with zero weight, so the
-position map stays valid), no input PRE transformations (id-rewriting
-augmentations would invalidate the pre-gathered rows; POST transforms on
-the embedded floats compose fine), no frozen pretrained item table. Other (small) ``*_table`` features keep the standard
+``sampled_softmax=True`` + ``weight_tying``, masking ∈ {mlm, clm, plm}
+(packed or not — packed CLM labels stop at segment boundaries with zero
+weight, so the position map stays valid; PLM labels sit AT the position
+like MLM and the two-stream perm_mask never changes the touched-row set;
+RTD is refused — its corrupted-input lookup reads generator-sampled rows
+that cannot be pre-gathered), input PRE transforms limited to
+StochasticSwapNoise (applied trainer-side before the row gather; POST
+transforms on the embedded floats compose fine), no frozen pretrained item
+table. Other (small) ``*_table`` features keep the standard
 ``fused_adafactor`` routing; dense params ride adamw. Works on sharded
 meshes AND across processes: the whole step runs under jit on global
 arrays, the row gather/scatter is partitioned by XLA against the
@@ -178,10 +182,16 @@ def validate_sparse_config(model, args) -> Tuple[Any, str, str]:
         if masking is not None and masking_registry.get(key) is type(masking):
             masking_name = key
             break
-    if masking_name not in ("mlm", "clm"):
+    if masking_name not in ("mlm", "clm", "plm"):
+        # PLM composes: its labels sit AT the masked position (identity map,
+        # like MLM) and the two-stream perm_mask never changes which table
+        # rows a batch touches. RTD cannot: the discriminator's lookup reads
+        # GENERATOR-SAMPLED corrupted ids that only exist after the model
+        # runs, so the touched-row set is unknowable before the gather.
         raise NotImplementedError(
-            f"sparse_adam supports mlm/clm masking (got {masking_name!r}): "
-            "the positive-row position map must cover every label"
+            f"sparse embedding optimizers support mlm/clm/plm masking (got "
+            f"{masking_name!r}): RTD's corrupted-input lookup reads rows "
+            "sampled inside the model, so they cannot be pre-gathered"
         )
     return task, item_col, masking_name
 
@@ -189,10 +199,10 @@ def validate_sparse_config(model, args) -> Tuple[Any, str, str]:
 def _pos_map(masking_name: str, B: int, S: int) -> np.ndarray:
     """Flat row index (into the gathered input rows) of each label position.
 
-    MLM labels are the item id AT the position; CLM labels are the NEXT
-    position's id (the last column has no target — weight 0 — so its clipped
-    map entry is never read with nonzero weight)."""
-    if masking_name == "mlm":
+    MLM and PLM labels are the item id AT the position; CLM labels are the
+    NEXT position's id (the last column has no target — weight 0 — so its
+    clipped map entry is never read with nonzero weight)."""
+    if masking_name in ("mlm", "plm"):
         return np.arange(B * S, dtype=np.int32)
     cols = np.minimum(np.arange(S) + 1, S - 1)
     return (np.arange(B)[:, None] * S + cols[None, :]).reshape(-1).astype(
