@@ -99,6 +99,12 @@ def main():
                     help="store the table optimizer's second moment bf16 "
                          "(fused_adafactor moment_dtype — HBM probe); "
                          "requires --embedding-optimizer fused_adafactor")
+    ap.add_argument("--table-dtype", default=None, choices=[None, "bf16"],
+                    help="store the (V, E) item table bf16 (f32 compute/"
+                         "accumulation in the kernels; updates round to bf16 "
+                         "on store) — quality gate for the measured +8%% "
+                         "throughput of T4R_BENCH_TABLE_BF16; requires "
+                         "--embedding-optimizer fused_adafactor")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -180,6 +186,19 @@ def main():
     }
     tiny = {k: jnp.asarray(v[:8]) for k, v in train_np.items()}
     params = model.init(rngs, tiny, training=True)
+    if args.table_dtype == "bf16":
+        if args.embedding_optimizer != "fused_adafactor":
+            raise SystemExit("--table-dtype requires --embedding-optimizer "
+                             "fused_adafactor (update rounds to the param "
+                             "dtype there; other arms would silently upcast)")
+        import jax.tree_util as jtu
+
+        params = jtu.tree_map_with_path(
+            lambda p, leaf: leaf.astype(jnp.bfloat16)
+            if jtu.keystr(p).endswith("_table']") and leaf.ndim == 2
+            else leaf,
+            params,
+        )
     params = jax.device_put(params, param_shardings(params, mesh))
     if args.lr_schedule == "constant":
         lr = args.lr
@@ -202,6 +221,12 @@ def main():
     if sparse and args.arm != "sampled":
         raise SystemExit("sparse optimizer arms require --arm sampled "
                          "(a full-softmax loss touches every table row)")
+    if sparse and args.masking not in ("mlm", "clm", "plm"):
+        # without this guard an rtd arm would run the CLM position map over
+        # generator-sampled corrupted lookups — finite but meaningless numbers
+        raise SystemExit(
+            f"sparse optimizer arms support mlm/clm/plm (got {args.masking!r})"
+        )
     if args.embedding_optimizer == "adamw":
         table_tx = optax.adamw(lr)
     elif args.embedding_optimizer == "fused_adafactor":
@@ -355,6 +380,8 @@ def main():
         rec["grad_clip"] = args.grad_clip
     if args.moment_dtype:
         rec["moment_dtype"] = args.moment_dtype
+    if args.table_dtype:
+        rec["table_dtype"] = args.table_dtype
     if args.pre_ln:
         rec["pre_ln"] = True
     if args.lr_schedule != "constant" and args.warmup_frac != 0.05:

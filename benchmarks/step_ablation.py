@@ -193,25 +193,26 @@ def run_arm(arm: str, steps: int = 30, warmup: int = 3, reps: int = 2):
     k_pack = 1
     moment_bf16 = False
     parts = arm.split("+")
-    arm = "fused_af" if len(parts) > 1 else parts[0]
+    bases = []
     for p in parts:
         if p.startswith("packed") and p.removeprefix("packed").isdigit():
             k_pack = int(p.removeprefix("packed"))
         elif p == "bf16m":
             moment_bf16 = True
-        elif p.startswith("heads"):
+        elif p.startswith("heads") and p.removeprefix("heads").isdigit():
             n_head = int(p.removeprefix("heads"))
-        elif p.startswith("layers"):
+        elif p.startswith("layers") and p.removeprefix("layers").isdigit():
             n_layer = int(p.removeprefix("layers"))
-        elif len(parts) > 1:
-            arm = p  # the base ablation (no_ce / table_sgd / all_sgd / ...)
-    if len(parts) == 1:
-        if arm.startswith("heads"):
-            n_head = int(arm.removeprefix("heads"))
-            arm = "fused_af"
-        if arm.startswith("layers"):
-            n_layer = int(arm.removeprefix("layers"))
-            arm = "fused_af"
+        else:
+            bases.append(p)
+    KNOWN_BASES = {"full", "no_ce", "table_sgd", "all_sgd", "fused_af",
+                   "fused_af_factored", "packed_sessions"}
+    if len(bases) > 1 or (bases and bases[0] not in KNOWN_BASES):
+        # an unknown part must not silently fall to the optax.adafactor
+        # else-branch and report a mislabeled row in the ablation JSONL
+        raise SystemExit(f"unknown/ambiguous arm parts {bases!r} in {label!r}"
+                         f" (known bases: {sorted(KNOWN_BASES)})")
+    arm = bases[0] if bases else "fused_af"
     if arm == "no_ce":
         import transformers4rec_tpu.ops.vocab as vocab
 

@@ -79,7 +79,11 @@ def lazy_adam(
         count = state.count + 1
         bc1 = 1.0 - b1 ** count.astype(jnp.float32)
         bc2 = 1.0 - b2 ** count.astype(jnp.float32)
-        lr = _lr_at(learning_rate, count)
+        # schedule evaluated at the PRE-increment count — the optax
+        # convention every dense arm uses (scale_by_schedule), so scheduled
+        # A/Bs across table optimizers ride the same LR trajectory; bias
+        # correction stays at count+1 (standard Adam t=1 first step)
+        lr = _lr_at(learning_rate, state.count)
 
         def touched_mask(g):
             if g.ndim >= 2:
@@ -183,7 +187,8 @@ def sparse_rows_adam_update(
     count = state.count + 1
     bc1 = 1.0 - b1 ** count.astype(jnp.float32)
     bc2 = 1.0 - b2 ** count.astype(jnp.float32)
-    lr = _lr_at(learning_rate, count)
+    # schedule at the PRE-increment count (optax convention — see lazy_adam)
+    lr = _lr_at(learning_rate, state.count)
     V = table.shape[0]
 
     if not deduped:

@@ -104,20 +104,28 @@ class ShardedInferenceRunner(InferenceRunner):
         params = jax.device_put(params, param_shardings(params, mesh))
         self.params = params
 
-        # thread the mesh into the prediction tasks ONLY when the tied table
-        # actually row-shards (same rule as the Trainer's auto-engagement):
-        # sharded_topk over a replicated table would be wrong, and small
-        # tables serve faster replicated anyway
+        # thread the mesh into the prediction tasks ONLY when the TIED ITEM
+        # table actually row-shards (same rule as the Trainer's
+        # auto-engagement): sharded_topk over a replicated table would be
+        # wrong — and a large NON-item feature table being sharded must not
+        # engage it either (the item table may be replicated/small)
         def _sharded(leaf):
             sh = getattr(leaf, "sharding", None)
             spec = getattr(sh, "spec", None)
             return bool(spec) and any(s is not None for s in spec)
 
-        any_table_sharded = any(
-            _sharded(leaf) and getattr(leaf, "ndim", 0) == 2
-            for leaf in jax.tree_util.tree_leaves(params)
-        )
-        if any_table_sharded:
+        item_col = self.input_schema.item_id_column_name
+        item_table_sharded = False
+        if item_col is not None:
+            from ..trainer.sparse_embedding_step import find_table_path, tree_get
+
+            try:
+                item_table_sharded = _sharded(
+                    tree_get(params, find_table_path(params, item_col))
+                )
+            except ValueError:
+                item_table_sharded = False  # no tied table (e.g. untied head)
+        if item_table_sharded:
             model = map_next_item_tasks(
                 model, lambda t, _head: t.clone(vocab_parallel_mesh=mesh)
             )

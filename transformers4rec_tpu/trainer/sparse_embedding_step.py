@@ -230,11 +230,15 @@ def make_interceptor(rows: jnp.ndarray, item_col: str, n_in: int,
     INT ids there; a post-embedding SSN sees floats and passes through)."""
     if neg_base is None:
         neg_base = n_in
+    from ..tabular.transformations import StochasticSwapNoise
 
     def interceptor(next_fun, args, kwargs, context):
         name = context.method_name
+        # isinstance (not a name match): validate_sparse_config admits
+        # subclasses, and an un-intercepted subclass would draw its OWN
+        # augmentation while the lookup still returns the trainer-draw rows
         if (aug_inputs is not None and name == "__call__"
-                and type(context.module).__name__ == "StochasticSwapNoise"
+                and isinstance(context.module, StochasticSwapNoise)
                 and args and isinstance(args[0], dict)
                 and item_col in args[0]
                 and jnp.issubdtype(args[0][item_col].dtype, jnp.integer)):

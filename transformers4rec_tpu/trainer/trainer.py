@@ -591,19 +591,14 @@ class Trainer:
                 im = self.model.heads[0].input_module
                 n_in = b * s * (2 if getattr(im, "pre", None) is not None
                                 else 1)
-                emb_dim = table.shape[1]
+                accum_init = functools.partial(
+                    sparse_accum_init, n_ids=n_in + n_neg,
+                    emb_dim=table.shape[1], k=k,
+                )
                 acc = jax.jit(
-                    functools.partial(sparse_accum_init,
-                                      n_ids=n_in + n_neg,
-                                      emb_dim=emb_dim, k=k),
+                    accum_init,
                     out_shardings=param_shardings(
-                        jax.eval_shape(
-                            functools.partial(sparse_accum_init,
-                                              n_ids=n_in + n_neg,
-                                              emb_dim=emb_dim, k=k),
-                            dense_tree,
-                        ),
-                        self.mesh,
+                        jax.eval_shape(accum_init, dense_tree), self.mesh,
                     ),
                 )(dense_tree)
                 return (dense_opt, sparse_state, acc)
