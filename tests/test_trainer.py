@@ -888,3 +888,49 @@ def test_eval_dataset_reassignment_invalidates_cached_loader(tmp_path, ecommerce
     assert trainer._eval_dataloader is not first_loader
     # different data -> different loss (same params, deterministic eval)
     assert r0["eval_loss"] != r1["eval_loss"]
+
+
+def test_embedding_table_dtype_bf16(tmp_path, ecommerce_schema):
+    """embedding_table_dtype='bf16': the tied item table STORES bf16 end-to-
+    end (init -> train -> checkpoint round-trip), trains (f32 optimizer
+    compute, update rounds to bf16 on store), and unsupported optimizer arms
+    degrade loudly to f32."""
+    import warnings as _warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    trainer = _make_trainer(
+        tmp_path, ecommerce_schema, max_steps=6, save_steps=6,
+        embedding_optimizer="adafactor", embedding_table_dtype="bf16",
+    )
+    trainer.train()
+    hist = [h["loss"] for h in trainer.state.log_history if "loss" in h]
+    assert np.isfinite(hist).all() and hist[-1] < hist[0], hist
+
+    def table_leaves(params):
+        return [
+            leaf for p, leaf in jax.tree_util.tree_leaves_with_path(params)
+            if jax.tree_util.keystr(p).endswith("_table']") and leaf.ndim == 2
+        ]
+
+    tables = table_leaves(trainer._train_state.params)
+    assert tables and all(t.dtype == jnp.bfloat16 for t in tables)
+
+    ck = trainer._latest_checkpoint()
+    assert ck is not None
+    trainer.load(ck)
+    tables2 = table_leaves(trainer._train_state.params)
+    assert all(t.dtype == jnp.bfloat16 for t in tables2)
+
+    # unsupported arm: warn + keep f32 tables (never silent bf16 moments)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        t2 = _make_trainer(
+            tmp_path / "lz", ecommerce_schema, max_steps=2,
+            embedding_optimizer="lazy_adam", embedding_table_dtype="bf16",
+        )
+        t2.train()
+    assert any("embedding_table_dtype" in str(w.message) for w in caught)
+    assert all(t.dtype == jnp.float32
+               for t in table_leaves(t2._train_state.params))

@@ -151,6 +151,13 @@ class T4RecTrainingArguments:
     # optax-state parity (e.g. to resume an old f32-moment checkpoint
     # without a mixed-dtype state).
     embedding_moment_dtype: Optional[str] = "bf16"
+    # storage dtype of the `*_table` PARAMS themselves: "bf16" halves every
+    # table read (lookup gather, CE W-stream fwd+bwd) — measured 8.32 → 7.70
+    # ms/step (+8%, 2 runs/arm) on the bench config. Kernel dot products
+    # still accumulate f32 (preferred_element_type) and optimizer compute is
+    # f32; the applied update rounds to bf16 on store. Default None (f32
+    # tables) pending/per the 2000-step quality gate in docs/performance.md.
+    embedding_table_dtype: Optional[str] = None
     # with mesh_model_axis>1 and a tied item table big enough to row-shard
     # (parallel/mesh.py MIN_ROWS_TO_SHARD), automatically thread the mesh
     # into NextItemPredictionTask.vocab_parallel_mesh so train CE / eval /

@@ -317,6 +317,25 @@ class Trainer:
                 "embedding_moment_dtype must be None, 'f32', or 'bf16' "
                 f"(got {a.embedding_moment_dtype!r})"
             )
+        if a.embedding_table_dtype not in (None, "f32", "bf16"):
+            raise ValueError(
+                "embedding_table_dtype must be None, 'f32', or 'bf16' "
+                f"(got {a.embedding_table_dtype!r})"
+            )
+        if (a.embedding_table_dtype == "bf16"
+                and a.embedding_optimizer not in (
+                    ("adafactor",) + SPARSE_OPTIMIZERS)):
+            # these arms cast their table update to the param dtype with f32
+            # compute; adamw/lazy_adam would also keep bf16 MOMENTS, a
+            # different (unvalidated) numerics regime
+            import warnings
+
+            warnings.warn(
+                "embedding_table_dtype='bf16' is validated for the "
+                "adafactor/sparse table arms; embedding_optimizer="
+                f"{a.embedding_optimizer!r} keeps f32 tables"
+            )
+            a.embedding_table_dtype = None
         if (a.embedding_moment_dtype == "bf16"
                 and a.embedding_optimizer not in (
                     "adafactor", "sparse_adam", "sparse_adafactor")):
@@ -441,6 +460,18 @@ class Trainer:
         }
         batch = {k: jnp.asarray(v) for k, v in example_batch.items()}
         params = self.model.init(rngs, batch, targets=batch, training=True)
+        if self.args.embedding_table_dtype == "bf16":
+            # bf16-STORED tables: every (V, E) read halves (lookup, CE
+            # W-stream fwd+bwd — measured 8.32 → 7.70 ms/step on the bench
+            # config); kernel dots accumulate f32, optimizer compute is f32,
+            # updates round to bf16 on store
+            params = jax.tree_util.tree_map_with_path(
+                lambda p, leaf: leaf.astype(jnp.bfloat16)
+                if (jax.tree_util.keystr(p).endswith("_table']")
+                    and leaf.ndim == 2)
+                else leaf,
+                params,
+            )
         shardings = param_shardings(params, self.mesh)
         return jax.device_put(params, shardings)
 
