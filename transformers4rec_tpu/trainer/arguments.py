@@ -153,10 +153,12 @@ class T4RecTrainingArguments:
     embedding_moment_dtype: Optional[str] = "bf16"
     # storage dtype of the `*_table` PARAMS themselves: "bf16" halves every
     # table read (lookup gather, CE W-stream fwd+bwd) — measured 8.32 → 7.70
-    # ms/step (+8%, 2 runs/arm) on the bench config. Kernel dot products
-    # still accumulate f32 (preferred_element_type) and optimizer compute is
-    # f32; the applied update rounds to bf16 on store. Default None (f32
-    # tables) pending/per the 2000-step quality gate in docs/performance.md.
+    # ms/step (+8%, 2 runs/arm) on the bench config — but the 2000-step
+    # sessionized quality gate measured a REAL loss (recall@20 0.0281 vs
+    # 0.0398 f32, seed 0: small adafactor updates vanish under bf16's 8-bit
+    # mantissa on store). Default None (f32 tables) is the right call for
+    # training; use serving's `weights_dtype="bfloat16"` export for the
+    # inference-side footprint win instead (docs/performance.md).
     embedding_table_dtype: Optional[str] = None
     # with mesh_model_axis>1 and a tied item table big enough to row-shard
     # (parallel/mesh.py MIN_ROWS_TO_SHARD), automatically thread the mesh
