@@ -342,6 +342,97 @@ def test_sparse_adafactor_trainer_end_to_end(tmp_path):
     assert np.isfinite(ev["eval_loss"])
 
 
+@pytest.mark.parametrize("trial", range(3))
+def test_sparse_grads_match_dense_fuzz(trial):
+    """Randomized shapes/schemes: the sparse loss and scatter(row grads)
+    equal the dense path across vocab sizes, sequence lengths, batch sizes,
+    negative counts, and maskings — the flagship path must not depend on the
+    fixed shapes of the targeted tests."""
+    import flax.linen as nn
+
+    from transformers4rec_tpu.trainer.sparse_embedding_step import (
+        _pos_map,
+        find_table_path,
+        make_interceptor,
+        tree_get,
+        tree_set,
+    )
+
+    rng = np.random.default_rng(100 + trial)
+    masking = rng.choice(["mlm", "clm", "plm"])
+    num_items = int(rng.integers(300, 5000))
+    seq = int(rng.integers(4, 16))
+    rows = int(rng.integers(3, 12))
+    n_neg = int(rng.integers(8, 128))
+
+    schema = synthetic_ecommerce_data_schema(
+        num_items=num_items, num_categories=int(rng.integers(5, 40)),
+        max_session_length=seq,
+    )
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=16, masking=masking, aggregation="concat"
+    )
+    arch = "gpt2" if masking == "clm" else "xlnet"
+    cfg = tr.transformer_registry.parse(arch).build(
+        d_model=16, n_head=2, n_layer=1, total_seq_length=seq
+    )
+    model = cfg.to_model(im, tr.NextItemPredictionTask(
+        weight_tying=True, sampled_softmax=True, max_n_samples=n_neg))
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_data(
+            schema, num_rows=rows, max_session_length=seq, seed=trial
+        ).items()
+    }
+    rngs = {
+        "params": jax.random.PRNGKey(trial),
+        "masking": jax.random.PRNGKey(trial + 1),
+        "dropout": jax.random.PRNGKey(trial + 2),
+        "sampling": jax.random.PRNGKey(trial + 3),
+    }
+    apply_rngs = {k: v for k, v in rngs.items() if k != "params"}
+    params = model.init(rngs, batch, training=True)
+    path = find_table_path(params, "item_id")
+    table = tree_get(params, path)
+    task = model.heads[0].tasks[0]
+    neg = task.make_sampler(table.shape[0]).sample(
+        jax.random.PRNGKey(trial + 9))
+    batch2 = {**batch, "__neg_ids__": neg}
+
+    def dense_loss(p):
+        loss, _ = model.apply(p, batch2, targets=batch2, training=True,
+                              compute_metrics=False, rngs=apply_rngs)
+        return loss
+
+    loss_d, grads_d = jax.value_and_grad(dense_loss)(params)
+    dW = tree_get(grads_d, path)
+
+    B, S = batch["item_id"].shape
+    ids_in = batch["item_id"].reshape(-1).astype(jnp.int32)
+    all_ids = jnp.concatenate([ids_in, neg.astype(jnp.int32)])
+    rows_g = jnp.take(table, all_ids, axis=0)
+    dense_tree = tree_set(params, path, None)
+    pmap = jnp.asarray(_pos_map(str(masking), B, S))
+
+    def sparse_loss(dense_tree, rows_g):
+        p_full = tree_set(dense_tree, path, jax.lax.stop_gradient(table))
+        with nn.intercept_methods(
+            make_interceptor(rows_g, "item_id", B * S, pmap, neg)
+        ):
+            loss, _ = model.apply(p_full, batch2, targets=batch2,
+                                  training=True, compute_metrics=False,
+                                  rngs=apply_rngs)
+        return loss
+
+    loss_s, (gd, g_rows) = jax.value_and_grad(sparse_loss, argnums=(0, 1))(
+        dense_tree, rows_g
+    )
+    np.testing.assert_allclose(float(loss_s), float(loss_d), rtol=1e-6)
+    scattered = jnp.zeros_like(dW).at[all_ids].add(g_rows)
+    np.testing.assert_allclose(np.asarray(scattered), np.asarray(dW),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_sparse_validation_errors(tmp_path):
     from transformers4rec_tpu.trainer.sparse_embedding_step import (
         validate_sparse_config,
