@@ -238,12 +238,58 @@ class MultiHeadAttention(nn.Module):
         return out, (k, v)
 
 
+class LSHSelfAttention(nn.Module):
+    """Reformer LSH attention layer head (ops/lsh_attention.py does the work).
+
+    Shared query/key projection (the Reformer formulation — hashing is only
+    meaningful when queries and keys live in the same space); value and
+    output projections as usual. Attention dropout is applied to the context
+    (the probabilities live in bucket-sorted chunk space)."""
+
+    d_model: int
+    n_head: int
+    dropout: float = 0.0
+    causal: bool = False
+    num_buckets: int = 8
+    num_hashes: int = 2
+    chunk_size: int = 8
+    seed: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pad_mask, deterministic: bool = True):
+        from ..ops.lsh_attention import lsh_attention
+
+        H, Dh = self.n_head, self.d_model // self.n_head
+        dense = lambda name: nn.DenseGeneral(  # noqa: E731
+            (H, Dh), axis=-1, name=name, dtype=self.dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+        )
+        qk = dense("qk")(x)
+        v = dense("v")(x)
+        ctx = lsh_attention(
+            qk, v, pad_mask=pad_mask, causal=self.causal,
+            num_buckets=self.num_buckets, num_hashes=self.num_hashes,
+            chunk_size=self.chunk_size, seed=self.seed,
+        ).astype(self.dtype)
+        ctx = nn.Dropout(self.dropout)(ctx, deterministic=deterministic)
+        return nn.DenseGeneral(
+            self.d_model, axis=(-2, -1), name="out", dtype=self.dtype,
+            kernel_init=nn.initializers.xavier_uniform(),
+        )(ctx)
+
+
 class TransformerLayer(nn.Module):
     """Transformer layer; optional second (query) stream sharing K/V.
 
     ``norm_first=True`` (GPT-2/XLNet-style pre-LN, the TPU-friendly default)
     or ``norm_first=False`` (BERT/ELECTRA/ALBERT post-LN: residual then
-    LayerNorm — exact HF weight transfer, tests/test_hf_golden.py)."""
+    LayerNorm — exact HF weight transfer, tests/test_hf_golden.py).
+
+    ``attn_type="lsh"`` swaps the dense attention for Reformer LSH attention
+    (shared-QK, bucket-sorted chunks); the additive ``bias`` channel is then
+    unused — the encoder guards that no perm/segment/memory restrictions are
+    in play."""
 
     d_model: int
     n_head: int
@@ -254,6 +300,11 @@ class TransformerLayer(nn.Module):
     activation: str = "gelu"
     causal: bool = False
     norm_first: bool = True
+    attn_type: str = "dense"  # | "lsh"
+    lsh_num_buckets: int = 8
+    lsh_num_hashes: int = 2
+    lsh_chunk_size: int = 8
+    lsh_seed: int = 0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -267,11 +318,21 @@ class TransformerLayer(nn.Module):
         flash_ctx: Optional[tuple] = None,
         query_flash_ctx: Optional[tuple] = None,
         mem: Optional[jnp.ndarray] = None,
+        pad_mask: Optional[jnp.ndarray] = None,
     ):
-        attn = MultiHeadAttention(
-            self.d_model, self.n_head, self.attn_dropout, causal=self.causal,
-            dtype=self.dtype, name="attn",
-        )
+        if self.attn_type == "lsh":
+            attn = LSHSelfAttention(
+                self.d_model, self.n_head, self.attn_dropout,
+                causal=self.causal, num_buckets=self.lsh_num_buckets,
+                num_hashes=self.lsh_num_hashes,
+                chunk_size=self.lsh_chunk_size, seed=self.lsh_seed,
+                dtype=self.dtype, name="attn",
+            )
+        else:
+            attn = MultiHeadAttention(
+                self.d_model, self.n_head, self.attn_dropout,
+                causal=self.causal, dtype=self.dtype, name="attn",
+            )
         ln1 = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="ln1")
         ln2 = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="ln2")
         ffn_in = nn.Dense(self.d_ff, dtype=self.dtype, name="ffn_in")
@@ -290,17 +351,27 @@ class TransformerLayer(nn.Module):
             return ffn_out(h)
 
         x = ln1(hidden) if self.norm_first else hidden
-        if mem is not None:
-            # segment recurrence: cached (stop-gradient) states prepend to the
-            # K/V source; LN is positionwise so ln1(concat) rows == ln1 rows
-            m = mem.astype(self.dtype)
-            kv_x = jnp.concatenate([ln1(m) if self.norm_first else m, x], axis=1)
-            flash_ctx = None  # memory path uses the XLA attention (S is small)
+        if self.attn_type == "lsh":
+            if mem is not None or query_hidden is not None:
+                raise NotImplementedError(
+                    "LSH layers do not support mem_len or two-stream"
+                )
+            ctx, kv = attn(x, pad_mask, deterministic=deterministic), None
         else:
-            kv_x = x
-        ctx, kv = attn(
-            x, kv_x, bias, deterministic=deterministic, flash_ctx=flash_ctx
-        )
+            if mem is not None:
+                # segment recurrence: cached (stop-gradient) states prepend to
+                # the K/V source; LN is positionwise so ln1(concat) rows ==
+                # ln1 rows
+                m = mem.astype(self.dtype)
+                kv_x = jnp.concatenate(
+                    [ln1(m) if self.norm_first else m, x], axis=1
+                )
+                flash_ctx = None  # memory path uses XLA attention (S is small)
+            else:
+                kv_x = x
+            ctx, kv = attn(
+                x, kv_x, bias, deterministic=deterministic, flash_ctx=flash_ctx
+            )
         if self.norm_first:
             hidden = hidden + drop(ctx, deterministic=deterministic)
             hidden = hidden + drop(ffn(ln2(hidden)), deterministic=deterministic)
@@ -347,10 +418,21 @@ class TransformerEncoder(nn.Module):
     layer_norm_eps: float = 1e-12
     activation: str = "gelu"
     causal: bool = False
-    pos_encoding: str = "learned_absolute"  # | 'relative_bias' | 'none'
+    pos_encoding: str = "learned_absolute"  # | 'relative_bias' | 'axial' | 'none'
     max_position: int = 512
+    # Reformer axial positions (pos_encoding='axial'): position p embeds as
+    # concat(table0[p // shape[1]], table1[p % shape[1]]) — factorized tables
+    # of O(d1·e1 + d2·e2) params instead of O(max_position·d_model)
+    axial_pos_shape: Optional[tuple] = None
+    axial_pos_embds_dim: Optional[tuple] = None
     share_layers: bool = False  # ALBERT cross-layer sharing
     local_window: Optional[int] = None  # Longformer/Reformer local attention
+    # per-layer attention pattern ('dense'|'local'|'lsh'), e.g. Reformer's
+    # alternating ('local','lsh',...). None → every layer uses local_window.
+    attn_layers: Optional[tuple] = None
+    lsh_num_buckets: int = 8
+    lsh_num_hashes: int = 2
+    lsh_chunk_size: int = 8
     two_stream: bool = False  # XLNet PLM (activates when perm_mask given)
     remat: bool = False  # rematerialize layer activations (jax.checkpoint)
     mem_len: int = 0  # TransfoXL/XLNet segment recurrence cache length
@@ -391,6 +473,47 @@ class TransformerEncoder(nn.Module):
         M = int(mems["states"].shape[2]) if mems is not None else 0
         mem_pad = mems["pad"] if mems is not None else None
 
+        # per-layer attention pattern (Reformer: alternating local/lsh)
+        layer_types = self.attn_layers
+        if layer_types is not None:
+            if len(layer_types) != self.n_layer:
+                raise ValueError(
+                    f"attn_layers has {len(layer_types)} entries for "
+                    f"n_layer={self.n_layer}"
+                )
+            bad = set(layer_types) - {"dense", "local", "lsh"}
+            if bad:
+                raise ValueError(f"unknown attn_layers entries: {sorted(bad)}")
+            if self.share_layers and len(set(layer_types)) > 1:
+                raise ValueError(
+                    "share_layers requires a uniform attn_layers pattern"
+                )
+            if "lsh" in layer_types:
+                # LSH chunking cannot honor arbitrary pairwise restrictions
+                # or per-pair additive biases (ops/lsh_attention.py scope)
+                if perm_mask is not None or self.two_stream:
+                    raise NotImplementedError(
+                        "LSH attention layers do not support perm_mask / "
+                        "two-stream (PLM) — Reformer runs MLM"
+                    )
+                if segment_ids is not None:
+                    raise NotImplementedError(
+                        "session packing (segment_ids) is not supported with "
+                        "LSH attention layers: the block-diagonal restriction "
+                        "does not survive bucket-sorted chunking"
+                    )
+                if mems is not None or self.mem_len:
+                    raise NotImplementedError(
+                        "mem_len segment recurrence is not supported with "
+                        "LSH attention layers"
+                    )
+                if self.pos_encoding == "relative_bias":
+                    raise NotImplementedError(
+                        "relative_bias positions are not supported with LSH "
+                        "layers (per-pair biases do not survive chunking); "
+                        "Reformer uses axial absolute positions"
+                    )
+
         # session packing: block-diagonal attention restriction. Rides the
         # perm_mask channel for bias assembly (same "query i must NOT attend
         # key j" semantics) WITHOUT activating XLNet two-stream, which keys on
@@ -412,12 +535,44 @@ class TransformerEncoder(nn.Module):
             )
 
         hidden = inputs_embeds.astype(self.dtype)
-        abs_pos_term = None  # learned-absolute position term (query stream reuses it)
-        if self.pos_encoding == "learned_absolute":
-            pos_table = self.param(
-                "position_embedding", nn.initializers.normal(0.02),
-                (self.max_position, self.d_model),
-            )
+        abs_pos_term = None  # absolute position term (query stream reuses it)
+        if self.pos_encoding in ("learned_absolute", "axial"):
+            if self.pos_encoding == "axial":
+                # Reformer factorized positions: p → concat(t0[p // d2],
+                # t1[p % d2]) — row-major over the (d1, d2) grid, matching HF
+                # AxialPositionEmbeddings' reshape (tests/test_lsh.py golden)
+                if self.axial_pos_shape is None or self.axial_pos_embds_dim is None:
+                    raise ValueError(
+                        "pos_encoding='axial' requires axial_pos_shape and "
+                        "axial_pos_embds_dim"
+                    )
+                d1, d2 = self.axial_pos_shape
+                e1, e2 = self.axial_pos_embds_dim
+                if d1 * d2 < self.max_position:
+                    raise ValueError(
+                        f"axial_pos_shape {self.axial_pos_shape} covers "
+                        f"{d1 * d2} positions < max_position={self.max_position}"
+                    )
+                if e1 + e2 != self.d_model:
+                    raise ValueError(
+                        f"axial_pos_embds_dim {self.axial_pos_embds_dim} must "
+                        f"sum to d_model={self.d_model}"
+                    )
+                t0 = self.param(
+                    "axial_pos_0", nn.initializers.normal(0.02), (d1, e1)
+                )
+                t1 = self.param(
+                    "axial_pos_1", nn.initializers.normal(0.02), (d2, e2)
+                )
+                lookup = lambda p: jnp.concatenate(  # noqa: E731
+                    [t0[p // d2], t1[p % d2]], axis=-1
+                )
+            else:
+                pos_table = self.param(
+                    "position_embedding", nn.initializers.normal(0.02),
+                    (self.max_position, self.d_model),
+                )
+                lookup = lambda p: pos_table[p]  # noqa: E731
             if segment_ids is not None:
                 # per-segment position restart: a packed session sees the
                 # same absolute positions it would unpacked (0..len-1),
@@ -430,9 +585,9 @@ class TransformerEncoder(nn.Module):
                 seg_start = jax.lax.associative_scan(
                     jnp.maximum, jnp.where(is_start, pos, 0), axis=1
                 )
-                abs_pos_term = pos_table[pos - seg_start].astype(self.dtype)
+                abs_pos_term = lookup(pos - seg_start).astype(self.dtype)
             else:
-                abs_pos_term = pos_table[:S][None].astype(self.dtype)
+                abs_pos_term = lookup(jnp.arange(S)[None]).astype(self.dtype)
             hidden = hidden + abs_pos_term
 
         rel_bias = None
@@ -444,25 +599,46 @@ class TransformerEncoder(nn.Module):
         # two-stream keys on the SCHEME's perm_mask (PLM factorization order),
         # not on the merged segment restriction
         use_two_stream = self.two_stream and scheme_perm is not None
-        bias = make_attention_bias(
-            pad_mask, S, causal=self.causal, perm_mask=perm_mask,
-            local_window=self.local_window, query_stream=False,
-            mem_len=M, mem_pad=mem_pad,
-        )
-        if rel_bias is not None:
-            bias = bias + rel_bias
+        if use_two_stream and layer_types is not None:
+            raise NotImplementedError(
+                "two-stream (PLM) does not compose with per-layer "
+                "attn_layers patterns"
+            )
 
-        # un-composed components for the flash kernel (ops/attention.py):
-        # only the perm/local/rel parts are materialized; causal and padding
-        # are handled inline by the kernel. The memory path always takes the
-        # XLA attention (layer disables flash when mem is present).
-        extra = make_extra_bias(S, perm_mask, self.local_window,
-                                query_stream=False, mem_len=M)
-        if rel_bias is not None:
-            extra = rel_bias if extra is None else extra + rel_bias
-        flash_ctx = (
-            (extra, pad_mask, rel_bias is not None) if M == 0 else None
-        )
+        def bias_for(window):
+            # composed additive bias + the un-composed components for the
+            # flash kernel (ops/attention.py): only the perm/local/rel parts
+            # are materialized; causal and padding are handled inline by the
+            # kernel. The memory path always takes the XLA attention (layer
+            # disables flash when mem is present).
+            b = make_attention_bias(
+                pad_mask, S, causal=self.causal, perm_mask=perm_mask,
+                local_window=window, query_stream=False,
+                mem_len=M, mem_pad=mem_pad,
+            )
+            ex = make_extra_bias(S, perm_mask, window,
+                                 query_stream=False, mem_len=M)
+            if rel_bias is not None:
+                b = b + rel_bias
+                ex = rel_bias if ex is None else ex + rel_bias
+            fc = (ex, pad_mask, rel_bias is not None) if M == 0 else None
+            return b, fc
+
+        # per-layer attention plan: ('lsh', None) layers need no bias at all
+        # (long-S Reformer must not materialize an (S, S) tensor); windowed /
+        # dense layers share cached (bias, flash_ctx) per distinct window
+        if layer_types is None:
+            plan = [("win", self.local_window)] * self.n_layer
+        else:
+            plan = [
+                ("lsh", None) if t == "lsh"
+                else ("win", self.local_window if t == "local" else None)
+                for t in layer_types
+            ]
+        bias_cache = {}
+        for kind, w in plan:
+            if kind == "win" and w not in bias_cache:
+                bias_cache[w] = bias_for(w)
 
         query_hidden = None
         query_bias = None
@@ -510,21 +686,35 @@ class TransformerEncoder(nn.Module):
             nn.remat(TransformerLayer, static_argnums=(3,)) if self.remat
             else TransformerLayer
         )
-        make_layer = lambda i: layer_cls(  # noqa: E731
+        make_layer = lambda i, attn_type="dense", seed=0: layer_cls(  # noqa: E731
             d_model=self.d_model, n_head=self.n_head, d_ff=d_ff,
             dropout=self.dropout, attn_dropout=self.attn_dropout,
             layer_norm_eps=self.layer_norm_eps, activation=self.activation,
-            causal=self.causal, norm_first=self.norm_first, dtype=self.dtype,
-            name=f"layer_{i}",
+            causal=self.causal, norm_first=self.norm_first,
+            attn_type=attn_type, lsh_num_buckets=self.lsh_num_buckets,
+            lsh_num_hashes=self.lsh_num_hashes,
+            lsh_chunk_size=self.lsh_chunk_size, lsh_seed=seed,
+            dtype=self.dtype, name=f"layer_{i}",
         )
-        shared = make_layer("shared") if self.share_layers else None
+        shared = (
+            make_layer("shared", "lsh" if plan[0][0] == "lsh" else "dense")
+            if self.share_layers else None
+        )
         collect = return_mems and self.mem_len > 0
         new_states = []
         cur_ok = (
             pad_mask if pad_mask is not None else jnp.ones((B, S), bool)
         )
         for i in range(self.n_layer):
-            layer = shared if shared is not None else make_layer(i)
+            kind, win = plan[i]
+            if kind == "lsh":
+                bias_i, flash_i = None, None
+            else:
+                bias_i, flash_i = bias_cache[win]
+            layer = (
+                shared if shared is not None
+                else make_layer(i, "lsh" if kind == "lsh" else "dense", seed=i)
+            )
             mem_i = mems["states"][i] if mems is not None else None
             if collect:
                 ext = (
@@ -542,8 +732,8 @@ class TransformerEncoder(nn.Module):
             # positional call: under nn.remat, `deterministic` must stay a
             # static argument (static_argnums=(3,), counting self as 0)
             hidden, query_hidden = layer(
-                hidden, bias, deterministic, query_hidden, query_bias,
-                flash_ctx, query_flash_ctx, mem_i,
+                hidden, bias_i, deterministic, query_hidden, query_bias,
+                flash_i, query_flash_ctx, mem_i, pad_mask,
             )
 
         out = query_hidden if query_hidden is not None else hidden

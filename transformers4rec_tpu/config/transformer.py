@@ -47,6 +47,15 @@ class T4RecConfig:
     share_layers: bool = False
     local_window: Optional[int] = None
     two_stream: bool = False
+    # Reformer capabilities (reference config/transformer.py:142-207):
+    # per-layer attention pattern ('dense'|'local'|'lsh'), axial factorized
+    # positions, LSH knobs — all None/default for the other eight archs
+    attn_layers: Optional[tuple] = None
+    axial_pos_shape: Optional[tuple] = None
+    axial_pos_embds_dim: Optional[tuple] = None
+    lsh_num_buckets: int = 8
+    lsh_num_hashes: int = 2
+    lsh_chunk_size: int = 8
     # BERT-family fidelity: post-LN layers (residual→LayerNorm, no final
     # ln_f) + embedding LayerNorm after the position add — admits EXACT HF
     # weight transfer (tests/test_hf_golden.py). Pre-LN stays the default for
@@ -90,6 +99,20 @@ class T4RecConfig:
             share_layers=self.share_layers,
             local_window=self.local_window,
             two_stream=self.two_stream,
+            attn_layers=(
+                tuple(self.attn_layers) if self.attn_layers is not None else None
+            ),
+            axial_pos_shape=(
+                tuple(self.axial_pos_shape)
+                if self.axial_pos_shape is not None else None
+            ),
+            axial_pos_embds_dim=(
+                tuple(self.axial_pos_embds_dim)
+                if self.axial_pos_embds_dim is not None else None
+            ),
+            lsh_num_buckets=self.lsh_num_buckets,
+            lsh_num_hashes=self.lsh_num_hashes,
+            lsh_chunk_size=self.lsh_chunk_size,
             norm_first=self.norm_first,
             embed_layer_norm=self.embed_layer_norm,
             remat=self.remat,
@@ -138,9 +161,8 @@ def _register(name: str, **defaults):
                         None if win is None or win >= total_seq_length + pad
                         else int(win)
                     )
-            # accepted-for-parity no-ops (Reformer axial positions don't
-            # apply: the unified encoder uses learned/relative positions;
-            # LSH is a documented non-goal at session lengths — PARITY.md)
+            # only Reformer (dedicated class below) interprets axial shapes;
+            # accepted-and-ignored here for arg parity
             merged.pop("axial_pos_shape_first_dim", None)
             return cls(
                 d_model=d_model, n_head=n_head, n_layer=n_layer,
@@ -173,9 +195,54 @@ AlbertConfig = _register(
 LongformerConfig = _register(
     "longformer", local_window=8, masking="mlm", **_BERT_FAMILY
 )
-ReformerConfig = _register(
-    "reformer", causal=False, local_window=8, masking="mlm", _seq_headroom=2
-)
+@transformer_registry.register("reformer")
+@dataclasses.dataclass
+class ReformerConfig(T4RecConfig):
+    """Reformer: alternating local/LSH attention layers + axial factorized
+    positions (reference config/transformer.py:142-207 → HF Reformer). The
+    reference builds ``attn_layers=["local","lsh"]*(n_layer//2)`` when
+    n_layer>2 else ``["local"]`` and always uses axial positions with
+    ``axial_pos_shape=[first_dim, total/first_dim]`` and half/half embedding
+    dims; mirrored here onto the unified encoder's per-layer pattern +
+    ``pos_encoding='axial'`` (blocks/transformer.py, ops/lsh_attention.py).
+    ``local_attn_chunk_length`` doubles as both the local window and the LSH
+    chunk size (HF uses the two chunk lengths independently; one knob here)."""
+
+    arch: str = "reformer"
+
+    @classmethod
+    def build(cls, d_model, n_head, n_layer, total_seq_length,
+              axial_pos_shape_first_dim=4, **kwargs):
+        pad = 2  # MLM inference [MASK] headroom like the other encoder archs
+        merged = {"causal": False, "masking": "mlm", "local_window": 8}
+        merged.update(kwargs)
+        for alias in ("attention_window", "local_attn_chunk_length"):
+            if alias in merged:
+                win = merged.pop(alias)
+                merged["local_window"] = (
+                    None if win is None or win >= total_seq_length + pad
+                    else int(win)
+                )
+        if merged["local_window"] is not None:
+            merged.setdefault("lsh_chunk_size", int(merged["local_window"]))
+        max_pos = max(total_seq_length + pad, 8)
+        merged.setdefault("pos_encoding", "axial")
+        if merged["pos_encoding"] == "axial":
+            d1 = int(axial_pos_shape_first_dim)
+            merged.setdefault("axial_pos_shape", (d1, -(-max_pos // d1)))
+            merged.setdefault(
+                "axial_pos_embds_dim", (d_model // 2, d_model - d_model // 2)
+            )
+        if "attn_layers" not in merged:
+            # reference pattern, cycled to n_layer entries for odd depths
+            merged["attn_layers"] = (
+                tuple(("local", "lsh")[i % 2] for i in range(n_layer))
+                if n_layer > 2 else ("local",) * n_layer
+            )
+        return cls(
+            d_model=d_model, n_head=n_head, n_layer=n_layer,
+            total_seq_length=total_seq_length + pad, **merged,
+        )
 GPT2Config = _register("gpt2", causal=True, masking="clm")
 TransfoXLConfig = _register(
     "transfoxl", causal=True, pos_encoding="relative_bias", masking="clm"
