@@ -61,6 +61,9 @@ def main():
                     help="training scheme; the architecture follows the "
                          "reference pairing (clm→gpt2, mlm→xlnet, plm→xlnet "
                          "two-stream, rtd→electra)")
+    ap.add_argument("--arch", default=None,
+                    help="override the masking→arch pairing (e.g. reformer "
+                         "with --masking mlm for the local/LSH/axial stack)")
     ap.add_argument("--packed", action="store_true",
                     help="session packing: train on first-fit-packed rows "
                          "(block-diagonal attention, data/packing.py); eval "
@@ -141,9 +144,9 @@ def main():
         schema, d_output=D_MODEL, masking=args.masking, aggregation="concat",
         masking_kwargs=masking_kwargs,
     )
-    arch = {"clm": "gpt2", "mlm": "xlnet", "plm": "xlnet", "rtd": "electra"}[
-        args.masking
-    ]
+    arch = args.arch or {
+        "clm": "gpt2", "mlm": "xlnet", "plm": "xlnet", "rtd": "electra"
+    }[args.masking]
     build_kwargs = dict(
         d_model=D_MODEL, n_head=N_HEAD, n_layer=N_LAYER, total_seq_length=SEQ,
         dropout=args.dropout,
@@ -365,6 +368,7 @@ def main():
         "arm": args.arm,
         "packed": args.packed,
         "masking": args.masking,
+        "arch": arch,
         "embedding_optimizer": args.embedding_optimizer,
         "steps": args.steps,
         "train_rows": args.train_rows,

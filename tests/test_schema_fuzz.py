@@ -18,9 +18,12 @@ import transformers4rec_tpu as tr
 from transformers4rec_tpu.data.synthetic import synthetic_data
 from transformers4rec_tpu.schema import ColumnSchema, Schema, Tags, ValueCount
 
-# masking scheme -> a compatible arch (reference MappingTransformerMasking,
-# torch/utils/torch_utils.py:441-473)
-ARCH_FOR = {"clm": "gpt2", "mlm": "bert", "rtd": "electra", "plm": "xlnet"}
+# masking scheme -> compatible archs (reference MappingTransformerMasking,
+# torch/utils/torch_utils.py:441-473). MLM alternates bert (post-LN dense)
+# and reformer (local/LSH attn_layers + axial positions) so the fuzz also
+# drives the Reformer stack over random schemas.
+ARCH_FOR = {"clm": "gpt2", "mlm": ("bert", "reformer"), "rtd": "electra",
+            "plm": "xlnet"}
 
 
 def _random_schema(rng: np.random.Generator, seq_len: int) -> Schema:
@@ -77,8 +80,14 @@ def test_random_schema_end_to_end(trial):
         schema, d_output=d_model, masking=masking, aggregation="concat",
         pretrained_output_dims={"pre_emb": pre_dim} if pre_dim else None,
     )
-    cfg = tr.transformer_registry.parse(ARCH_FOR[masking]).build(
-        d_model=d_model, n_head=2, n_layer=1, total_seq_length=seq_len
+    arch = ARCH_FOR[masking]
+    if isinstance(arch, tuple):
+        arch = arch[trial % len(arch)]
+    # reformer needs n_layer>2 for its alternating local/lsh pattern
+    cfg = tr.transformer_registry.parse(arch).build(
+        d_model=d_model, n_head=2,
+        n_layer=4 if arch == "reformer" else 1,
+        total_seq_length=seq_len,
     )
     model = cfg.to_model(im, tr.NextItemPredictionTask(weight_tying=True))
 
