@@ -298,3 +298,51 @@ def test_export_strips_vocab_parallel_mesh(trained, tmp_path):
     np.testing.assert_allclose(np.asarray(want_scores), scores,
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(want_ids), ids)
+
+
+def test_reformer_long_seq_exports_and_serves(tmp_path):
+    """The Reformer stack (LSH sorted-chunk path engaged: S>=64, with its
+    per-round argsorts/gathers) must survive jax.export → StableHLO → runner
+    with exact top-k parity — the sort-based op is serving-safe, not just
+    trainable."""
+    import jax
+
+    from transformers4rec_tpu.data.synthetic import (
+        synthetic_data,
+        synthetic_ecommerce_data_schema,
+    )
+
+    S = 80
+    schema = synthetic_ecommerce_data_schema(
+        num_items=500, num_categories=20, max_session_length=S
+    )
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_data(
+            schema, num_rows=4, max_session_length=S, seed=0
+        ).items()
+    }
+    im = tr.TabularSequenceFeatures.from_schema(
+        schema, d_output=32, masking="mlm", aggregation="concat"
+    )
+    cfg = tr.transformer_registry.parse("reformer").build(
+        d_model=32, n_head=2, n_layer=4, total_seq_length=S
+    )
+    assert "lsh" in cfg.attn_layers
+    model = cfg.to_model(im, tr.NextItemPredictionTask(weight_tying=True))
+    rngs = {
+        "params": jax.random.PRNGKey(0),
+        "masking": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+        "sampling": jax.random.PRNGKey(3),
+    }
+    params = model.init(rngs, batch, training=True)
+    live_scores, live_ids = model.apply(params, batch, top_k=5)
+
+    path = export_model(model, params, batch,
+                        str(tmp_path / "artifact_reformer"), top_k=5)
+    runner = load_runner(path)
+    scores, ids = runner.predict({k: np.asarray(v) for k, v in batch.items()})
+    np.testing.assert_allclose(np.asarray(live_scores), scores,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(live_ids), ids)
