@@ -149,28 +149,66 @@ def test_axial_positions_match_hf_reformer_exactly():
     with torch.no_grad():
         hf_term = hf(torch.arange(S)[None]).numpy()[0]  # (S, d)
 
+    # n_layer=0 + post-LN (no final ln_f) + zero inputs → the encoder output
+    # IS the position term, so this drives the SHIPPED lookup path, not a
+    # test-side reimplementation of it
     enc = TransformerEncoder(
-        d_model=e1 + e2, n_head=2, n_layer=1, dropout=0.0,
+        d_model=e1 + e2, n_head=2, n_layer=0, dropout=0.0, norm_first=False,
         pos_encoding="axial", max_position=S,
         axial_pos_shape=(d1, d2), axial_pos_embds_dim=(e1, e2),
     )
-    params = enc.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, S, e1 + e2)), jnp.ones((1, S), bool)
-    )
+    zeros = jnp.zeros((1, S, e1 + e2))
+    pad = jnp.ones((1, S), bool)
+    params = enc.init(jax.random.PRNGKey(0), zeros, pad)
     w0 = hf.weights[0].detach().numpy()[:, 0, :]  # (d1, e1)
     w1 = hf.weights[1].detach().numpy()[0]  # (d2, e2)
-    p = params["params"]
+    p = dict(params["params"])
     assert p["axial_pos_0"].shape == w0.shape
     assert p["axial_pos_1"].shape == w1.shape
-    # reproduce the term via the same lookup the encoder applies
-    pos = np.arange(S)
-    ours = np.concatenate([w0[pos // d2], w1[pos % d2]], axis=-1)
-    np.testing.assert_array_equal(ours, hf_term)
+    p["axial_pos_0"] = jnp.asarray(w0)
+    p["axial_pos_1"] = jnp.asarray(w1)
+    out = enc.apply({"params": p}, zeros, pad)
+    np.testing.assert_array_equal(np.asarray(out[0]), hf_term)
 
 
 # --------------------------------------------------------------------------
 # config + encoder integration
 # --------------------------------------------------------------------------
+
+def test_position_overflow_fails_loudly():
+    """Gathers clamp out-of-range indices, so an overlong batch must be
+    REJECTED before lookup (the pre-r5 slice failed with a shape error;
+    the guard restores loudness for learned-absolute AND axial)."""
+    for kw in (
+        dict(pos_encoding="learned_absolute", max_position=8),
+        dict(pos_encoding="axial", max_position=8,
+             axial_pos_shape=(2, 4), axial_pos_embds_dim=(8, 8)),
+    ):
+        enc = TransformerEncoder(d_model=16, n_head=2, n_layer=1,
+                                 dropout=0.0, **kw)
+        x = jnp.zeros((1, 12, 16))
+        with pytest.raises(ValueError, match="max_position"):
+            enc.init(jax.random.PRNGKey(0), x, jnp.ones((1, 12), bool))
+
+
+def test_reformer_lsh_knobs_scale_with_sequence_length():
+    """HF Reformer scales chunk (64) and bucket count (~S/chunk) with S; a
+    fixed tiny bucket count would collapse chunk coverage at long S."""
+    long = tr.transformer_registry.parse("reformer").build(64, 4, 4, 2048)
+    assert long.lsh_chunk_size == 64
+    # ~2·S/chunk buckets → average bucket ≈ chunk/2 keys, covered by
+    # own+previous chunk
+    assert long.lsh_num_buckets >= 2 * (2048 // 64)
+    assert long.lsh_num_buckets % 2 == 0
+    short = tr.transformer_registry.parse("reformer").build(64, 4, 4, 20)
+    assert short.lsh_chunk_size == 8  # inherits the local window
+    assert short.lsh_num_buckets >= 4
+    # explicit overrides always win
+    own = tr.transformer_registry.parse("reformer").build(
+        64, 4, 4, 2048, lsh_chunk_size=32, lsh_num_buckets=16
+    )
+    assert own.lsh_chunk_size == 32 and own.lsh_num_buckets == 16
+
 
 def test_reformer_config_builds_reference_pattern():
     cfg = tr.transformer_registry.parse("reformer").build(64, 4, 4, 20)

@@ -537,6 +537,14 @@ class TransformerEncoder(nn.Module):
         hidden = inputs_embeds.astype(self.dtype)
         abs_pos_term = None  # absolute position term (query stream reuses it)
         if self.pos_encoding in ("learned_absolute", "axial"):
+            # loud guard: gathers CLAMP out-of-range indices, so without this
+            # an overlong batch would silently reuse the last position row
+            # for its whole tail (the pre-gather slice failed loudly)
+            if S > self.max_position:
+                raise ValueError(
+                    f"sequence length {S} exceeds max_position="
+                    f"{self.max_position}"
+                )
             if self.pos_encoding == "axial":
                 # Reformer factorized positions: p → concat(t0[p // d2],
                 # t1[p % d2]) — row-major over the (d1, d2) grid, matching HF

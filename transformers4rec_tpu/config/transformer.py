@@ -223,9 +223,24 @@ class ReformerConfig(T4RecConfig):
                     None if win is None or win >= total_seq_length + pad
                     else int(win)
                 )
-        if merged["local_window"] is not None:
-            merged.setdefault("lsh_chunk_size", int(merged["local_window"]))
         max_pos = max(total_seq_length + pad, 8)
+        # LSH knobs scale with sequence length (HF Reformer: chunk 64 and
+        # auto num_buckets ~ S/chunk; a fixed tiny bucket count would let
+        # average bucket size grow with S and collapse the chunk coverage).
+        # Short sequences inherit the local window as the chunk so the two
+        # attention flavors see comparable neighborhoods.
+        if merged.get("lsh_chunk_size") is None:
+            merged.pop("lsh_chunk_size", None)
+            if max_pos >= 128:
+                merged.setdefault("lsh_chunk_size", 64)
+            elif merged["local_window"] is not None:
+                merged.setdefault("lsh_chunk_size", int(merged["local_window"]))
+        chunk = merged.get("lsh_chunk_size", 8)
+        if merged.get("lsh_num_buckets") is None:
+            merged.pop("lsh_num_buckets", None)
+            nb = max(4, 2 * (-(-max_pos // max(chunk, 1))))
+            nb = min(nb + (nb % 2), 512)
+            merged.setdefault("lsh_num_buckets", nb)
         merged.setdefault("pos_encoding", "axial")
         if merged["pos_encoding"] == "axial":
             d1 = int(axial_pos_shape_first_dim)
