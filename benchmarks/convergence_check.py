@@ -64,6 +64,11 @@ def main():
     ap.add_argument("--arch", default=None,
                     help="override the masking→arch pairing (e.g. reformer "
                          "with --masking mlm for the local/LSH/axial stack)")
+    ap.add_argument("--seq-len", type=int, default=20,
+                    help="max session length (default 20 = REES46 config; "
+                         "S>=64 engages the sorted LSH path on reformer — "
+                         "the approximation-quality probe)")
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--packed", action="store_true",
                     help="session packing: train on first-fit-packed rows "
                          "(block-diagonal attention, data/packing.py); eval "
@@ -128,7 +133,8 @@ def main():
     from transformers4rec_tpu.parallel import make_mesh, param_shardings, shard_batch
 
     D_MODEL, N_LAYER, N_HEAD = 192, 3, 16
-    SEQ, BATCH, EBATCH = 20, 128, 256
+    SEQ, BATCH = args.seq_len, args.batch
+    EBATCH = 2 * BATCH
 
     mesh = make_mesh(model=1)
     schema = synthetic_ecommerce_data_schema(
@@ -369,6 +375,7 @@ def main():
         "packed": args.packed,
         "masking": args.masking,
         "arch": arch,
+        "seq_len": SEQ,
         "embedding_optimizer": args.embedding_optimizer,
         "steps": args.steps,
         "train_rows": args.train_rows,
