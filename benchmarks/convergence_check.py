@@ -64,6 +64,11 @@ def main():
     ap.add_argument("--arch", default=None,
                     help="override the masking→arch pairing (e.g. reformer "
                          "with --masking mlm for the local/LSH/axial stack)")
+    ap.add_argument("--build-json", default=None,
+                    help="JSON dict merged into the arch build() kwargs — "
+                         "e.g. '{\"attn_layers\": [\"local\",\"local\","
+                         "\"local\"]}' as the dense control arm for the LSH "
+                         "approximation A/B")
     ap.add_argument("--seq-len", type=int, default=20,
                     help="max session length (default 20 = REES46 config; "
                          "S>=64 engages the sorted LSH path on reformer — "
@@ -159,6 +164,12 @@ def main():
     )
     if args.pre_ln:
         build_kwargs.update(norm_first=True, embed_layer_norm=False)
+    if args.build_json:
+        extra = json.loads(args.build_json)
+        extra = {
+            k: tuple(v) if isinstance(v, list) else v for k, v in extra.items()
+        }
+        build_kwargs.update(extra)
     cfg = tr.transformer_registry.parse(arch).build(**build_kwargs)
     model = cfg.to_model(
         input_module,
@@ -395,6 +406,8 @@ def main():
         rec["table_dtype"] = args.table_dtype
     if args.pre_ln:
         rec["pre_ln"] = True
+    if args.build_json:
+        rec["build_json"] = args.build_json
     if args.lr_schedule != "constant" and args.warmup_frac != 0.05:
         rec["warmup_frac"] = args.warmup_frac
     if args.masking == "plm":
