@@ -196,6 +196,12 @@ def main():
                              max_session_length=SEQ, seed=999,
                              item_popularity=args.popularity)
     n_train_batches = (n_packed_rows if args.packed else args.train_rows) // BATCH
+    if args.eval_rows % EBATCH or args.eval_rows < EBATCH:
+        raise SystemExit(
+            f"--eval-rows ({args.eval_rows}) must be a positive multiple of "
+            f"the eval batch 2*--batch ({EBATCH}) — a remainder would "
+            f"silently drop tail rows and skew cross-arm comparisons"
+        )
     n_eval_batches = args.eval_rows // EBATCH
 
     rngs = {
@@ -387,6 +393,8 @@ def main():
         "masking": args.masking,
         "arch": arch,
         "seq_len": SEQ,
+        "batch": BATCH,
+        "num_items": args.num_items,
         "embedding_optimizer": args.embedding_optimizer,
         "steps": args.steps,
         "train_rows": args.train_rows,

@@ -205,8 +205,10 @@ class ReformerConfig(T4RecConfig):
     ``axial_pos_shape=[first_dim, total/first_dim]`` and half/half embedding
     dims; mirrored here onto the unified encoder's per-layer pattern +
     ``pos_encoding='axial'`` (blocks/transformer.py, ops/lsh_attention.py).
-    ``local_attn_chunk_length`` doubles as both the local window and the LSH
-    chunk size (HF uses the two chunk lengths independently; one knob here)."""
+    ``local_attn_chunk_length``/``attention_window`` set the local window;
+    the LSH chunk follows the local window only at short sequences — at
+    max_position >= 128 it auto-scales to HF's chunk 64 (with
+    ``lsh_num_buckets`` ~ 2·S/chunk) unless passed explicitly."""
 
     arch: str = "reformer"
 
@@ -230,17 +232,20 @@ class ReformerConfig(T4RecConfig):
         # Short sequences inherit the local window as the chunk so the two
         # attention flavors see comparable neighborhoods.
         if merged.get("lsh_chunk_size") is None:
-            merged.pop("lsh_chunk_size", None)
             if max_pos >= 128:
-                merged.setdefault("lsh_chunk_size", 64)
+                merged["lsh_chunk_size"] = 64
             elif merged["local_window"] is not None:
-                merged.setdefault("lsh_chunk_size", int(merged["local_window"]))
-        chunk = merged.get("lsh_chunk_size", 8)
+                merged["lsh_chunk_size"] = int(merged["local_window"])
+            else:
+                merged.pop("lsh_chunk_size", None)  # dataclass default
+        chunk = merged.get("lsh_chunk_size", cls.lsh_chunk_size)
         if merged.get("lsh_num_buckets") is None:
-            merged.pop("lsh_num_buckets", None)
-            nb = max(4, 2 * (-(-max_pos // max(chunk, 1))))
-            nb = min(nb + (nb % 2), 512)
-            merged.setdefault("lsh_num_buckets", nb)
+            # 2·ceil(S/chunk) is even by construction (the LSH hash needs an
+            # even bucket count); average bucket ≈ chunk/2 keys, covered by
+            # a query's own + previous chunk
+            merged["lsh_num_buckets"] = min(
+                max(4, 2 * (-(-max_pos // max(chunk, 1)))), 512
+            )
         merged.setdefault("pos_encoding", "axial")
         if merged["pos_encoding"] == "axial":
             d1 = int(axial_pos_shape_first_dim)
